@@ -1,0 +1,195 @@
+"""Public API: `load_model` factory + encoder registry.
+
+Counterpart of `range/load_model.py:16-51` and the name-dispatch in
+`range/range.py:69-203`, redesigned: a registry of builder functions keyed by
+the reference model names, each returning a `GeoEncoder` — a thin wrapper
+holding a *pure* apply function, its params pytree, and the static
+`embedding_dim`.  The wrapped call is jitted once; coords go in as [B, 2]
+(lon, lat) degrees and a device array [B, D] comes out (we do not reproduce
+the reference's numpy-returning forward, range.py:222,240).
+
+Unlike the reference, `pretrained_path=None` is allowed: parametric models
+fall back to seeded random initialization (handy for benchmarks and tests on
+machines without the HF artifacts); pass a real checkpoint for parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bank.bank import GeoBank
+from .geometry import deg2rad, lonlat_deg_to_xyz
+from .models.range_encoder import RangeConfig, RangeEncoder
+from .models.satclip import SatClipLocationConfig, SatClipLocationEncoder
+from .ops.posenc import GridAndSphere, Theory, Wrap
+
+
+class GeoEncoder:
+    """name + pure apply + params + static embedding_dim, jit-wrapped."""
+
+    def __init__(self, name: str, apply_fn: Callable, params: Any,
+                 embedding_dim: int, model: Any = None):
+        self.name = name
+        self.apply = apply_fn  # (params, coords[B,2] deg) -> [B, D]
+        self.params = params
+        self.embedding_dim = embedding_dim
+        self.model = model
+        self._jitted = jax.jit(apply_fn)
+
+    def __call__(self, coords) -> jnp.ndarray:
+        coords = jnp.asarray(coords)
+        if coords.ndim != 2 or coords.shape[-1] != 2:
+            raise ValueError(f"expected [B, 2] (lon, lat) degrees, got {coords.shape}")
+        return self._jitted(self.params, coords)
+
+    # reference parity alias (`LocationEncoder.location_feature_dim`,
+    # range.py:86,122,...)
+    @property
+    def location_feature_dim(self) -> int:
+        return self.embedding_dim
+
+
+_REGISTRY: Dict[str, Callable[..., GeoEncoder]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def list_models():
+    return sorted(_REGISTRY)
+
+
+def _as_bank(db: Union[str, GeoBank, None], chunk: int) -> GeoBank:
+    if db is None:
+        raise ValueError("db_path is required for RANGE models "
+                         "(a path to a range_db npz, a GeoBank, or 'synthetic:N')")
+    if isinstance(db, GeoBank):
+        return db
+    if isinstance(db, str) and db.startswith("synthetic:"):
+        return GeoBank.synthetic(0, int(db.split(":")[1]), pad_to=chunk)
+    return GeoBank.from_npz(db, pad_to=chunk)
+
+
+def _satclip_tower(pretrained_path: Optional[str], dtype, seed: int):
+    if pretrained_path:
+        from .convert.satclip_ckpt import load_satclip_checkpoint
+
+        return load_satclip_checkpoint(pretrained_path, dtype=dtype)
+    encoder = SatClipLocationEncoder(SatClipLocationConfig())
+    params = encoder.init(jax.random.PRNGKey(seed), dtype=dtype)
+    return encoder, params
+
+
+def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
+                 dtype=jnp.float32, seed: int = 0, chunk: int = 4096,
+                 compute_dtype=jnp.float32, **kw) -> GeoEncoder:
+    tower, params = _satclip_tower(pretrained_path, dtype, seed)
+    bank = _as_bank(db_path, chunk)
+    cfg = RangeConfig(mode=mode, beta=beta, chunk=chunk, compute_dtype=compute_dtype)
+    enc = RangeEncoder(tower, bank, cfg)
+    # Close over the bank: it is a pytree of device arrays; keeping it out of
+    # the jitted args would re-trace per call.  It rides as a captured const.
+    return GeoEncoder(name, enc.apply, params, enc.embedding_dim, model=enc)
+
+
+@register("RANGE")
+def _range(pretrained_path=None, db_path=None, beta=0.5, **kw):
+    return _build_range("RANGE", "range", pretrained_path, db_path, beta, **kw)
+
+
+@register("RANGE+")
+def _range_plus(pretrained_path=None, db_path=None, beta=0.5, **kw):
+    return _build_range("RANGE+", "range+", pretrained_path, db_path, beta, **kw)
+
+
+@register("SatCLIP")
+def _satclip(pretrained_path=None, dtype=jnp.float32, seed: int = 0, **kw):
+    tower, params = _satclip_tower(pretrained_path, dtype, seed)
+    return GeoEncoder("SatCLIP", tower.apply, params, tower.embedding_dim, model=tower)
+
+
+@register("Direct")
+def _direct(**kw):
+    # range.py:262-264: deg -> rad, identity net (NOT the PE direct.py which
+    # also subtracts pi).
+    return GeoEncoder("Direct", lambda p, c: deg2rad(c), None, 2)
+
+
+@register("Cartesian_3D")
+def _cartesian(**kw):
+    # range.py:265-268
+    return GeoEncoder("Cartesian_3D", lambda p, c: lonlat_deg_to_xyz(c), None, 3)
+
+
+@register("Theory")
+def _theory(**kw):
+    # range.py:165-168: Theory(frequency_num=32, min_radius=1) on raw degrees.
+    pe = Theory(frequency_num=32, min_radius=1.0)
+    return GeoEncoder("Theory", lambda p, c: pe(c), None, pe.embedding_dim)
+
+
+@register("Wrap")
+def _wrap(**kw):
+    # range.py:171-174
+    pe = Wrap()
+    return GeoEncoder("Wrap", lambda p, c: pe(c), None, pe.embedding_dim)
+
+
+# sphere2vec presets: frequency_num/min_radius from the reference tuned
+# hyperparameter database (`sphere2vec/hparams.yaml`, inat2018 *-linear rows,
+# read by `get_sphere2vec`, sphere2vec.py:250-276).  Note the reference passes
+# its *function default* max_radius=0.01 for every variant except grid — we
+# reproduce that faithfully.
+_S2VEC_PRESETS = {
+    "grid": dict(frequency_num=48, min_radius=1.0, max_radius=360.0),
+    "spherec": dict(frequency_num=48, min_radius=1.0, max_radius=0.01),
+    "spherecplus": dict(frequency_num=16, min_radius=1.0, max_radius=0.01),
+    "spherem": dict(frequency_num=48, min_radius=1.0, max_radius=0.01),
+    "spheremplus": dict(frequency_num=32, min_radius=1.0, max_radius=0.01),
+}
+
+
+def _make_s2vec(variant: str):
+    @register(f"s2vec_{variant}")
+    def _s2vec(**kw):
+        pe = GridAndSphere(name=variant, **_S2VEC_PRESETS[variant])
+        return GeoEncoder(f"s2vec_{variant}", lambda p, c: pe(c), None, pe.embedding_dim)
+
+    return _s2vec
+
+
+for _v in _S2VEC_PRESETS:
+    _make_s2vec(_v)
+
+
+def load_model(model_name: str = "RANGE+", pretrained_path: Optional[str] = None,
+               device=None, **kwargs) -> GeoEncoder:
+    """Load a location encoder by reference name.
+
+    Mirrors `range/load_model.py:16-51`.  kwargs: ``db_path`` (required for
+    RANGE/RANGE+; npz path, GeoBank, or 'synthetic:N'), ``beta`` (default
+    0.5), plus framework extras (dtype, seed, chunk, compute_dtype, mesh).
+
+    ``device`` accepts a jax.Device to place params on (default: first
+    device); sharded placement is handled by `parallel/` helpers instead.
+    """
+    if model_name not in _REGISTRY:
+        raise NotImplementedError(
+            f"{model_name} not implemented; available: {list_models()}"
+        )
+    if "RANGE" in model_name and "db_path" not in kwargs:
+        raise AssertionError("db_path is required for RANGE model.")
+    enc = _REGISTRY[model_name](pretrained_path=pretrained_path, **kwargs)
+    if device is not None and enc.params is not None:
+        enc.params = jax.device_put(enc.params, device)
+    return enc

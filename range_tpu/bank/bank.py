@@ -1,0 +1,139 @@
+"""The RANGE retrieval bank ("database") as a TPU-resident structure.
+
+Counterpart of the reference's db handling (`range/range.py:77-100`): an npz
+with ``locs [N,2] (lon,lat)``, ``satclip_embeddings [N,256]``,
+``image_embeddings [N,1024]``.  At load time we L2-normalize the SatCLIP key
+embeddings (range.py:89) and convert bank locations to unit-sphere xyz
+(range.py:93-95).
+
+TPU-first differences:
+  * rows are padded to a tile multiple so Pallas kernels and shard_map see
+    static aligned shapes; a row-validity count masks the tail;
+  * the bank is a pytree, so it `jax.device_put`s under any NamedSharding —
+    shard rows across the mesh and the sharded retrieval (parallel/sharded.py)
+    combines per-shard partial softmaxes exactly via logsumexp + psum;
+  * keys/values can be stored bf16 (HBM bandwidth is the retrieval bottleneck)
+    while all softmax math stays f32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import lonlat_deg_to_xyz
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GeoBank:
+    """locs/keys/values, padded to ``pad_to`` rows.
+
+    Fields (all jnp arrays, row-padded to the same length Np):
+      locs_lonlat: [Np, 2] degrees (as stored in the npz)
+      xyz:         [Np, 3] unit vectors of bank locations
+      keys_sem:    [Np, Dk] L2-normalized SatCLIP image embeddings
+      values:      [Np, Dv] high-res image embeddings (SatMAE, 1024-d)
+      n_valid:     scalar int32, number of real rows
+    """
+
+    locs_lonlat: jnp.ndarray
+    xyz: jnp.ndarray
+    keys_sem: jnp.ndarray
+    values: jnp.ndarray
+    n_valid: jnp.ndarray
+
+    @property
+    def num_rows(self) -> int:
+        return self.keys_sem.shape[0]
+
+    @property
+    def key_dim(self) -> int:
+        return self.keys_sem.shape[1]
+
+    @property
+    def value_dim(self) -> int:
+        return self.values.shape[1]
+
+    @classmethod
+    def from_arrays(
+        cls,
+        locs_lonlat: np.ndarray,
+        satclip_embeddings: np.ndarray,
+        image_embeddings: np.ndarray,
+        *,
+        pad_to: int = 1024,
+        key_dtype=jnp.float32,
+        value_dtype=jnp.float32,
+        normalized: bool = False,
+    ) -> "GeoBank":
+        n = locs_lonlat.shape[0]
+        np_rows = _round_up(n, pad_to)
+        locs = np.zeros((np_rows, 2), np.float32)
+        locs[:n] = locs_lonlat
+        keys = np.zeros((np_rows, satclip_embeddings.shape[1]), np.float32)
+        k = np.asarray(satclip_embeddings, np.float32)
+        if not normalized:
+            k = k / np.linalg.norm(k, ord=2, axis=1, keepdims=True)
+        keys[:n] = k
+        vals = np.zeros((np_rows, image_embeddings.shape[1]), np.float32)
+        vals[:n] = image_embeddings
+        xyz = np.zeros((np_rows, 3), np.float32)
+        xyz[:n] = np.asarray(
+            lonlat_deg_to_xyz(jnp.asarray(locs_lonlat, jnp.float32))
+        )
+        return cls(
+            locs_lonlat=jnp.asarray(locs),
+            xyz=jnp.asarray(xyz),
+            keys_sem=jnp.asarray(keys, key_dtype),
+            values=jnp.asarray(vals, value_dtype),
+            n_valid=jnp.asarray(n, jnp.int32),
+        )
+
+    @classmethod
+    def from_npz(cls, path: str, **kw) -> "GeoBank":
+        """Load a reference-format npz (range.py:78-90 key names)."""
+        db = np.load(path, allow_pickle=True)
+        return cls.from_arrays(
+            db["locs"].astype(np.float32),
+            db["satclip_embeddings"].astype(np.float32),
+            db["image_embeddings"].astype(np.float32),
+            **kw,
+        )
+
+    def save_npz(self, path: str) -> None:
+        """Write back in the reference npz schema (`generate_db.py:212-214`)."""
+        n = int(self.n_valid)
+        np.savez(
+            path,
+            locs=np.asarray(self.locs_lonlat[:n]),
+            satclip_embeddings=np.asarray(self.keys_sem[:n], np.float32),
+            image_embeddings=np.asarray(self.values[:n], np.float32),
+        )
+
+    @classmethod
+    def synthetic(cls, rng: np.random.Generator | int, n: int, key_dim: int = 256,
+                  value_dim: int = 1024, **kw) -> "GeoBank":
+        """Random bank for benchmarks/tests (real db artifacts are HF-hosted)."""
+        if isinstance(rng, int):
+            rng = np.random.default_rng(rng)
+        lons = rng.uniform(-180, 180, size=n)
+        lats = np.degrees(np.arcsin(rng.uniform(-1, 1, size=n)))  # area-uniform
+        locs = np.stack([lons, lats], 1).astype(np.float32)
+        keys = rng.standard_normal((n, key_dim)).astype(np.float32)
+        vals = rng.standard_normal((n, value_dim)).astype(np.float32)
+        return cls.from_arrays(locs, keys, vals, **kw)
+
+    def row_mask(self) -> jnp.ndarray:
+        """[Np] float32 {0,1} validity mask."""
+        return (
+            jnp.arange(self.num_rows, dtype=jnp.int32) < self.n_valid
+        ).astype(jnp.float32)

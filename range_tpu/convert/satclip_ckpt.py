@@ -1,0 +1,135 @@
+"""SatCLIP Lightning checkpoint -> range_tpu params.
+
+Torch-free counterpart of `get_satclip` (`satclip/load.py:3-18`): reads the
+`.ckpt` zip, rebuilds the location tower from ``hyper_parameters`` and remaps
+``model.location.*`` weights into our pytree layout.
+
+torch Linear stores weight as [out, in]; our layout is [in, out] (plain
+``x @ w``), so every weight matrix is transposed once at load time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .torch_zip import load_torch_checkpoint
+
+
+def _t(x, dtype):
+    return jnp.asarray(np.asarray(x).T, dtype=dtype)
+
+
+def _v(x, dtype):
+    return jnp.asarray(np.asarray(x), dtype=dtype)
+
+
+def siren_params_from_state_dict(sd: Dict[str, Any], prefix: str, dtype) -> Dict:
+    """Map reference SirenNet state dict (layers.{i}.weight/bias +
+    last_layer.weight/bias, `location_encoder.py:73-112`) to our pytree."""
+    layers = []
+    i = 0
+    while f"{prefix}layers.{i}.weight" in sd:
+        layer = {"w": _t(sd[f"{prefix}layers.{i}.weight"], dtype)}
+        if f"{prefix}layers.{i}.bias" in sd:
+            layer["b"] = _v(sd[f"{prefix}layers.{i}.bias"], dtype)
+        layers.append(layer)
+        i += 1
+    last = {"w": _t(sd[f"{prefix}last_layer.weight"], dtype)}
+    if f"{prefix}last_layer.bias" in sd:
+        last["b"] = _v(sd[f"{prefix}last_layer.bias"], dtype)
+    return {"layers": layers, "last": last}
+
+
+def mlp_params_from_state_dict(sd: Dict[str, Any], prefix: str, num_layers: int,
+                               dtype) -> Dict:
+    """Map reference MLP (`location_encoder.py:52-64`).  Sequential indices:
+    0 input linear, then the *same* hidden linear repeated (tied weights, see
+    ops/nets.py), final linear at the last index."""
+    idxs = sorted(
+        {int(k[len(prefix) + len("features.") :].split(".")[0])
+         for k in sd if k.startswith(f"{prefix}features.")}
+    )
+    linear_idxs = [i for i in idxs if f"{prefix}features.{i}.weight" in sd]
+    first, *mid, last = linear_idxs
+    params = {
+        "input": {
+            "w": _t(sd[f"{prefix}features.{first}.weight"], dtype),
+            "b": _v(sd[f"{prefix}features.{first}.bias"], dtype),
+        },
+        "hidden": [
+            {
+                "w": _t(sd[f"{prefix}features.{mid[0]}.weight"], dtype),
+                "b": _v(sd[f"{prefix}features.{mid[0]}.bias"], dtype),
+            }
+        ]
+        if mid
+        else [],
+        "out": {
+            "w": _t(sd[f"{prefix}features.{last}.weight"], dtype),
+            "b": _v(sd[f"{prefix}features.{last}.bias"], dtype),
+        },
+    }
+    return params
+
+
+def fcnet_params_from_state_dict(sd: Dict[str, Any], prefix: str, dtype) -> Dict:
+    """Map reference FCNet (`location_encoder.py:13-49`)."""
+    res = []
+    i = 1
+    while f"{prefix}feats.{i + 1}.w1.weight" in sd or f"{prefix}feats.{i}.w1.weight" in sd:
+        j = i if f"{prefix}feats.{i}.w1.weight" in sd else i + 1
+        res.append(
+            {
+                "w1": {
+                    "w": _t(sd[f"{prefix}feats.{j}.w1.weight"], dtype),
+                    "b": _v(sd[f"{prefix}feats.{j}.w1.bias"], dtype),
+                },
+                "w2": {
+                    "w": _t(sd[f"{prefix}feats.{j}.w2.weight"], dtype),
+                    "b": _v(sd[f"{prefix}feats.{j}.w2.bias"], dtype),
+                },
+            }
+        )
+        i = j + 1
+        if len(res) > 16:  # safety
+            break
+    return {
+        "input": {
+            "w": _t(sd[f"{prefix}feats.0.weight"], dtype),
+            "b": _v(sd[f"{prefix}feats.0.bias"], dtype),
+        },
+        "res": res,
+        "class_emb": {"w": _t(sd[f"{prefix}class_emb.weight"], dtype)},
+    }
+
+
+def location_params_from_state_dict(sd: Dict[str, Any], pe_type: str,
+                                    num_hidden_layers: int, dtype,
+                                    prefix: str = "model.location.nnet.") -> Dict:
+    if pe_type == "siren":
+        return siren_params_from_state_dict(sd, prefix, dtype)
+    if pe_type == "mlp":
+        return mlp_params_from_state_dict(sd, prefix, num_hidden_layers, dtype)
+    if pe_type == "fcnet":
+        return fcnet_params_from_state_dict(sd, prefix, dtype)
+    if pe_type == "linear":
+        return {"w": _t(sd[f"{prefix}weight"], dtype), "b": _v(sd[f"{prefix}bias"], dtype)}
+    raise ValueError(f"unsupported pe_type {pe_type}")
+
+
+def load_satclip_checkpoint(ckpt_path: str, dtype=jnp.float32):
+    """Returns (SatClipLocationEncoder, params)."""
+    from ..models.satclip import SatClipLocationConfig, SatClipLocationEncoder
+
+    ckpt = load_torch_checkpoint(ckpt_path)
+    hp = dict(ckpt["hyper_parameters"])
+    config = SatClipLocationConfig.from_hyper_parameters(hp)
+    encoder = SatClipLocationEncoder(config)
+    sd = ckpt["state_dict"]
+    params = location_params_from_state_dict(
+        sd, config.pe_type, config.num_hidden_layers, dtype
+    )
+    return encoder, params

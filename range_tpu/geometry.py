@@ -1,0 +1,117 @@
+"""Spherical geometry primitives (pure jnp, dtype-polymorphic).
+
+TPU-native re-design of the reference geometry helpers
+(`range/utils/utils.py:11-41` in mvrl/RANGE): everything is a pure function
+over jnp arrays so it can live inside jit/vmap/shard_map traces.
+
+Conventions (match the reference):
+  * coordinates are `(lon, lat)` pairs, degrees, shape `[..., 2]`
+  * radians conversion is plain `deg * pi / 180`
+  * unit-sphere cartesian uses `x = cos(lat)cos(lon), y = cos(lat)sin(lon),
+    z = sin(lat)` (reference `rad_to_cart`, utils.py:11-16)
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def deg2rad(x: jnp.ndarray) -> jnp.ndarray:
+    return x * (math.pi / 180.0)
+
+
+def rad2deg(x: jnp.ndarray) -> jnp.ndarray:
+    return x * (180.0 / math.pi)
+
+
+def lonlat_rad_to_xyz(lonlat_rad: jnp.ndarray) -> jnp.ndarray:
+    """Radian (lon, lat) -> unit xyz.  Mirrors reference `rad_to_cart`
+    (`range/utils/utils.py:11-16`).
+
+    Args:
+      lonlat_rad: [..., 2] radians.
+    Returns:
+      [..., 3] unit vectors.
+    """
+    lon = lonlat_rad[..., 0]
+    lat = lonlat_rad[..., 1]
+    clat = jnp.cos(lat)
+    return jnp.stack([clat * jnp.cos(lon), clat * jnp.sin(lon), jnp.sin(lat)], axis=-1)
+
+
+def lonlat_deg_to_xyz(lonlat_deg: jnp.ndarray) -> jnp.ndarray:
+    """Degree (lon, lat) -> unit xyz."""
+    return lonlat_rad_to_xyz(deg2rad(lonlat_deg))
+
+
+def xyz_to_lonlat_rad(xyz: jnp.ndarray) -> jnp.ndarray:
+    """Unit xyz -> radian (lon, lat)."""
+    lon = jnp.arctan2(xyz[..., 1], xyz[..., 0])
+    hxy = jnp.hypot(xyz[..., 0], xyz[..., 1])
+    lat = jnp.arctan2(xyz[..., 2], hxy)
+    return jnp.stack([lon, lat], axis=-1)
+
+
+def haversine_km(a: jnp.ndarray, b: jnp.ndarray, radians: bool = False) -> jnp.ndarray:
+    """Elementwise great-circle distance in km between (lon, lat) arrays.
+
+    Mirrors reference `compute_haversine` (`range/utils/utils.py:26-41`).
+    """
+    if not radians:
+        a = deg2rad(a)
+        b = deg2rad(b)
+    lon1, lat1 = a[..., 0], a[..., 1]
+    lon2, lat2 = b[..., 0], b[..., 1]
+    h = (
+        jnp.sin((lat2 - lat1) / 2) ** 2
+        + jnp.cos(lat1) * jnp.cos(lat2) * jnp.sin((lon2 - lon1) / 2) ** 2
+    )
+    c = 2 * jnp.arctan2(jnp.sqrt(h), jnp.sqrt(1 - h))
+    return EARTH_RADIUS_KM * c
+
+
+def pairwise_haversine(x: jnp.ndarray, y: jnp.ndarray, radius: float = 1.0,
+                       radians: bool = False) -> jnp.ndarray:
+    """Pairwise great-circle distances: x [N,2], y [M,2] -> [N,M].
+
+    Computed through the unit-sphere dot product (one [N,3]x[3,M] matmul, so
+    it rides the MXU) instead of the reference's broadcasted trig
+    (`range/evaluation/checkerboarddataset.py:78-100`).
+    """
+    if not radians:
+        x = deg2rad(x)
+        y = deg2rad(y)
+    xv = lonlat_rad_to_xyz(x)
+    yv = lonlat_rad_to_xyz(y)
+    cos_ang = jnp.clip(xv @ yv.T, -1.0, 1.0)
+    return radius * jnp.arccos(cos_ang)
+
+
+def angular_similarity(x_xyz: jnp.ndarray, y_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Cosine of the great-circle angle between unit vectors: [N,3]x[M,3]->[N,M]."""
+    return x_xyz @ y_xyz.T
+
+
+def fibonacci_lattice(n: int, n_classes: int = 16):
+    """Fibonacci lattice over the sphere with cyclic class labels.
+
+    NumPy-free jnp re-derivation of the reference checkerboard seed generator
+    (`range/evaluation/checkerboarddataset.py:12-36`): `n` is halved, points
+    are indexed i in [-n/2, n/2), lat = asin(2i / (n + 1)) and
+    lon = (i mod phi) * 360/phi wrapped to [-180, 180].
+
+    Returns (lons_deg [n], lats_deg [n], labels [n]) as jnp arrays.
+    """
+    half = n // 2
+    phi = (1 + math.sqrt(5)) / 2
+    i = jnp.arange(-half, half, dtype=jnp.float64 if jnp.zeros(0).dtype == jnp.float64 else jnp.float32)
+    lat = jnp.arcsin((2 * i) / (2 * half + 1)) * (180.0 / math.pi)
+    lon = jnp.mod(i, phi) * (360.0 / phi)
+    lon = jnp.where(lon > 180.0, lon - 360.0, lon)
+    lon = jnp.where(lon < -180.0, lon + 360.0, lon)
+    labels = jnp.mod(jnp.arange(-half, half), n_classes)
+    return lon, lat, labels

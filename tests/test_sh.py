@@ -1,0 +1,114 @@
+"""Spherical-harmonics correctness: vs scipy, sympy, and the reference torch
+closed-form implementation."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from range_tpu.ops.sh import sh_grid_table, sh_interpolate, spherical_harmonics_basis
+
+from reference_loader import load_reference_pe
+
+
+def _rand_lonlat(n, seed=0):
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-89, 89, n)
+    return np.stack([lon, lat], 1)
+
+
+def test_closed_form_matches_reference_torch():
+    import torch
+
+    refpe = load_reference_pe()
+    lonlat = _rand_lonlat(64)
+    L = 12
+    ref_mod = refpe.SphericalHarmonics(legendre_polys=L, harmonics_calculation="closed-form")
+    ref = ref_mod(torch.tensor(lonlat, dtype=torch.float64)).numpy()
+    got = np.asarray(spherical_harmonics_basis(jnp.asarray(lonlat, jnp.float64), L, "closed-form"))
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_closed_form_matches_scipy():
+    from scipy.special import sph_harm_y
+
+    lonlat = _rand_lonlat(32, seed=1)
+    phi = np.deg2rad(lonlat[:, 0] + 180)
+    theta = np.deg2rad(lonlat[:, 1] + 90)
+    L = 8
+    got = np.asarray(spherical_harmonics_basis(jnp.asarray(lonlat, jnp.float64), L, "closed-form"))
+    col = 0
+    for l in range(L):
+        for m in range(-l, l + 1):
+            y = sph_harm_y(l, abs(m), theta, phi)  # complex Y_l^m incl. CS phase
+            if m == 0:
+                expect = y.real
+            elif m > 0:
+                expect = math.sqrt(2) * y.real
+            else:
+                expect = math.sqrt(2) * y.imag
+            np.testing.assert_allclose(got[:, col], expect, rtol=1e-8, atol=1e-10,
+                                       err_msg=f"(l={l}, m={m})")
+            col += 1
+
+
+def test_analytic_matches_sympy_table():
+    """The 'analytic' convention must reproduce the sympy-generated table the
+    SatCLIP checkpoints were trained on (incl. its pi-scaled m=0 and its
+    cancelled Condon-Shortley phase)."""
+    import sympy
+    from sympy import Abs, Symbol, assoc_legendre, cos, factorial, pi, sin, sqrt
+
+    theta_s, phi_s = Symbol("theta"), Symbol("phi")
+
+    def ylm_expr(l, m):
+        # transcription of the generator's math
+        # (spherical_harmonics_generate_ylms.py:19-35)
+        if m < 0:
+            plm = assoc_legendre(l, Abs(m), cos(theta_s))
+            plm_bar = sqrt(((2 * l + 1) / (4 * pi)) * (factorial(l - Abs(m)) / factorial(l + Abs(m)))) * plm
+            return (-1) ** m * sqrt(2) * plm_bar * sin(Abs(m) * phi_s)
+        if m == 0:
+            return sqrt((2 * l + 1) / 4 * pi) * assoc_legendre(l, m, cos(theta_s))
+        plm = assoc_legendre(l, m, cos(theta_s))
+        plm_bar = sqrt(((2 * l + 1) / (4 * pi)) * (factorial(l - m) / factorial(l + m))) * plm
+        return (-1) ** m * sqrt(2) * plm_bar * cos(m * phi_s)
+
+    lonlat = _rand_lonlat(8, seed=2)
+    phi = np.deg2rad(lonlat[:, 0] + 180)
+    theta = np.deg2rad(lonlat[:, 1] + 90)
+    L = 5
+    got = np.asarray(spherical_harmonics_basis(jnp.asarray(lonlat, jnp.float64), L, "analytic"))
+    col = 0
+    for l in range(L):
+        for m in range(-l, l + 1):
+            f = sympy.lambdify((theta_s, phi_s), ylm_expr(l, m), "numpy")
+            expect = np.broadcast_to(np.asarray(f(theta, phi), np.float64), theta.shape)
+            np.testing.assert_allclose(got[:, col], expect, rtol=1e-9, atol=1e-12,
+                                       err_msg=f"(l={l}, m={m})")
+            col += 1
+
+
+def test_f32_stability_at_L40():
+    """The normalized recurrence must stay accurate in f32 at SatCLIP's L=40
+    (the raw reference recurrence overflows f32 around l~30)."""
+    lonlat = _rand_lonlat(128, seed=3)
+    L = 40
+    hi = np.asarray(spherical_harmonics_basis(jnp.asarray(lonlat, jnp.float64), L, "analytic"))
+    lo = np.asarray(
+        spherical_harmonics_basis(jnp.asarray(lonlat, jnp.float32), L, "analytic")
+    ).astype(np.float64)
+    assert np.all(np.isfinite(lo))
+    denom = np.maximum(np.abs(hi), 1.0)
+    assert np.max(np.abs(hi - lo) / denom) < 5e-4
+
+
+def test_discretized_interpolation_close():
+    lonlat = _rand_lonlat(64, seed=4)
+    L = 6
+    table = sh_grid_table(L, n_lat=721, n_lon=1441, convention="analytic")
+    approx = np.asarray(sh_interpolate(table, jnp.asarray(lonlat, jnp.float64)))
+    exact = np.asarray(spherical_harmonics_basis(jnp.asarray(lonlat, jnp.float64), L, "analytic"))
+    np.testing.assert_allclose(approx, exact, atol=2e-3)

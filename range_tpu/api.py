@@ -30,22 +30,33 @@ from .ops.posenc import GridAndSphere, Theory, Wrap
 
 
 class GeoEncoder:
-    """name + pure apply + params + static embedding_dim, jit-wrapped."""
+    """name + pure apply + params + static embedding_dim, jit-wrapped.
+
+    ``extra`` holds large non-trainable state (the retrieval bank) and is
+    passed to the jitted function as an *argument* — capturing it as a trace
+    constant would serialize hundreds of MB into the HLO (catastrophic on a
+    tunneled TPU) and re-trace whenever it changes.
+    """
 
     def __init__(self, name: str, apply_fn: Callable, params: Any,
-                 embedding_dim: int, model: Any = None):
+                 embedding_dim: int, model: Any = None, extra: Any = None):
         self.name = name
-        self.apply = apply_fn  # (params, coords[B,2] deg) -> [B, D]
+        self._apply3 = apply_fn  # (params, coords[B,2] deg, extra) -> [B, D]
         self.params = params
+        self.extra = extra
         self.embedding_dim = embedding_dim
         self.model = model
         self._jitted = jax.jit(apply_fn)
+
+    def apply(self, params, coords, extra=None):
+        """Pure forward (un-jitted)."""
+        return self._apply3(params, coords, self.extra if extra is None else extra)
 
     def __call__(self, coords) -> jnp.ndarray:
         coords = jnp.asarray(coords)
         if coords.ndim != 2 or coords.shape[-1] != 2:
             raise ValueError(f"expected [B, 2] (lon, lat) degrees, got {coords.shape}")
-        return self._jitted(self.params, coords)
+        return self._jitted(self.params, coords, self.extra)
 
     # reference parity alias (`LocationEncoder.location_feature_dim`,
     # range.py:86,122,...)
@@ -76,7 +87,7 @@ def _as_bank(db: Union[str, GeoBank, None], chunk: int) -> GeoBank:
     if isinstance(db, GeoBank):
         return db
     if isinstance(db, str) and db.startswith("synthetic:"):
-        return GeoBank.synthetic(0, int(db.split(":")[1]), pad_to=chunk)
+        return GeoBank.synthetic_device(0, int(db.split(":")[1]), pad_to=chunk)
     return GeoBank.from_npz(db, pad_to=chunk)
 
 
@@ -97,9 +108,12 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
     bank = _as_bank(db_path, chunk)
     cfg = RangeConfig(mode=mode, beta=beta, chunk=chunk, compute_dtype=compute_dtype)
     enc = RangeEncoder(tower, bank, cfg)
-    # Close over the bank: it is a pytree of device arrays; keeping it out of
-    # the jitted args would re-trace per call.  It rides as a captured const.
-    return GeoEncoder(name, enc.apply, params, enc.embedding_dim, model=enc)
+
+    def apply_fn(p, c, extra):
+        return enc.apply(p, c, bank=extra)
+
+    return GeoEncoder(name, apply_fn, params, enc.embedding_dim, model=enc,
+                      extra=bank)
 
 
 @register("RANGE")
@@ -115,34 +129,35 @@ def _range_plus(pretrained_path=None, db_path=None, beta=0.5, **kw):
 @register("SatCLIP")
 def _satclip(pretrained_path=None, dtype=jnp.float32, seed: int = 0, **kw):
     tower, params = _satclip_tower(pretrained_path, dtype, seed)
-    return GeoEncoder("SatCLIP", tower.apply, params, tower.embedding_dim, model=tower)
+    return GeoEncoder("SatCLIP", lambda p, c, e: tower.apply(p, c), params,
+                      tower.embedding_dim, model=tower)
 
 
 @register("Direct")
 def _direct(**kw):
     # range.py:262-264: deg -> rad, identity net (NOT the PE direct.py which
     # also subtracts pi).
-    return GeoEncoder("Direct", lambda p, c: deg2rad(c), None, 2)
+    return GeoEncoder("Direct", lambda p, c, e: deg2rad(c), None, 2)
 
 
 @register("Cartesian_3D")
 def _cartesian(**kw):
     # range.py:265-268
-    return GeoEncoder("Cartesian_3D", lambda p, c: lonlat_deg_to_xyz(c), None, 3)
+    return GeoEncoder("Cartesian_3D", lambda p, c, e: lonlat_deg_to_xyz(c), None, 3)
 
 
 @register("Theory")
 def _theory(**kw):
     # range.py:165-168: Theory(frequency_num=32, min_radius=1) on raw degrees.
     pe = Theory(frequency_num=32, min_radius=1.0)
-    return GeoEncoder("Theory", lambda p, c: pe(c), None, pe.embedding_dim)
+    return GeoEncoder("Theory", lambda p, c, e: pe(c), None, pe.embedding_dim)
 
 
 @register("Wrap")
 def _wrap(**kw):
     # range.py:171-174
     pe = Wrap()
-    return GeoEncoder("Wrap", lambda p, c: pe(c), None, pe.embedding_dim)
+    return GeoEncoder("Wrap", lambda p, c, e: pe(c), None, pe.embedding_dim)
 
 
 # sphere2vec presets: frequency_num/min_radius from the reference tuned
@@ -163,7 +178,8 @@ def _make_s2vec(variant: str):
     @register(f"s2vec_{variant}")
     def _s2vec(**kw):
         pe = GridAndSphere(name=variant, **_S2VEC_PRESETS[variant])
-        return GeoEncoder(f"s2vec_{variant}", lambda p, c: pe(c), None, pe.embedding_dim)
+        return GeoEncoder(f"s2vec_{variant}", lambda p, c, e: pe(c), None,
+                          pe.embedding_dim)
 
     return _s2vec
 

@@ -132,6 +132,34 @@ class GeoBank:
         vals = rng.standard_normal((n, value_dim)).astype(np.float32)
         return cls.from_arrays(locs, keys, vals, **kw)
 
+    @classmethod
+    def synthetic_device(cls, seed: int, n: int, key_dim: int = 256,
+                         value_dim: int = 1024, pad_to: int = 4096,
+                         key_dtype=jnp.float32, value_dtype=jnp.float32) -> "GeoBank":
+        """Synthetic bank generated *on device* with the jax PRNG — no
+        host->device transfer (the tunnel to the benchmark TPU makes a
+        hundreds-of-MB host push cost minutes)."""
+        n_rows = _round_up(n, pad_to)
+        k = jax.random.PRNGKey(seed)
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        lons = jax.random.uniform(k1, (n_rows,), jnp.float32, -180.0, 180.0)
+        lats = jnp.degrees(jnp.arcsin(jax.random.uniform(k2, (n_rows,), jnp.float32, -1.0, 1.0)))
+        locs = jnp.stack([lons, lats], 1)
+        row_ok = (jnp.arange(n_rows) < n)[:, None]
+        keys = jax.random.normal(k3, (n_rows, key_dim), jnp.float32)
+        keys = keys / jnp.linalg.norm(keys, axis=1, keepdims=True)
+        keys = jnp.where(row_ok, keys, 0.0).astype(key_dtype)
+        vals = jnp.where(row_ok, jax.random.normal(k4, (n_rows, value_dim), jnp.float32),
+                         0.0).astype(value_dtype)
+        locs = jnp.where(row_ok, locs, 0.0)
+        return cls(
+            locs_lonlat=locs,
+            xyz=jnp.where(row_ok, lonlat_deg_to_xyz(locs), 0.0),
+            keys_sem=keys,
+            values=vals,
+            n_valid=jnp.asarray(n, jnp.int32),
+        )
+
     def row_mask(self) -> jnp.ndarray:
         """[Np] float32 {0,1} validity mask."""
         return (

@@ -120,6 +120,66 @@ def location_params_from_state_dict(sd: Dict[str, Any], pe_type: str,
     raise ValueError(f"unsupported pe_type {pe_type}")
 
 
+def vit_params_from_state_dict(sd: Dict[str, Any], prefix: str, dtype) -> Dict:
+    """Map the reference CLIP-style VisionTransformer weights
+    (`model_old.py:212-246`) into models/vit.py layout.
+
+    conv1 [W, C, P, P] flattens to [C*P*P, W] matching _patchify's (c, i, j)
+    inner order; MHA in_proj stays fused as [W, 3W] after transpose; `proj`
+    is already [W, D] (used as x @ proj in the reference, no transpose).
+    """
+    conv = np.asarray(sd[f"{prefix}conv1.weight"])
+    W = conv.shape[0]
+    patch = conv.reshape(W, -1).T  # [C*P*P, W]
+
+    def ln(name):
+        return {"g": _v(sd[f"{prefix}{name}.weight"], dtype),
+                "b": _v(sd[f"{prefix}{name}.bias"], dtype)}
+
+    blocks = []
+    i = 0
+    while f"{prefix}transformer.resblocks.{i}.ln_1.weight" in sd:
+        rb = f"{prefix}transformer.resblocks.{i}."
+        blocks.append(
+            {
+                "ln1": ln(f"transformer.resblocks.{i}.ln_1"),
+                "attn": {
+                    "qkv": {
+                        "w": _t(sd[rb + "attn.in_proj_weight"], dtype),
+                        "b": _v(sd[rb + "attn.in_proj_bias"], dtype),
+                    },
+                    "out": {
+                        "w": _t(sd[rb + "attn.out_proj.weight"], dtype),
+                        "b": _v(sd[rb + "attn.out_proj.bias"], dtype),
+                    },
+                },
+                "ln2": ln(f"transformer.resblocks.{i}.ln_2"),
+                "mlp": {
+                    "fc": {
+                        "w": _t(sd[rb + "mlp.c_fc.weight"], dtype),
+                        "b": _v(sd[rb + "mlp.c_fc.bias"], dtype),
+                    },
+                    "proj": {
+                        "w": _t(sd[rb + "mlp.c_proj.weight"], dtype),
+                        "b": _v(sd[rb + "mlp.c_proj.bias"], dtype),
+                    },
+                },
+            }
+        )
+        i += 1
+    params = {
+        "patch": {"w": jnp.asarray(patch, dtype)},
+        "class_embedding": _v(sd[f"{prefix}class_embedding"], dtype),
+        "positional_embedding": _v(sd[f"{prefix}positional_embedding"], dtype),
+        "ln_pre": ln("ln_pre"),
+        "blocks": blocks,
+        "ln_post": ln("ln_post"),
+    }
+    if f"{prefix}proj" in sd:
+        params["proj"] = _v(sd[f"{prefix}proj"], dtype)
+    return params
+
+
 def load_satclip_checkpoint(ckpt_path: str, dtype=jnp.float32):
     """Returns (SatClipLocationEncoder, params)."""
     from ..models.satclip import SatClipLocationConfig, SatClipLocationEncoder

@@ -125,6 +125,34 @@ def retrieve(
     Returns:
       [B, Dv] retrieved high-res features (f32).
     """
+    sem_state, geo_state = partial_states(
+        q_sem, q_xyz, bank,
+        sem_temp=sem_temp, geo_temp=geo_temp, mode=mode, chunk=chunk,
+        compute_dtype=compute_dtype, precision=precision,
+    )
+    sem = finalize(sem_state)
+    if mode != "range+":
+        return sem
+    geo = finalize(geo_state)
+    return beta * sem + (1.0 - beta) * geo
+
+
+def partial_states(
+    q_sem: jnp.ndarray,
+    q_xyz: Optional[jnp.ndarray],
+    bank: GeoBank,
+    *,
+    sem_temp: float,
+    geo_temp: float = 40.0,
+    mode: str = "range+",
+    chunk: int = 4096,
+    compute_dtype=jnp.float32,
+    precision=None,
+) -> Tuple[SoftmaxState, SoftmaxState]:
+    """Streaming pass over the (local) bank returning un-finalized softmax
+    states for the semantic and geo paths.  Used directly by `retrieve` and,
+    per shard, by `parallel/sharded.py` whose psum/pmax combine relies on the
+    merge algebra of `merge_states`."""
     B = q_sem.shape[0]
     Dv = bank.value_dim
     n_rows = bank.num_rows
@@ -167,12 +195,7 @@ def retrieve(
 
     init = (init_state(B, Dv), init_state(B, Dv))
     (sem_state, geo_state), _ = jax.lax.scan(body, init, (ks, kx, vs, ms))
-
-    sem = finalize(sem_state)
-    if not want_geo:
-        return sem
-    geo = finalize(geo_state)
-    return beta * sem + (1.0 - beta) * geo
+    return sem_state, geo_state
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))

@@ -32,9 +32,11 @@ Input convention matches `spherical_harmonics.py:27-32`:
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def normalized_legendre(x: jnp.ndarray, s: jnp.ndarray, L: int) -> dict:
@@ -73,19 +75,11 @@ def normalized_legendre(x: jnp.ndarray, s: jnp.ndarray, L: int) -> dict:
     return P
 
 
-def spherical_harmonics_basis(
+def spherical_harmonics_basis_looped(
     lonlat_deg: jnp.ndarray, L: int, convention: str = "analytic"
 ) -> jnp.ndarray:
-    """Real-SH basis of degree < L at (lon, lat) degree coordinates.
-
-    Args:
-      lonlat_deg: [B, 2] (lon, lat) in degrees.
-      L: number of Legendre degrees (output dim = L*L).
-      convention: 'analytic' or 'closed-form' (see module docstring).
-    Returns:
-      [B, L*L] basis matrix, stacked l = 0..L-1, m = -l..l
-      (matches `spherical_harmonics.py:34-42`).
-    """
+    """Reference implementation: explicit per-(l,m) columns from the dict
+    recurrence.  O(L^2) traced ops — kept for testing the fast path below."""
     if convention not in ("analytic", "closed-form"):
         raise ValueError(f"unknown SH convention: {convention}")
     lon = lonlat_deg[..., 0]
@@ -122,6 +116,119 @@ def spherical_harmonics_basis(
             else:
                 cols.append(sign * sqrt2 * P[(l, am)] * sin_m[..., am])
     return jnp.stack(cols, axis=-1)
+
+
+@functools.lru_cache(maxsize=16)
+def _sh_plan(L: int, convention: str):
+    """Static (numpy) coefficient tables for the vectorized evaluation.
+
+    The recurrence is iterated over the diagonal offset k = l - m, all m
+    columns in parallel: P[k] is the [M] vector (Pbar_{m+k, m})_m.  That
+    turns the O(L^2) per-(l,m) op graph into O(L) ops on [B, L] tensors —
+    ~40x smaller XLA graph at SatCLIP's L=40 (compile went from ~77 s to a
+    few seconds on the v5e tunnel).
+    """
+    ms = np.arange(L, dtype=np.float64)
+    # diag constants d_m: Pbar_mm = d_m * s^m
+    d = np.full(L, 1.0 / math.sqrt(4 * math.pi))
+    for m in range(1, L):
+        d[m] = d[m - 1] * math.sqrt((2 * m + 1) / (2 * m))
+    # off-diag: Pbar_{m+1,m} = e_m * x * Pbar_mm
+    e = np.sqrt(2 * ms + 3)
+    # general term coefficients per k >= 2 (l = m + k):
+    #   Pbar_{l,m} = a[k,m] * (x * Pbar_{l-1,m} - b[k,m] * Pbar_{l-2,m})
+    a = np.zeros((L, L))
+    b = np.zeros((L, L))
+    for k in range(2, L):
+        for m in range(0, L - k):
+            l = m + k
+            a[k, m] = math.sqrt((4 * l * l - 1) / (l * l - m * m))
+            b[k, m] = math.sqrt(((l - 1) ** 2 - m * m) / (4 * (l - 1) ** 2 - 1))
+    # output assembly: column j (l, m order) reads P_flat[:, k*L + |m|]
+    gather = np.zeros(L * L, np.int32)
+    trig_sel = np.zeros(L * L, np.int32)  # 0: const, 1: cos, 2: sin
+    m_sel = np.zeros(L * L, np.int32)
+    scale = np.zeros(L * L)
+    sqrt2 = math.sqrt(2.0)
+    j = 0
+    for l in range(L):
+        for m in range(-l, l + 1):
+            am = abs(m)
+            k = l - am
+            gather[j] = k * L + am
+            m_sel[j] = am
+            if convention == "analytic":
+                sign, m0_scale = 1.0, math.pi
+            else:
+                sign, m0_scale = (-1.0) ** am, 1.0
+            if m == 0:
+                trig_sel[j] = 0
+                scale[j] = m0_scale
+            elif m > 0:
+                trig_sel[j] = 1
+                scale[j] = sign * sqrt2
+            else:
+                trig_sel[j] = 2
+                scale[j] = sign * sqrt2
+            j += 1
+    return d, e, a, b, gather, trig_sel, m_sel, scale
+
+
+def spherical_harmonics_basis(
+    lonlat_deg: jnp.ndarray, L: int, convention: str = "analytic"
+) -> jnp.ndarray:
+    """Real-SH basis of degree < L at (lon, lat) degree coordinates.
+
+    Vectorized evaluation: the normalized-Legendre recurrence runs over the
+    diagonal offset k = l - m with all orders m in parallel ([B, L] tensors),
+    followed by one gather + trig multiply to assemble the (l, m)-ordered
+    output.  Semantics identical to `spherical_harmonics_basis_looped`.
+
+    Args:
+      lonlat_deg: [B, 2] (lon, lat) in degrees.
+      L: number of Legendre degrees (output dim = L*L).
+      convention: 'analytic' or 'closed-form' (see module docstring).
+    Returns:
+      [B, L*L] basis matrix, stacked l = 0..L-1, m = -l..l
+      (matches `spherical_harmonics.py:34-42`).
+    """
+    if convention not in ("analytic", "closed-form"):
+        raise ValueError(f"unknown SH convention: {convention}")
+    dtype = lonlat_deg.dtype
+    d_np, e_np, a_np, b_np, gather, trig_sel, m_sel, scale = _sh_plan(L, convention)
+    lon = lonlat_deg[..., 0]
+    lat = lonlat_deg[..., 1]
+    phi = (lon + 180.0) * (math.pi / 180.0)
+    theta = (lat + 90.0) * (math.pi / 180.0)
+    x = jnp.cos(theta)[:, None]  # [B, 1]
+    s = jnp.sin(theta)[:, None]
+
+    d = jnp.asarray(d_np, dtype)
+    e = jnp.asarray(e_np, dtype)
+
+    # s^m via cumprod (avoids log(0) at the poles): [B, L]
+    s_pows = jnp.cumprod(jnp.concatenate([jnp.ones_like(s), jnp.tile(s, (1, L - 1))], 1), 1)
+    P0 = d * s_pows  # k=0 diagonal, all m
+    P1 = e * x * P0  # k=1 (last column m=L-1 is junk; never gathered)
+
+    rows = [P0, P1]
+    for k in range(2, L):
+        a_k = jnp.asarray(a_np[k], dtype)
+        b_k = jnp.asarray(b_np[k], dtype)
+        rows.append(a_k * (x * rows[-1] - b_k * rows[-2]))
+    P_flat = jnp.concatenate(rows, axis=-1)  # [B, K*L]
+
+    m_arr = jnp.arange(L, dtype=dtype)
+    ang = phi[:, None] * m_arr
+    cos_m = jnp.cos(ang)
+    sin_m = jnp.sin(ang)
+
+    Pg = jnp.take(P_flat, jnp.asarray(gather), axis=-1)  # [B, L*L]
+    cg = jnp.take(cos_m, jnp.asarray(m_sel), axis=-1)
+    sg = jnp.take(sin_m, jnp.asarray(m_sel), axis=-1)
+    tsel = jnp.asarray(trig_sel)
+    trig = jnp.where(tsel == 0, 1.0, jnp.where(tsel == 1, cg, sg)).astype(dtype)
+    return Pg * trig * jnp.asarray(scale, dtype)
 
 
 def sh_grid_table(L: int, n_lat: int = 181, n_lon: int = 361,

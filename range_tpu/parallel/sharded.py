@@ -1,0 +1,124 @@
+"""Bank-sharded retrieval: exact dual-softmax over a mesh.
+
+The reference handles bank scale by brute-force dense GEMMs on one GPU
+(`range/range.py:213,217,231,236`).  The TPU analogue of "a bigger GPU" is
+sharding the bank's rows across the mesh: each device computes the streaming
+online-softmax over its shard (ops/retrieval.py), then the per-shard partial
+states — (max, denominator, weighted numerator) — are combined **exactly**
+with the associative logsumexp merge.  The combine is three tiny collectives
+(`psum` of rescaled d and acc after a `pmax` of m) riding the ICI, so the
+result is bit-comparable to single-device math, not an approximation.
+
+Queries are replicated along the bank axis and can additionally be sharded
+along a data axis (each data row-group handles a slice of the batch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..bank.bank import GeoBank
+from ..ops import retrieval
+
+
+def shard_bank(bank: GeoBank, mesh: Mesh, axis: str = "bank") -> GeoBank:
+    """Place bank rows across `axis` (replicating n_valid).
+
+    Row padding must divide evenly by the axis size — GeoBank.from_arrays'
+    pad_to should be a multiple of (axis_size * chunk).
+    """
+    row_sharding = NamedSharding(mesh, P(axis, None))
+    scalar = NamedSharding(mesh, P())
+    return GeoBank(
+        locs_lonlat=jax.device_put(bank.locs_lonlat, row_sharding),
+        xyz=jax.device_put(bank.xyz, row_sharding),
+        keys_sem=jax.device_put(bank.keys_sem, row_sharding),
+        values=jax.device_put(bank.values, row_sharding),
+        n_valid=jax.device_put(bank.n_valid, scalar),
+    )
+
+
+def sharded_retrieve(
+    q_sem: jnp.ndarray,
+    q_xyz: Optional[jnp.ndarray],
+    bank: GeoBank,
+    mesh: Mesh,
+    *,
+    sem_temp: float = 12.0,
+    geo_temp: float = 40.0,
+    beta: float = 0.5,
+    mode: str = "range+",
+    chunk: int = 4096,
+    bank_axis: str = "bank",
+    data_axis: Optional[str] = None,
+    precision=None,
+) -> jnp.ndarray:
+    """Exact retrieval over a bank sharded along `bank_axis`.
+
+    If `data_axis` is given (2-D mesh), the query batch is additionally
+    sharded along it; output shards match the query sharding.
+    """
+    n_shards = mesh.shape[bank_axis]
+    rows_per_shard = bank.num_rows // n_shards
+    B = q_sem.shape[0]
+    Dv = bank.value_dim
+    want_geo = mode == "range+"
+
+    q_spec = P(data_axis, None) if data_axis else P()
+    bank_spec = GeoBank(
+        locs_lonlat=P(bank_axis, None),
+        xyz=P(bank_axis, None),
+        keys_sem=P(bank_axis, None),
+        values=P(bank_axis, None),
+        n_valid=P(),
+    )
+
+    def local(q_sem_l, q_xyz_l, bank_l):
+        # row-validity is global: shard i owns rows [i*rps, (i+1)*rps)
+        shard_idx = jax.lax.axis_index(bank_axis)
+        row0 = shard_idx * rows_per_shard
+        local_valid = jnp.clip(bank_l.n_valid - row0, 0, rows_per_shard)
+        bank_l = GeoBank(
+            locs_lonlat=bank_l.locs_lonlat,
+            xyz=bank_l.xyz,
+            keys_sem=bank_l.keys_sem,
+            values=bank_l.values,
+            n_valid=local_valid,
+        )
+
+        states = retrieval.partial_states(
+            q_sem_l, q_xyz_l, bank_l,
+            sem_temp=sem_temp, geo_temp=geo_temp, mode=mode, chunk=chunk,
+            precision=precision,
+        )
+
+        def combine(state):
+            m_all = jax.lax.pmax(state.m, bank_axis)
+            scale = jnp.exp(state.m - m_all)
+            d_all = jax.lax.psum(state.d * scale, bank_axis)
+            acc_all = jax.lax.psum(state.acc * scale[:, None], bank_axis)
+            return acc_all / d_all[:, None]
+
+        sem = combine(states[0])
+        if not want_geo:
+            return sem
+        geo = combine(states[1])
+        return beta * sem + (1.0 - beta) * geo
+
+    out_spec = P(data_axis, None) if data_axis else P()
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(q_spec, q_spec if want_geo else P(), bank_spec),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    if q_xyz is None:
+        q_xyz = jnp.zeros((B, 3), q_sem.dtype)
+    return fn(q_sem, q_xyz, bank)

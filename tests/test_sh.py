@@ -112,3 +112,13 @@ def test_discretized_interpolation_close():
     approx = np.asarray(sh_interpolate(table, jnp.asarray(lonlat, jnp.float64)))
     exact = np.asarray(spherical_harmonics_basis(jnp.asarray(lonlat, jnp.float64), L, "analytic"))
     np.testing.assert_allclose(approx, exact, atol=2e-3)
+
+
+def test_vectorized_matches_looped():
+    from range_tpu.ops.sh import spherical_harmonics_basis_looped
+
+    lonlat = _rand_lonlat(32, seed=7)
+    for conv in ("analytic", "closed-form"):
+        fast = np.asarray(spherical_harmonics_basis(jnp.asarray(lonlat, jnp.float64), 20, conv))
+        slow = np.asarray(spherical_harmonics_basis_looped(jnp.asarray(lonlat, jnp.float64), 20, conv))
+        np.testing.assert_allclose(fast, slow, rtol=1e-12, atol=1e-12)

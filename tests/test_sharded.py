@@ -1,0 +1,80 @@
+"""Sharded retrieval on a virtual 8-device CPU mesh: must equal single-device
+results exactly (the logsumexp+psum combine is exact, not approximate)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from range_tpu.bank.bank import GeoBank
+from range_tpu.geometry import lonlat_deg_to_xyz
+from range_tpu.ops import retrieval
+from range_tpu.parallel.mesh import make_mesh
+from range_tpu.parallel.sharded import shard_bank, sharded_retrieve
+
+
+def _setup(n=2000, b=16, dk=32, dv=64, seed=0, pad_to=1024):
+    rng = np.random.default_rng(seed)
+    locs = np.stack([rng.uniform(-180, 180, n), rng.uniform(-90, 90, n)], 1).astype(np.float32)
+    keys = rng.standard_normal((n, dk)).astype(np.float32)
+    values = rng.standard_normal((n, dv)).astype(np.float32)
+    bank = GeoBank.from_arrays(locs, keys, values, pad_to=pad_to)
+    q = rng.standard_normal((b, dk)).astype(np.float32)
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qlocs = np.stack([rng.uniform(-180, 180, b), rng.uniform(-90, 90, b)], 1).astype(np.float32)
+    q_xyz = np.asarray(lonlat_deg_to_xyz(jnp.asarray(qlocs)))
+    return bank, jnp.asarray(q), jnp.asarray(q_xyz)
+
+
+def test_8way_bank_shard_matches_single_device():
+    assert len(jax.devices()) == 8
+    bank, q, q_xyz = _setup()
+    expect = np.asarray(
+        retrieval.retrieve(q, q_xyz, bank, sem_temp=12.0, geo_temp=40.0,
+                           beta=0.5, mode="range+", chunk=256)
+    )
+    mesh = make_mesh((1, 8), ("data", "bank"))
+    sb = shard_bank(bank, mesh)
+    got = np.asarray(
+        sharded_retrieve(q, q_xyz, sb, mesh, sem_temp=12.0, geo_temp=40.0,
+                         beta=0.5, mode="range+", chunk=128)
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_2d_mesh_data_and_bank():
+    bank, q, q_xyz = _setup(n=1500, b=16, seed=1)
+    expect = np.asarray(
+        retrieval.retrieve(q, q_xyz, bank, sem_temp=12.0, geo_temp=40.0,
+                           beta=0.25, mode="range+", chunk=512)
+    )
+    mesh = make_mesh((4, 2), ("data", "bank"))
+    sb = shard_bank(bank, mesh)
+    got = np.asarray(
+        sharded_retrieve(q, q_xyz, sb, mesh, sem_temp=12.0, geo_temp=40.0,
+                         beta=0.25, mode="range+", chunk=256, data_axis="data")
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_range_mode():
+    bank, q, _ = _setup(n=1024, seed=2)
+    expect = np.asarray(retrieval.retrieve(q, None, bank, sem_temp=15.0, mode="range"))
+    mesh = make_mesh((1, 8), ("data", "bank"))
+    sb = shard_bank(bank, mesh)
+    got = np.asarray(
+        sharded_retrieve(q, None, sb, mesh, sem_temp=15.0, mode="range", chunk=128)
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_padding_entirely_on_last_shard():
+    """n chosen so some shards are fully padding — must not produce NaNs."""
+    bank, q, q_xyz = _setup(n=300, b=8, pad_to=1024, seed=3)  # shards 3..7 all pad
+    mesh = make_mesh((1, 8), ("data", "bank"))
+    sb = shard_bank(bank, mesh)
+    got = np.asarray(sharded_retrieve(q, q_xyz, sb, mesh, chunk=128))
+    expect = np.asarray(retrieval.retrieve(q, q_xyz, bank, sem_temp=12.0,
+                                           geo_temp=40.0, beta=0.5, chunk=128))
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)

@@ -39,9 +39,15 @@ def main():
     BANK_N = 100_000
     BATCH = 10_000
 
+    from range_tpu.bank.bank import GeoBank
+
+    # production serving config: bf16 values (weighted averaging smooths the
+    # value rounding to <1%), f32 bank keys, 'fast' kernel tier
+    bank = GeoBank.synthetic_device(0, BANK_N, pad_to=4096,
+                                    value_dtype=jnp.bfloat16)
     enc = range_tpu.load_model(
         "RANGE+",
-        db_path=f"synthetic:{BANK_N}",
+        db_path=bank,
         beta=0.5,
         chunk=4096,
         compute_dtype=jnp.float32,

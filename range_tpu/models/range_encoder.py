@@ -50,6 +50,9 @@ class RangeConfig:
     chunk: int = 4096
     compute_dtype: Any = jnp.float32
     use_pallas: Optional[bool] = None  # None => auto (TPU only)
+    # Pallas kernel logit precision: 'fast' (bf16 sem + hi/lo geo, default),
+    # 'high' (hi/lo both), 'exact' (true f32) — see ops/retrieval_pallas.py.
+    tier: str = "fast"
 
     def resolved_sem_temp(self) -> float:
         if self.sem_temp is not None:
@@ -73,23 +76,42 @@ class RangeEncoder:
 
     def apply(self, params, lonlat_deg: jnp.ndarray, *, bank: Optional[GeoBank] = None
               ) -> jnp.ndarray:
+        import jax
+
         cfg = self.config
         bank = self.bank if bank is None else bank
         q_sem = self.query_embedding(params, lonlat_deg).astype(jnp.float32)
         q_xyz = None
         if cfg.mode == "range+":
             q_xyz = lonlat_deg_to_xyz(lonlat_deg.astype(jnp.float32))
-        retrieved = retrieval.retrieve(
-            q_sem,
-            q_xyz,
-            bank,
-            sem_temp=cfg.resolved_sem_temp(),
-            geo_temp=cfg.geo_temp,
-            beta=cfg.beta,
-            mode=cfg.mode,
-            chunk=cfg.chunk,
-            compute_dtype=cfg.compute_dtype,
-        )
+        use_pallas = cfg.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from ..ops.retrieval_pallas import retrieve_pallas
+
+            retrieved = retrieve_pallas(
+                q_sem,
+                q_xyz,
+                bank,
+                sem_temp=cfg.resolved_sem_temp(),
+                geo_temp=cfg.geo_temp,
+                beta=cfg.beta,
+                mode=cfg.mode,
+                tier=cfg.tier,
+            )
+        else:
+            retrieved = retrieval.retrieve(
+                q_sem,
+                q_xyz,
+                bank,
+                sem_temp=cfg.resolved_sem_temp(),
+                geo_temp=cfg.geo_temp,
+                beta=cfg.beta,
+                mode=cfg.mode,
+                chunk=cfg.chunk,
+                compute_dtype=cfg.compute_dtype,
+            )
         return jnp.concatenate([retrieved, q_sem], axis=-1)
 
     def __call__(self, params, lonlat_deg, **kw):

@@ -109,7 +109,7 @@ def retrieve(
     mode: str = "range+",
     chunk: int = 4096,
     compute_dtype=jnp.float32,
-    precision: Optional[jax.lax.Precision] = None,
+    precision: Optional[jax.lax.Precision] = jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Streaming exact dual-softmax retrieval.
 
@@ -119,9 +119,11 @@ def retrieve(
       bank: GeoBank (row-padded; invalid rows are masked).
       mode: 'range' (semantic only, temp=sem_temp — range.py:102-105) or
             'range+' (blend, temps 12/40 — range.py:107-112).
-      precision: matmul precision for the similarity GEMMs.  On TPU the
-        default routes f32 operands through bf16 MXU passes (~1e-3 rel
-        error); pass jax.lax.Precision.HIGHEST for f32-exact logits.
+      precision: matmul precision for the similarity GEMMs.  Defaults to
+        HIGHEST: on TPU the backend default routes f32 operands through a
+        single bf16 MXU pass, and the geo temperature (40) amplifies that
+        into ~25% weight errors.  This streaming path is the correctness
+        reference; the fast path is the Pallas kernel (retrieval_pallas.py).
     Returns:
       [B, Dv] retrieved high-res features (f32).
     """
@@ -147,7 +149,7 @@ def partial_states(
     mode: str = "range+",
     chunk: int = 4096,
     compute_dtype=jnp.float32,
-    precision=None,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> Tuple[SoftmaxState, SoftmaxState]:
     """Streaming pass over the (local) bank returning un-finalized softmax
     states for the semantic and geo paths.  Used directly by `retrieve` and,

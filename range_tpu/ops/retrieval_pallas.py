@@ -1,0 +1,283 @@
+"""Fused Pallas TPU kernel for RANGE dual-softmax retrieval.
+
+Computes  out = beta * softmax(ts * q_sem K_semT) V
+            + (1-beta) * softmax(tg * q_xyz K_xyzT) V
+(`range/range.py:209-238`) in ONE streaming pass over bank tiles.
+
+Design notes (numbers from profiling on v5e):
+  * The transcendentals dominate: 2 exps per (query, bank-row) ~= 2e9 exps
+    per 10k x 100k call (~8 ms on the VPU) — so the kernel does exactly ONE
+    pass (a two-pass blended variant halves the value matmul but doubles the
+    exps; measured slower).
+  * No online max / logsumexp is needed: the logits are *bounded by the
+    temperatures* (|logit| <= temp for unit queries/keys, the reference's
+    contract — keys are L2-normalized at bank build, range.py:89), and
+    exp(40) ~ 2.4e17 sits comfortably inside f32 — so the kernel accumulates
+    *unnormalized* exp sums and divides once at the end.  Logits are clamped
+    at 60 as an overflow guard for out-of-contract inputs.
+  * The [B, N] logits matrix never exists in HBM.
+  * Precision tiers for the logit matmuls — the geo temperature (40) turns
+    bf16 input rounding into O(e^{40*eps}) ~ 30% weight errors, so:
+      'exact' — f32 operands, HIGHEST-precision passes (parity mode).
+      'high'  — DEFAULT: bf16 hi/lo split on queries AND keys with the 3
+                cross terms (qh kh + qh kl + ql kh): ~f32-accurate logits at
+                full bf16 MXU rate.
+      'fast'  — plain bf16 sem logits (~3% weight error at temp 12), hi/lo geo.
+    Values may independently be stored bf16 (the weighted average smooths
+    value rounding to <1%).
+
+Packed layout (built by `pack_queries` / `pack_bank`): columns [0:S) form the
+semantic logit when dotted, columns [S:D) the geo logit; temperatures are
+folded into the query side.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+CLAMP = 60.0  # exp(60) ~ 1.1e26, still far from f32 overflow even when summed
+
+
+def _split_hilo(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """f32 -> (bf16 hi, bf16 lo) with hi + lo ~= x to ~16 mantissa bits.
+
+    Uses lax.reduce_precision for the rounding: a plain
+    ``astype(bf16).astype(f32)`` round-trip is ELIDED by XLA under
+    allow-excess-precision, silently zeroing ``lo`` and degrading the split
+    to plain bf16."""
+    xr = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    hi = xr.astype(jnp.bfloat16)
+    lo = (x - xr).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def packed_dims(key_dim: int, tier: str) -> Tuple[int, int]:
+    """(sem_cols, total_cols) for a tier; total is 128-aligned."""
+    if tier in ("exact", "fast"):
+        sem = key_dim
+    elif tier == "high":
+        sem = 3 * key_dim
+    else:
+        raise ValueError(f"unknown precision tier {tier}")
+    # geo block: 9 hi/lo cross columns (3 for 'exact'), pad to 128-aligned
+    return sem, _round_up(sem + 9, 128)
+
+
+def pack_queries(q_sem, q_xyz, sem_temp: float, geo_temp: float,
+                 tier: str = "exact") -> jnp.ndarray:
+    """Packed query matrix; column semantics must match `pack_bank`."""
+    B = q_sem.shape[0]
+    qs = (sem_temp * q_sem).astype(jnp.float32)
+    g = (
+        (geo_temp * q_xyz).astype(jnp.float32)
+        if q_xyz is not None
+        else jnp.zeros((B, 3), jnp.float32)
+    )
+    sem_d, cat_d = packed_dims(q_sem.shape[1], tier)
+    if tier == "exact":
+        out = jnp.concatenate([qs, g], axis=1)
+        return jnp.pad(out, ((0, 0), (0, cat_d - out.shape[1])))
+    gh, gl = _split_hilo(g)
+    geo_cols = jnp.concatenate([gh, gh, gl], axis=1)  # pairs with [xh, xl, xh]
+    if tier == "high":
+        qh, ql = _split_hilo(qs)
+        sem_cols = jnp.concatenate([qh, qh, ql], axis=1)
+    else:  # fast
+        sem_cols = qs.astype(jnp.bfloat16)
+    out = jnp.concatenate([sem_cols, geo_cols], axis=1)
+    return jnp.pad(out, ((0, 0), (0, cat_d - out.shape[1]))).astype(jnp.bfloat16)
+
+
+def pack_bank(keys_sem, xyz, tier: str = "exact") -> jnp.ndarray:
+    k = keys_sem.astype(jnp.float32)
+    x = xyz.astype(jnp.float32)
+    sem_d, cat_d = packed_dims(keys_sem.shape[1], tier)
+    if tier == "exact":
+        out = jnp.concatenate([k, x], axis=1)
+        return jnp.pad(out, ((0, 0), (0, cat_d - out.shape[1])))
+    xh, xl = _split_hilo(x)
+    geo_cols = jnp.concatenate([xh, xl, xh], axis=1)
+    if tier == "high":
+        kh, kl = _split_hilo(k)
+        sem_cols = jnp.concatenate([kh, kl, kh], axis=1)
+    else:  # fast
+        sem_cols = k.astype(jnp.bfloat16)
+    out = jnp.concatenate([sem_cols, geo_cols], axis=1)
+    return jnp.pad(out, ((0, 0), (0, cat_d - out.shape[1]))).astype(jnp.bfloat16)
+
+
+def _fused_kernel(sem_d, beta_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
+                  acc_ref, ds_ref, dg_ref):
+    """Grid (iB, jN), j inner ('arbitrary').  Unnormalized single pass: per
+    tile, exp both logit families (bounded, no max tracking needed), fold
+    each family's unnormalized weighted sum into its half of one [bm, 2*Dv]
+    accumulator, and blend after the final per-family division.  The two
+    families need separate normalizers, so the two value matmuls cannot be
+    merged — but in the exp-bound regime this single pass still beats a
+    stats+apply two-pass design (half the exps)."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        ds_ref[:] = jnp.zeros_like(ds_ref)
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+
+    q = q_ref[:]
+    k = k_ref[:]
+    mask = mask_ref[:]  # [1, bn]
+    beta = beta_ref[0]
+
+    # f32 operands ('exact' tier) need HIGHEST or Mosaic silently runs a
+    # single bf16 MXU pass; bf16 operands must NOT get the fp32 hint
+    # (Mosaic rejects it with "Bad lhs type").
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    s_logits = (
+        jnp.dot(q[:, :sem_d], k[:, :sem_d].T, preferred_element_type=jnp.float32,
+                precision=prec)
+        + mask
+    )
+    g_logits = (
+        jnp.dot(q[:, sem_d:], k[:, sem_d:].T, preferred_element_type=jnp.float32,
+                precision=prec)
+        + mask
+    )
+    p_s = jnp.exp(jnp.minimum(s_logits, CLAMP))
+    p_g = jnp.exp(jnp.minimum(g_logits, CLAMP))
+    ds_ref[:] += jnp.sum(p_s, axis=-1, keepdims=True)
+    dg_ref[:] += jnp.sum(p_g, axis=-1, keepdims=True)
+    Dv = v_ref.shape[1]
+    v = v_ref[:]
+    vprec = jax.lax.Precision.HIGHEST if v.dtype == jnp.float32 else None
+    acc_ref[:, :Dv] += jnp.dot(p_s.astype(v.dtype), v,
+                               preferred_element_type=jnp.float32,
+                               precision=vprec)
+    acc_ref[:, Dv:] += jnp.dot(p_g.astype(v.dtype), v,
+                               preferred_element_type=jnp.float32,
+                               precision=vprec)
+
+    @pl.when(j == nj - 1)
+    def _():
+        sem = acc_ref[:, :Dv] / jnp.maximum(ds_ref[:], 1e-30)
+        geo = acc_ref[:, Dv:] / jnp.maximum(dg_ref[:], 1e-30)
+        out_ref[:] = beta * sem + (1.0 - beta) * geo
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sem_d", "bm", "bn", "interpret")
+)
+def retrieve_fused(
+    q_cat: jnp.ndarray,
+    k_cat: jnp.ndarray,
+    values: jnp.ndarray,
+    mask_neg: jnp.ndarray,
+    beta: jnp.ndarray,
+    *,
+    sem_d: int,
+    bm: int = 256,
+    bn: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused single-pass retrieval over packed operands.
+
+    Args:
+      q_cat: [B, D] packed queries (pack_queries).
+      k_cat: [N, D] packed keys (pack_bank); N must be a multiple of bn.
+      values: [N, Dv].
+      mask_neg: [1, N] additive logits mask (0 valid / -1e30 pad).
+      beta: scalar f32 blend weight (beta=1 => pure semantic path = RANGE).
+      sem_d: column split between the semantic and geo logit groups.
+    Returns: [B, Dv] f32.
+    """
+    B, cat_d = q_cat.shape
+    N, Dv = values.shape
+    assert k_cat.shape == (N, cat_d), (k_cat.shape, cat_d)
+    Bp = _round_up(B, bm)
+    if Bp != B:
+        q_cat = jnp.pad(q_cat, ((0, Bp - B), (0, 0)))
+    assert N % bn == 0, (N, bn)
+    grid = (Bp // bm, N // bn)
+
+    q_spec = pl.BlockSpec((bm, cat_d), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((bn, cat_d), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, sem_d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # beta [1]
+            q_spec,
+            k_spec,
+            pl.BlockSpec((bn, Dv), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            m_spec,
+        ],
+        out_specs=pl.BlockSpec((bm, Dv), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Dv), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bm, 2 * Dv), jnp.float32),
+            pltpu.VMEM((bm, 1), jnp.float32),
+            pltpu.VMEM((bm, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * N * (cat_d + 2 * Dv),
+            bytes_accessed=N * (cat_d + Dv) * values.dtype.itemsize
+            + Bp * (cat_d + Dv) * 4,
+            transcendentals=2 * Bp * N,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([beta], jnp.float32).reshape(1), q_cat, k_cat, values, mask_neg)
+
+    return out[:B]
+
+
+def _pick_bn(bn: int, bm: int, cat_d: int, Dv: int, k_item: int, v_item: int,
+             n_rows: int, budget: int = 11 * 2**20) -> int:
+    """Largest bn <= requested that fits the VMEM budget (double-buffered
+    k/v blocks + accumulator + logit temporaries) and divides n_rows."""
+    while bn > 128:
+        need = (
+            2 * bn * (cat_d * k_item + Dv * v_item)  # double-buffered inputs
+            + bm * (2 * Dv + 2) * 4                  # accumulator + denominators
+            + bm * cat_d * k_item                    # query block
+            + 2 * bm * bn * 4                        # p_s / p_g tiles
+        )
+        if need <= budget and n_rows % bn == 0:
+            return bn
+        bn //= 2
+    return bn
+
+
+def retrieve_pallas(q_sem, q_xyz, bank, *, sem_temp=12.0, geo_temp=40.0,
+                    beta=0.5, mode="range+", tier: str = "fast",
+                    bm: int = 256, bn: int = 1024,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Drop-in fused equivalent of `ops.retrieval.retrieve` (same semantics;
+    see module docstring for the precision tiers)."""
+    if mode == "range":
+        beta = 1.0
+        q_xyz = None
+    q_cat = pack_queries(q_sem, q_xyz, sem_temp, geo_temp, tier=tier)
+    k_cat = pack_bank(bank.keys_sem, bank.xyz, tier=tier)
+    sem_d, cat_d = packed_dims(bank.keys_sem.shape[1], tier)
+    mask_neg = (NEG * (1.0 - bank.row_mask()))[None, :].astype(jnp.float32)
+    bn = _pick_bn(bn, bm, cat_d, bank.value_dim, k_cat.dtype.itemsize,
+                  bank.values.dtype.itemsize, bank.num_rows)
+    return retrieve_fused(q_cat, k_cat, bank.values, mask_neg,
+                          jnp.float32(beta), sem_d=sem_d, bm=bm, bn=bn,
+                          interpret=interpret)

@@ -1,0 +1,108 @@
+"""Fused Pallas retrieval kernel vs the streaming jnp reference — interpret
+mode on CPU (the compiled kernel is exercised on real TPU by bench.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from range_tpu.bank.bank import GeoBank
+from range_tpu.geometry import lonlat_deg_to_xyz
+from range_tpu.ops import retrieval
+from range_tpu.ops.retrieval_pallas import retrieve_pallas
+
+
+def _setup(n=1024, b=24, dv=64, seed=0, pad_to=512):
+    rng = np.random.default_rng(seed)
+    locs = np.stack([rng.uniform(-180, 180, n), rng.uniform(-90, 90, n)], 1).astype(np.float32)
+    keys = rng.standard_normal((n, 256)).astype(np.float32)
+    values = rng.standard_normal((n, dv)).astype(np.float32)
+    bank = GeoBank.from_arrays(locs, keys, values, pad_to=pad_to)
+    q = rng.standard_normal((b, 256)).astype(np.float32)
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qlocs = np.stack([rng.uniform(-180, 180, b), rng.uniform(-90, 90, b)], 1).astype(np.float32)
+    q_xyz = np.asarray(lonlat_deg_to_xyz(jnp.asarray(qlocs)))
+    return bank, jnp.asarray(q), jnp.asarray(q_xyz)
+
+
+def test_fused_matches_reference_range_plus():
+    bank, q, q_xyz = _setup()
+    expect = np.asarray(
+        retrieval.retrieve(q, q_xyz, bank, sem_temp=12.0, geo_temp=40.0,
+                           beta=0.5, mode="range+", chunk=256)
+    )
+    exact = np.asarray(
+        retrieve_pallas(q, q_xyz, bank, sem_temp=12.0, geo_temp=40.0, beta=0.5,
+                        mode="range+", tier="exact", bm=16, bn=256, interpret=True)
+    )
+    np.testing.assert_allclose(exact, expect, rtol=2e-5, atol=2e-6)
+    high = np.asarray(
+        retrieve_pallas(q, q_xyz, bank, sem_temp=12.0, geo_temp=40.0, beta=0.5,
+                        mode="range+", tier="high", bm=16, bn=256, interpret=True)
+    )
+    np.testing.assert_allclose(high, expect, rtol=1e-3, atol=2e-4)
+    fast = np.asarray(
+        retrieve_pallas(q, q_xyz, bank, sem_temp=12.0, geo_temp=40.0, beta=0.5,
+                        mode="range+", tier="fast", bm=16, bn=256, interpret=True)
+    )
+    np.testing.assert_allclose(fast, expect, rtol=1e-1, atol=5e-2)
+
+
+def test_fused_matches_reference_range():
+    bank, q, _ = _setup(seed=1)
+    expect = np.asarray(
+        retrieval.retrieve(q, None, bank, sem_temp=15.0, mode="range", chunk=256)
+    )
+    high = np.asarray(
+        retrieve_pallas(q, None, bank, sem_temp=15.0, mode="range",
+                        tier="high", bm=16, bn=256, interpret=True)
+    )
+    np.testing.assert_allclose(high, expect, rtol=1e-3, atol=2e-4)
+    fast = np.asarray(
+        retrieve_pallas(q, None, bank, sem_temp=15.0, mode="range",
+                        tier="fast", bm=16, bn=256, interpret=True)
+    )
+    # bf16 sem logits: ~15*2^-8 ~ 0.06 logit error -> few-% weight error
+    np.testing.assert_allclose(fast, expect, rtol=5e-2, atol=2e-2)
+
+
+def test_fused_masks_padding():
+    bank, q, q_xyz = _setup(n=700, pad_to=512, seed=2)  # 324 pad rows
+    expect = np.asarray(retrieval.retrieve(q, q_xyz, bank, sem_temp=12.0,
+                                           geo_temp=40.0, beta=0.3, chunk=256))
+    got = np.asarray(
+        retrieve_pallas(q, q_xyz, bank, sem_temp=12.0, geo_temp=40.0, beta=0.3,
+                        bm=16, bn=256, interpret=True)
+    )
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, expect, rtol=1e-3, atol=2e-4)
+
+
+def test_fused_batch_not_multiple_of_bm():
+    bank, q, q_xyz = _setup(b=19, seed=3)
+    expect = np.asarray(retrieval.retrieve(q, q_xyz, bank, sem_temp=12.0,
+                                           geo_temp=40.0, beta=0.5, chunk=256))
+    got = np.asarray(
+        retrieve_pallas(q, q_xyz, bank, bm=16, bn=256, interpret=True)
+    )
+    assert got.shape == expect.shape == (19, 64)
+    np.testing.assert_allclose(got, expect, rtol=1e-3, atol=2e-4)
+
+
+def test_fused_bf16_values_close():
+    """bf16 VALUES (the production config): logits stay f32 inside the
+    kernel, so errors are bounded by value rounding (~1%)."""
+    bank, q, q_xyz = _setup(seed=4)
+    bank16 = GeoBank(
+        locs_lonlat=bank.locs_lonlat,
+        xyz=bank.xyz,
+        keys_sem=bank.keys_sem,
+        values=bank.values.astype(jnp.bfloat16),
+        n_valid=bank.n_valid,
+    )
+    expect = np.asarray(retrieval.retrieve(q, q_xyz, bank, sem_temp=12.0,
+                                           geo_temp=40.0, beta=0.5, chunk=256))
+    got = np.asarray(
+        retrieve_pallas(q, q_xyz, bank16, bm=16, bn=256, interpret=True)
+    )
+    err = np.abs(got - expect) / np.maximum(np.abs(expect), 1e-1)
+    assert err.max() < 0.02, err.max()

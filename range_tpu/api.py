@@ -160,6 +160,74 @@ def _wrap(**kw):
     return GeoEncoder("Wrap", lambda p, c, e: pe(c), None, pe.embedding_dim)
 
 
+@register("GeoCLIP")
+def _geoclip(pretrained_path=None, dtype=jnp.float32, seed: int = 0, **kw):
+    # input flipped to (lat, lon) before the model, as range.py:248
+    from .models.geoclip import GeoClipLocationEncoder, geoclip_params_from_state_dict
+
+    enc = GeoClipLocationEncoder()
+    if pretrained_path:
+        from .convert.torch_zip import load_torch_checkpoint
+
+        sd = load_torch_checkpoint(pretrained_path)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        params = geoclip_params_from_state_dict(sd, dtype)
+    else:
+        params = enc.init(jax.random.PRNGKey(seed), dtype=dtype)
+    return GeoEncoder("GeoCLIP", lambda p, c, e: enc.apply(p, c[:, [1, 0]]),
+                      params, enc.embedding_dim, model=enc)
+
+
+@register("TaxaBind")
+def _taxabind(pretrained_path=None, dtype=jnp.float32, seed: int = 1, **kw):
+    # GeoCLIP architecture with a patched checkpoint (range.py:133-138), same
+    # (lat, lon) flip (range.py:258-260)
+    g = _geoclip(pretrained_path=pretrained_path, dtype=dtype, seed=seed, **kw)
+    return GeoEncoder("TaxaBind", g._apply3, g.params, g.embedding_dim, model=g.model)
+
+
+def _csp(name: str, pretrained_path, dtype, seed, **kw):
+    from .models.csp import CspConfig, CspLocationEncoder, load_csp
+
+    if pretrained_path:
+        enc, params = load_csp(pretrained_path, dtype=dtype)
+    else:
+        enc = CspLocationEncoder(CspConfig())
+        params = enc.init(jax.random.PRNGKey(seed), dtype=dtype)
+    # forward(coords, return_feats=True), raw degrees (range.py:251-252)
+    return GeoEncoder(name, lambda p, c, e: enc.apply(p, c, return_feats=True),
+                      params, enc.embedding_dim, model=enc)
+
+
+@register("CSP")
+def _csp_fmow(pretrained_path=None, dtype=jnp.float32, seed: int = 2, **kw):
+    return _csp("CSP", pretrained_path, dtype, seed, **kw)
+
+
+@register("CSP_INat")
+def _csp_inat(pretrained_path=None, dtype=jnp.float32, seed: int = 3, **kw):
+    return _csp("CSP_INat", pretrained_path, dtype, seed, **kw)
+
+
+@register("SINR")
+def _sinr(pretrained_path=None, dtype=jnp.float32, seed: int = 4, **kw):
+    from .models.sinr import SinrLocationEncoder, sinr_params_from_state_dict
+
+    enc = SinrLocationEncoder()
+    if pretrained_path:
+        from .convert.torch_zip import load_torch_checkpoint
+
+        sd = load_torch_checkpoint(pretrained_path)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        params = sinr_params_from_state_dict(sd, dtype)
+    else:
+        params = enc.init(jax.random.PRNGKey(seed), dtype=dtype)
+    return GeoEncoder("SINR", lambda p, c, e: enc.apply(p, c), params,
+                      enc.embedding_dim, model=enc)
+
+
 # sphere2vec presets: frequency_num/min_radius from the reference tuned
 # hyperparameter database (`sphere2vec/hparams.yaml`, inat2018 *-linear rows,
 # read by `get_sphere2vec`, sphere2vec.py:250-276).  Note the reference passes

@@ -1,0 +1,186 @@
+"""Encoder zoo: CSP parity vs the reference torch stack, GeoCLIP/SINR shapes
+and converter round-trips, registry coverage of all reference names."""
+
+import importlib.util
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+import range_tpu
+from range_tpu.models.csp import (CspConfig, CspLocationEncoder,
+                                  csp_params_from_state_dict)
+
+
+def _coords(n=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.stack([rng.uniform(-180, 180, n), rng.uniform(-90, 90, n)], 1)
+
+
+def _load_ref_csp():
+    """Import the reference CSP modules (module.py, SpatialRelationEncoder,
+    models.py) with stubs for their heavyweight deps."""
+    if "refcsp.models" in sys.modules:
+        return sys.modules["refcsp.models"]
+    base = "/root/reference/range/location_models/csp/main"
+    pkg = types.ModuleType("refcsp")
+    pkg.__path__ = [base]
+    sys.modules["refcsp"] = pkg
+
+    def load(name):
+        spec = importlib.util.spec_from_file_location(f"refcsp.{name}", f"{base}/{name}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refcsp.{name}"] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("data_utils")
+    load("module")
+    # SpatialRelationEncoder imports `from module import ...` (flat imports);
+    # alias them
+    sys.modules["module"] = sys.modules["refcsp.module"]
+    sys.modules["data_utils"] = sys.modules["refcsp.data_utils"]
+    load("SpatialRelationEncoder")
+    sys.modules["SpatialRelationEncoder"] = sys.modules["refcsp.SpatialRelationEncoder"]
+    return load("models")
+
+
+def test_csp_gridcell_parity():
+    """Same weights => same features as the reference torch CSP path."""
+    ref_models = _load_ref_csp()
+    ref_sre = sys.modules["refcsp.SpatialRelationEncoder"]
+    ref_module = sys.modules["refcsp.module"]
+
+    torch.manual_seed(0)
+    cfg = CspConfig(spa_enc_type="gridcell", num_filts=64, num_classes=10,
+                    frequency_num=8, max_radius=360.0, min_radius=0.1,
+                    spa_f_act="gelu", num_hidden_layer=1, hidden_dim=128,
+                    use_layn=True, skip_connection=True, dropout=0.5)
+    ffn = ref_module.MultiLayerFeedForwardNN(
+        input_dim=32, output_dim=64, num_hidden_layers=1, dropout_rate=0.5,
+        hidden_dim=128, activation="gelu", use_layernormalize=True,
+        skip_connection=True)
+    spa = ref_sre.GridCellSpatialRelationEncoder(
+        64, coord_dim=2, frequency_num=8, max_radius=360.0, min_radius=0.1,
+        ffn=ffn, device="cpu")
+    # NB: the reference PE hard-casts to torch.FloatTensor (f32) regardless
+    # of model dtype (SpatialRelationEncoder.py:186), so parity is at f32.
+    ref = ref_models.LocationEncoder(spa_enc=spa, num_inputs=2, num_classes=10,
+                                     num_filts=64).eval()
+    sd = {f"loc_enc.{k}": v.numpy() for k, v in ref.state_dict().items()}
+    params = csp_params_from_state_dict(sd, cfg, jnp.float32)
+    ours = CspLocationEncoder(cfg)
+
+    coords = _coords(16)
+    with torch.no_grad():
+        expect = ref(torch.tensor(coords, dtype=torch.float32), return_feats=True).numpy()
+    got = np.asarray(ours.apply(params, jnp.asarray(coords, jnp.float32)))
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-5)
+
+
+def test_csp_theory_parity():
+    ref_models = _load_ref_csp()
+    ref_sre = sys.modules["refcsp.SpatialRelationEncoder"]
+    ref_module = sys.modules["refcsp.module"]
+
+    torch.manual_seed(1)
+    cfg = CspConfig(spa_enc_type="theory", num_filts=32, num_classes=5,
+                    frequency_num=8, max_radius=360.0, min_radius=0.1,
+                    spa_f_act="relu", num_hidden_layer=1, hidden_dim=64,
+                    use_layn=False, skip_connection=False)
+    ffn = ref_module.MultiLayerFeedForwardNN(
+        input_dim=48, output_dim=32, num_hidden_layers=1, dropout_rate=0.5,
+        hidden_dim=64, activation="relu")
+    spa = ref_sre.TheoryGridCellSpatialRelationEncoder(
+        32, coord_dim=2, frequency_num=8, max_radius=360.0, min_radius=0.1,
+        ffn=ffn, device="cpu")
+    ref = ref_models.LocationEncoder(spa_enc=spa, num_inputs=2, num_classes=5,
+                                     num_filts=32).eval()
+    sd = {f"loc_enc.{k}": v.numpy() for k, v in ref.state_dict().items()}
+    params = csp_params_from_state_dict(sd, cfg, jnp.float32)
+    ours = CspLocationEncoder(cfg)
+    coords = _coords(16, seed=1)
+    with torch.no_grad():
+        expect = ref(torch.tensor(coords, dtype=torch.float32), return_feats=True).numpy()
+    got = np.asarray(ours.apply(params, jnp.asarray(coords, jnp.float32)))
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-5)
+
+
+def test_csp_checkpoint_roundtrip(tmp_path):
+    """Write a reference-format .pth.tar and load through our torch-free
+    loader (load_csp.py contract: {'params', 'state_dict'})."""
+    ref_models = _load_ref_csp()
+    ref_sre = sys.modules["refcsp.SpatialRelationEncoder"]
+    ref_module = sys.modules["refcsp.module"]
+    torch.manual_seed(2)
+    ffn = ref_module.MultiLayerFeedForwardNN(
+        input_dim=32, output_dim=64, num_hidden_layers=1, dropout_rate=0.5,
+        hidden_dim=128, activation="gelu", use_layernormalize=True,
+        skip_connection=True)
+    spa = ref_sre.GridCellSpatialRelationEncoder(
+        64, coord_dim=2, frequency_num=8, max_radius=360.0, min_radius=0.1,
+        ffn=ffn, device="cpu")
+    loc_enc = ref_models.LocationEncoder(spa_enc=spa, num_inputs=2,
+                                         num_classes=10, num_filts=64).eval()
+    model = ref_models.LocationImageEncoder(
+        loc_enc=loc_enc, train_loss="full_loss", unsuper_loss="contsoftmax",
+        cnn_feat_dim=128, spa_enc_type="gridcell").eval()
+    params = dict(spa_enc_type="gridcell", num_loc_feats=2, num_classes=10,
+                  num_filts=64, num_users=1, device="cpu", frequency_num=8,
+                  max_radius=360.0, min_radius=0.1, freq_init="geometric",
+                  spa_f_act="gelu", num_hidden_layer=1, hidden_dim=128,
+                  use_layn=True, skip_connection=True, dropout=0.5,
+                  map_range=(-180, 180, -90, 90), train_loss="full_loss",
+                  unsuper_loss="contsoftmax", cnn_feat_dim=128)
+    path = str(tmp_path / "csp_test.pth.tar")
+    torch.save({"params": params, "state_dict": model.state_dict()}, path)
+
+    from range_tpu.models.csp import load_csp
+
+    enc, jparams = load_csp(path)
+    coords = _coords(8, seed=2)
+    with torch.no_grad():
+        expect = model(torch.tensor(coords, dtype=torch.float32),
+                       return_feats=True).numpy()
+    got = np.asarray(enc.apply(jparams, jnp.asarray(coords, jnp.float32)))
+    np.testing.assert_allclose(got, expect, rtol=2e-5, atol=2e-5)
+
+
+def test_geoclip_shapes_and_registry():
+    enc = range_tpu.load_model("GeoCLIP")
+    out = enc(_coords(8))
+    assert out.shape == (8, 512)
+    assert np.all(np.isfinite(np.asarray(out)))
+    tb = range_tpu.load_model("TaxaBind")
+    assert tb.embedding_dim == 512
+
+
+def test_geoclip_equal_earth_sanity():
+    from range_tpu.models.geoclip import equal_earth_projection
+
+    pts = jnp.asarray([[0.0, 0.0], [45.0, 90.0], [-60.0, -120.0]])
+    xy = np.asarray(equal_earth_projection(pts))
+    assert np.all(np.isfinite(xy))
+    np.testing.assert_allclose(xy[0], [0.0, 0.0], atol=1e-5)  # origin maps to origin
+
+
+def test_sinr_shapes():
+    enc = range_tpu.load_model("SINR")
+    out = enc(_coords(8, seed=3))
+    assert out.shape == (8, 256)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_full_reference_name_coverage():
+    """Every encoder family the reference dispatcher supports
+    (range.py:76-197) resolves in our registry."""
+    names = range_tpu.list_models()
+    for required in ["RANGE", "RANGE+", "SatCLIP", "GeoCLIP", "TaxaBind", "CSP",
+                     "CSP_INat", "SINR", "Direct", "Cartesian_3D", "Theory",
+                     "Wrap", "s2vec_spherem", "s2vec_spherec",
+                     "s2vec_spheremplus", "s2vec_spherecplus", "s2vec_grid"]:
+        assert required in names, required

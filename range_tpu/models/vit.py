@@ -41,6 +41,8 @@ class ViTConfig:
     output_dim: int = 256
     pool: str = "cls_proj"  # 'cls_proj' (CLIP) | 'mean' (SatMAE-style)
     quick_gelu: bool = True  # reference uses QuickGELU (model_old.py:172-174)
+    use_ln_pre: bool = True  # CLIP pre-LN; MAE-style encoders skip it
+    patch_bias: bool = False  # CLIP patch conv is bias-free; MAE has bias
 
     @property
     def grid(self) -> int:
@@ -93,17 +95,19 @@ def init_vit(rng, cfg: ViTConfig, dtype=jnp.float32) -> Params:
                 "mlp": {"fc": lin(k[2], w, 4 * w), "proj": lin(k[3], 4 * w, w)},
             }
         )
+    patch = {"w": jax.random.normal(keys[0], (patch_dim, w), dtype) * scale}
+    if cfg.patch_bias:
+        patch["b"] = jnp.zeros((w,), dtype)
     params = {
-        "patch": {
-            "w": jax.random.normal(keys[0], (patch_dim, w), dtype) * scale
-        },  # conv, bias-free (model_old.py:217)
+        "patch": patch,  # conv, bias-free for CLIP (model_old.py:217)
         "class_embedding": jax.random.normal(keys[1], (w,), dtype) * scale,
         "positional_embedding": jax.random.normal(keys[2], (cfg.tokens + 1, w), dtype)
         * scale,
-        "ln_pre": {"g": jnp.ones((w,), dtype), "b": jnp.zeros((w,), dtype)},
         "blocks": blocks,
         "ln_post": {"g": jnp.ones((w,), dtype), "b": jnp.zeros((w,), dtype)},
     }
+    if cfg.use_ln_pre:
+        params["ln_pre"] = {"g": jnp.ones((w,), dtype), "b": jnp.zeros((w,), dtype)}
     if cfg.pool == "cls_proj":
         params["proj"] = jax.random.normal(keys[3], (w, cfg.output_dim), dtype) * scale
     return params
@@ -145,12 +149,15 @@ def apply_vit(params: Params, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     """Forward.  x: [B, C, H, W] (torch layout, matching the reference data
     pipeline).  Returns [B, output_dim] ('cls_proj') or [B, width] ('mean')."""
     tokens = _patchify(x, cfg) @ params["patch"]["w"]  # [B, T, W]
+    if "b" in params["patch"]:
+        tokens = tokens + params["patch"]["b"]
     B = tokens.shape[0]
     cls = jnp.broadcast_to(
         params["class_embedding"][None, None, :], (B, 1, cfg.width)
     ).astype(tokens.dtype)
     h = jnp.concatenate([cls, tokens], axis=1) + params["positional_embedding"]
-    h = _ln(h, params["ln_pre"])
+    if cfg.use_ln_pre:
+        h = _ln(h, params["ln_pre"])
     for blk in params["blocks"]:
         h = h + _attention(_ln(h, blk["ln1"]), blk["attn"], cfg.heads)
         m = _ln(h, blk["ln2"])

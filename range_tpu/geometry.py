@@ -96,6 +96,22 @@ def angular_similarity(x_xyz: jnp.ndarray, y_xyz: jnp.ndarray) -> jnp.ndarray:
     return x_xyz @ y_xyz.T
 
 
+def sample_gaussian_tensors(rng, mu: jnp.ndarray, logsigma: jnp.ndarray,
+                            num_samples: int) -> jnp.ndarray:
+    """mu + eps * exp(logsigma), eps ~ N(0, 1): [B, S, D].
+    Mirrors `range/utils/utils.py:5-8` with an explicit jax PRNG."""
+    import jax
+
+    eps = jax.random.normal(rng, (mu.shape[0], num_samples, mu.shape[1]), mu.dtype)
+    return eps * jnp.exp(logsigma[:, None, :]) + mu[:, None, :]
+
+
+def shifted_sigmoid(a: jnp.ndarray, inflection_point: float = 15.0) -> jnp.ndarray:
+    """1 - sigmoid(a - inflection): distance-decay weight that crosses 0.5 at
+    the inflection point.  Mirrors `range/utils/utils.py:18-24`."""
+    return 1.0 / (1.0 + jnp.exp(a - inflection_point))
+
+
 def fibonacci_lattice(n: int, n_classes: int = 16):
     """Fibonacci lattice over the sphere with cyclic class labels.
 

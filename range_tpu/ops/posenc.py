@@ -256,6 +256,46 @@ class DiscretizedSphericalHarmonics(PosEnc):
         return sh_interpolate(self.table, lonlat_deg)
 
 
+class WeightedSphericalHarmonics:
+    """Learnable-coefficient spherical harmonics: a trainable (L, M, E)
+    tensor contracted against the SH basis.
+
+    Counterpart of `spherical_harmonics_weighted.py:9-61` (not wired into the
+    reference factory either — kept for completeness).  The reference loops
+    per-(l, m) accumulating `SH(m,l) * coeff`; here it is one [B, L*L] basis
+    matmul against the unfolded coefficient matrix, so it rides the MXU.
+    """
+
+    def __init__(self, legendre_polys: int = 10, embedding_dim: int = 16,
+                 convention: str = "analytic"):
+        self.L = int(legendre_polys)
+        self.embedding_dim = int(embedding_dim)
+        self.convention = convention
+        # column j of the basis is (l_j, m_j); coeff row index mirrors
+        # `get_coeffs` (weighted file :40-48): m>0 -> weight[l, m],
+        # m<0 -> weight[-l, m] (negative indexing!), m=0 -> weight[l, 0]
+        idx = []
+        for l in range(self.L):
+            for m in range(-l, l + 1):
+                if m >= 0:
+                    idx.append(l * self.L + m)
+                else:
+                    idx.append(((-l) % self.L) * self.L + (m % self.L))
+        self._flat_idx = np.asarray(idx)
+
+    def init(self, rng, dtype=jnp.float32):
+        import jax
+
+        return {"weight": 0.33 * jax.random.normal(
+            rng, (self.L, self.L, self.embedding_dim), dtype)}
+
+    def apply(self, params, lonlat_deg):
+        basis = spherical_harmonics_basis(lonlat_deg, self.L, self.convention)
+        flat = params["weight"].reshape(self.L * self.L, self.embedding_dim)
+        coeffs = flat[jnp.asarray(self._flat_idx)]  # [L*L, E]
+        return basis @ coeffs
+
+
 def get_positional_encoding(
     name: str,
     legendre_polys: int = 10,

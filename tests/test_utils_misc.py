@@ -1,0 +1,103 @@
+"""Smaller subsystems: weighted SH, geometry extras, top-k/recall, meters,
+checkpointing, land-cover probe."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from range_tpu import geometry
+from range_tpu.bank.bank import GeoBank
+from range_tpu.eval.landcover import LC_PALETTE, LCProb
+from range_tpu.ops import retrieval
+from range_tpu.ops.posenc import WeightedSphericalHarmonics
+from range_tpu.ops.topk import recall_at_k, topk_sem
+from range_tpu.utils.checkpoint import load_msgpack, save_msgpack
+from range_tpu.utils.metrics import AverageMeter
+
+
+def test_weighted_sh_matches_manual_contraction():
+    L, E = 5, 8
+    wsh = WeightedSphericalHarmonics(L, E, convention="closed-form")
+    params = wsh.init(jax.random.PRNGKey(0), dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    lonlat = jnp.asarray(
+        np.stack([rng.uniform(-180, 180, 16), rng.uniform(-90, 90, 16)], 1),
+        jnp.float64)
+    out = np.asarray(wsh.apply(params, lonlat))
+    assert out.shape == (16, E)
+    # manual: sum over (l, m) of basis * coeff with the reference's
+    # get_coeffs indexing (weight[l, m] for m>=0, weight[-l, m] negative idx)
+    from range_tpu.ops.sh import spherical_harmonics_basis
+
+    basis = np.asarray(spherical_harmonics_basis(lonlat, L, "closed-form"))
+    w = np.asarray(params["weight"])
+    expect = np.zeros((16, E))
+    j = 0
+    for l in range(L):
+        for m in range(-l, l + 1):
+            c = w[l, m] if m >= 0 else w[-l % L, m % L]
+            expect += basis[:, j:j + 1] * c[None, :]
+            j += 1
+    np.testing.assert_allclose(out, expect, rtol=1e-10)
+
+
+def test_sample_gaussian_tensors():
+    mu = jnp.zeros((4, 3))
+    logsigma = jnp.log(jnp.full((4, 3), 2.0))
+    s = geometry.sample_gaussian_tensors(jax.random.PRNGKey(0), mu, logsigma, 2000)
+    assert s.shape == (4, 2000, 3)
+    assert abs(float(jnp.std(s)) - 2.0) < 0.1
+
+
+def test_shifted_sigmoid():
+    v = np.asarray(geometry.shifted_sigmoid(jnp.asarray([0.0, 15.0, 30.0])))
+    np.testing.assert_allclose(v[1], 0.5, atol=1e-6)
+    assert v[0] > 0.99 and v[2] < 0.01
+
+
+def test_topk_and_recall():
+    bank = GeoBank.synthetic(0, 700, key_dim=32, value_dim=16, pad_to=256)
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((40, 32)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q = jnp.asarray(q)
+    vals, idx = topk_sem(q, bank, k=5, chunk=256)
+    true = retrieval.exact_nn(q, bank, chunk=256)
+    assert recall_at_k(idx, true) == 1.0
+    # top-1 equals exact argmax
+    np.testing.assert_array_equal(np.asarray(idx[:, 0]), np.asarray(true))
+    # values sorted descending
+    v = np.asarray(vals)
+    assert np.all(np.diff(v, axis=1) <= 1e-6)
+
+
+def test_average_meter():
+    m = AverageMeter()
+    m.update(1.0)
+    m.update(3.0)
+    assert m.avg == 2.0 and m.count == 2
+
+
+def test_msgpack_checkpoint_roundtrip(tmp_path):
+    import range_tpu
+
+    enc = range_tpu.load_model("SatCLIP", seed=5)
+    path = str(tmp_path / "params.msgpack")
+    save_msgpack(path, enc.params)
+    restored = load_msgpack(path, jax.tree.map(jnp.zeros_like, enc.params))
+    for a, b in zip(jax.tree.leaves(enc.params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lcprob():
+    lc = LCProb()
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:2] = (0, 100, 0)  # tree cover
+    img[2:] = (0, 100, 205)  # near water (0,100,200)
+    snapped = lc.discretize_img(img)
+    assert tuple(snapped[3, 3]) == (0, 100, 200)
+    prob = lc.im_to_prob(lc.discretize_img(img))
+    assert abs(prob[1] - 0.5) < 1e-9 and abs(prob[8] - 0.5) < 1e-9
+    named = lc.prob_to_lc(prob)
+    assert named["Tree Cover"] == prob[1]

@@ -1,0 +1,144 @@
+"""iNaturalist geo-prior evaluation data pipeline.
+
+Counterpart of `range/evaluation/inat/` (datasets.py loaders, dataloader.py
+batching, make_df.py exporters): loads geo_prior-style observation files
+(paired *_locations.json metadata + COCO-style annotation json), sparse CNN
+prediction matrices, and dense CNN feature arrays, all into plain numpy —
+then exports the reference npz/csv artifacts that downstream probes consume
+(`inat2018_{train,val}.csv` read by `evaldatasets.py:59-94`).
+
+The actual iNat releases are not redistributable; every loader is file-path
+driven and exercised in tests with synthetic files of the same schema.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+
+def load_sparse_feats(file_path: str, invert: bool = False) -> np.ndarray:
+    """Dense-ify a scipy sparse prediction matrix
+    (`csp/main/datasets.py:401-408`); `invert` returns logits."""
+    from scipy import sparse
+
+    feats = np.asarray(sparse.load_npz(file_path).todense(), dtype=np.float32)
+    if invert:
+        eps = 1e-4
+        feats = np.clip(feats, eps, 1.0 - eps)
+        feats = np.log(feats / (1.0 - feats))
+    return feats
+
+
+def load_inat_data(ip_dir: str, loc_file_name: str, ann_file_name: str,
+                   remove_empty: bool = False):
+    """Join observation metadata with annotations.
+
+    Mirrors `evaluation/inat/datasets.py:485-602`: `loc_file_name` is a list
+    of {id, lon, lat, date_c, user_id}; `ann_file_name` is COCO-style
+    {images: [{id}], annotations: [{image_id, category_id}]}.  '_large' loc
+    files carry class labels inline.
+
+    Returns (locs [N,2], classes [N], users [N], dates [N], keep_inds [N]).
+    """
+    with open(os.path.join(ip_dir, loc_file_name)) as f:
+        loc_data = json.load(f)
+    loc_by_id = {ll["id"]: ll for ll in loc_data}
+
+    if "_large" in loc_file_name:
+        locs = [[ll["lon"], ll["lat"]] for ll in loc_data]
+        dates = [ll["date_c"] for ll in loc_data]
+        classes = [ll["class"] for ll in loc_data]
+        users = [ll["user_id"] for ll in loc_data]
+        keep = np.arange(len(locs))
+    else:
+        with open(os.path.join(ip_dir, ann_file_name)) as f:
+            ann = json.load(f)
+        ids = [img["id"] for img in ann["images"]]
+        cls_map = {a["image_id"]: a["category_id"] for a in ann["annotations"]}
+        locs, classes, users, dates, keep = [], [], [], [], []
+        for i, img_id in enumerate(ids):
+            meta = loc_by_id[img_id]
+            if remove_empty and (meta["lon"] is None or meta["user_id"] is None):
+                continue
+            locs.append([meta["lon"], meta["lat"]]
+                        if meta["lon"] is not None else [np.nan, np.nan])
+            users.append(meta["user_id"] if meta["user_id"] is not None else -1)
+            dates.append(meta.get("date_c", 0.0))
+            classes.append(cls_map[img_id])
+            keep.append(i)
+        keep = np.asarray(keep)
+    return (np.asarray(locs, np.float64), np.asarray(classes, np.int64),
+            np.asarray(users, np.int64), np.asarray(dates, np.float64), keep)
+
+
+@dataclasses.dataclass
+class InatDataset:
+    """One split's arrays + optional CNN predictions/features."""
+
+    locs: np.ndarray
+    classes: np.ndarray
+    users: np.ndarray
+    dates: np.ndarray
+    preds: Optional[np.ndarray] = None
+    feats: Optional[np.ndarray] = None
+
+
+def load_dataset(data_dir: str, year: str = "2018", eval_split: str = "val",
+                 remove_invalid: bool = True, load_cnn_predictions: bool = False,
+                 load_cnn_features: bool = False) -> Dict[str, InatDataset]:
+    """High-level loader mirroring `evaluation/inat/datasets.py:16-120`'s
+    inat_2017/2018 branches (standard-resolution inception features)."""
+    splits = {}
+    for split, ann in [("train", f"train{year}.json"),
+                       (eval_split, f"{eval_split}{year}.json")]:
+        locs, classes, users, dates, _ = load_inat_data(
+            data_dir, f"{split}{year}_locations.json", ann, remove_invalid)
+        ds = InatDataset(locs, classes, users, dates)
+        if split == eval_split and load_cnn_predictions:
+            ds.preds = load_sparse_feats(os.path.join(
+                data_dir, "features_inception",
+                f"inat{year}_{eval_split}_preds_sparse.npz"))
+        if split == eval_split and load_cnn_features:
+            ds.feats = np.load(os.path.join(
+                data_dir, "features_inception",
+                f"inat{year}_{eval_split}_net_feats.npy"))
+        splits[split] = ds
+    return splits
+
+
+def batches(ds: InatDataset, batch_size: int, with_features: bool = False
+            ) -> Iterator[dict]:
+    """Batched iteration (the torch `LocationDataLoader`'s role,
+    `evaluation/inat/dataloader.py:10-41`) as plain numpy dicts."""
+    n = ds.locs.shape[0]
+    for s in range(0, n, batch_size):
+        batch = {
+            "loc_feat": ds.locs[s:s + batch_size],
+            "loc_class": ds.classes[s:s + batch_size],
+            "user": ds.users[s:s + batch_size],
+        }
+        if with_features and ds.feats is not None:
+            batch["cnn_features"] = ds.feats[s:s + batch_size]
+        yield batch
+
+
+def export_csvs(splits: Dict[str, InatDataset], out_dir: str, year: str = "2018"):
+    """Write `inat{year}_{split}.csv` (lon, lat, class) — the artifacts the
+    probe datasets read (`evaldatasets.py:59-94`, produced upstream by
+    `evaluation/inat/make_df.py:5-33`)."""
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+    for split, ds in splits.items():
+        df = pd.DataFrame({"lon": ds.locs[:, 0], "lat": ds.locs[:, 1],
+                           "class": ds.classes})
+        path = os.path.join(out_dir, f"inat{year}_{split}.csv")
+        df.to_csv(path, index=False)
+        paths[split] = path
+    return paths

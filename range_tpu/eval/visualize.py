@@ -1,0 +1,76 @@
+"""Embedding-space visualization: encode a coordinate grid, project to 3
+ICA components, histogram-equalize into an RGB map.
+
+Counterpart of `range/evaluation/visualize_embeddings.py` (which bit-rotted
+against the current model API — `model(locs, scale=None)` at :107 no longer
+exists upstream).  This version works against any `GeoEncoder`; plotting is
+matplotlib-gated (cartopy/basemap aren't required — we return the image).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def coord_grid(extent: Tuple[float, float, float, float] = (-180, 180, -90, 90),
+               step: float = 1.0) -> np.ndarray:
+    """[H, W, 2] (lon, lat) grid over an extent (visualize_embeddings.py:29-45)."""
+    lon_min, lon_max, lat_min, lat_max = extent
+    lons = np.arange(lon_min, lon_max, step)
+    lats = np.arange(lat_max, lat_min, -step)
+    return np.stack(np.meshgrid(lons, lats, indexing="xy"), axis=-1)
+
+
+def histogram_equalize(x: np.ndarray) -> np.ndarray:
+    """Per-channel rank transform to [0, 1] (the reference's equalization
+    step before plotting)."""
+    flat = x.reshape(-1, x.shape[-1])
+    out = np.empty_like(flat)
+    n = flat.shape[0]
+    for c in range(flat.shape[1]):
+        order = np.argsort(flat[:, c])
+        ranks = np.empty(n)
+        ranks[order] = np.arange(n)
+        out[:, c] = ranks / (n - 1)
+    return out.reshape(x.shape)
+
+
+def embedding_rgb_map(encoder, extent=(-180, 180, -90, 90), step: float = 1.0,
+                      batch_size: int = 8192, seed: int = 0) -> np.ndarray:
+    """[H, W, 3] RGB visualization of an encoder's embedding space."""
+    from sklearn.decomposition import FastICA
+
+    grid = coord_grid(extent, step)
+    h, w, _ = grid.shape
+    coords = grid.reshape(-1, 2)
+    embs = []
+    for s in range(0, coords.shape[0], batch_size):
+        chunk = coords[s:s + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = np.pad(chunk, ((0, pad), (0, 0)))
+        e = np.asarray(encoder(chunk.astype(np.float32)))
+        embs.append(e[: batch_size - pad] if pad else e)
+    emb = np.concatenate(embs, 0)
+    ica = FastICA(n_components=3, random_state=seed, max_iter=500, tol=1e-3)
+    comp = ica.fit_transform(emb)
+    rgb = histogram_equalize(comp.reshape(h, w, 3))
+    return rgb
+
+
+def save_map(rgb: np.ndarray, path: str, extent=(-180, 180, -90, 90)) -> None:
+    """Save the RGB map with matplotlib (gated import)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(12, 6))
+    ax.imshow(rgb, extent=extent, origin="upper")
+    ax.set_xlabel("longitude")
+    ax.set_ylabel("latitude")
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)

@@ -1,0 +1,144 @@
+"""Geo-prior eval, grid predictor, visualizer, iNat pipeline (synthetic data)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from range_tpu.eval import geo_prior as gp
+from range_tpu.eval.grid_predictor import GridPredictor
+from range_tpu.eval.visualize import coord_grid, embedding_rgb_map, histogram_equalize
+
+
+def _toy_data(n=500, k=6, seed=0):
+    """Classes arranged in longitude bands — spatial priors should help."""
+    rng = np.random.default_rng(seed)
+    classes = rng.integers(0, k, n)
+    lons = (classes * 60 - 150) + rng.normal(0, 5, n)  # band centers
+    lats = rng.uniform(-60, 60, n)
+    return np.stack([lons, lats], 1), classes
+
+
+def test_neighbor_prior_helps():
+    train_locs, train_cls = _toy_data(seed=0)
+    val_locs, val_cls = _toy_data(200, seed=1)
+    k = 6
+    rng = np.random.default_rng(2)
+    noisy_preds = jax.nn.softmax(jnp.asarray(
+        0.5 * np.eye(k)[val_cls] + rng.normal(0, 0.3, (200, k))), axis=-1)
+    base = gp.compute_topk_acc(np.asarray(noisy_preds), val_cls)[1]
+    prior = gp.neighbor_prior(jnp.asarray(train_cls), k, jnp.asarray(val_locs),
+                              jnp.asarray(train_locs), ptype="distance",
+                              dist_thresh=0.2)
+    combined = gp.compute_topk_acc(np.asarray(gp.combine(noisy_preds, prior)),
+                                   val_cls)[1]
+    assert combined > base
+    # knn variant also valid probabilities
+    pk = np.asarray(gp.neighbor_prior(jnp.asarray(train_cls), k,
+                                      jnp.asarray(val_locs), jnp.asarray(train_locs),
+                                      ptype="knn", num_neighbors=20))
+    np.testing.assert_allclose(pk.sum(1), 1.0, rtol=1e-5)
+
+
+def test_grid_prior():
+    train_locs, train_cls = _toy_data(seed=3)
+    prior = gp.GridPrior(train_locs, train_cls, 6, gp_size=(36, 18))
+    out = prior.eval(np.array([[-150.0, 0.0], [np.nan, 0.0]]))
+    assert out.shape == (2, 6)
+    np.testing.assert_allclose(out[1], 1 / 6, rtol=1e-6)  # nan -> uniform
+    assert out[0].argmax() == 0  # band center of class 0
+
+
+def test_kde_prior_valid_probs():
+    train_locs, train_cls = _toy_data(seed=4)
+    val_locs, _ = _toy_data(50, seed=5)
+    prior = np.asarray(gp.kde_prior(jnp.asarray(train_cls), jnp.asarray(train_locs),
+                                    6, jnp.asarray(val_locs), kde_nb=20))
+    assert np.all(np.isfinite(prior)) and np.all(prior >= 0)
+    np.testing.assert_allclose(prior.sum(1), 1.0, rtol=1e-4)
+
+
+def test_train_freq_and_ranks():
+    _, cls = _toy_data(seed=6)
+    freq = gp.train_freq_prior(cls, 6)
+    np.testing.assert_allclose(freq.sum(), 1.0)
+    pred = np.eye(6)[cls[:20]]
+    ranks = gp.label_ranks(pred, cls[:20])
+    assert np.all(ranks == 1)
+
+
+def test_grid_predictor():
+    import range_tpu
+
+    enc = range_tpu.load_model("Wrap")
+    pred = GridPredictor(shape=(18, 36)).dense_prediction(
+        lambda p, c: enc.apply(p, c), enc.params, batch_size=256)
+    assert pred.shape == (18, 36, 4)
+    assert np.all(np.isfinite(pred))
+    # mask application
+    mask = np.zeros((18, 36))
+    mask[0, 0] = 1
+    p2 = GridPredictor(shape=(18, 36), mask=mask).dense_prediction(
+        lambda p, c: enc.apply(p, c), enc.params, batch_size=256)
+    assert np.all(p2[1:] == 0)
+
+
+def test_embedding_rgb_map():
+    import range_tpu
+
+    enc = range_tpu.load_model("s2vec_grid")
+    rgb = embedding_rgb_map(enc, extent=(-180, 180, -90, 90), step=10.0,
+                            batch_size=512)
+    assert rgb.shape == (18, 36, 3)
+    assert rgb.min() >= 0 and rgb.max() <= 1
+    he = histogram_equalize(np.random.default_rng(0).standard_normal((5, 5, 3)))
+    assert he.min() == 0 and he.max() == 1
+
+
+def test_inat_pipeline(tmp_path):
+    from range_tpu.data import inat
+
+    # synthetic geo_prior-style files
+    n = 30
+    rng = np.random.default_rng(0)
+    loc_data = [
+        {"id": i, "lon": float(rng.uniform(-180, 180)),
+         "lat": float(rng.uniform(-90, 90)), "date_c": 0.5,
+         "user_id": int(rng.integers(0, 5))}
+        for i in range(n)
+    ]
+    loc_data[3]["lon"] = None  # one invalid row
+    ann = {
+        "images": [{"id": i} for i in range(n)],
+        "annotations": [{"image_id": i, "category_id": int(rng.integers(0, 8))}
+                        for i in range(n)],
+    }
+    d = str(tmp_path)
+    for split in ["train", "val"]:
+        with open(os.path.join(d, f"{split}2018_locations.json"), "w") as f:
+            json.dump(loc_data, f)
+        with open(os.path.join(d, f"{split}2018.json"), "w") as f:
+            json.dump(ann, f)
+
+    splits = inat.load_dataset(d, "2018", "val", remove_invalid=True)
+    assert splits["train"].locs.shape == (n - 1, 2)  # invalid row dropped
+    bs = list(inat.batches(splits["train"], 10))
+    assert len(bs) == 3 and bs[0]["loc_feat"].shape == (10, 2)
+
+    paths = inat.export_csvs(splits, os.path.join(d, "out"))
+    import pandas as pd
+
+    df = pd.read_csv(paths["val"])
+    assert list(df.columns) == ["lon", "lat", "class"]
+
+    # sparse preds round-trip
+    from scipy import sparse
+
+    preds = sparse.csr_matrix(np.abs(rng.standard_normal((5, 8))))
+    sp_path = os.path.join(d, "preds.npz")
+    sparse.save_npz(sp_path, preds)
+    dense = inat.load_sparse_feats(sp_path)
+    np.testing.assert_allclose(dense, preds.todense(), rtol=1e-6)

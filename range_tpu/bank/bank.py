@@ -99,9 +99,23 @@ class GeoBank:
         )
 
     @classmethod
-    def from_npz(cls, path: str, **kw) -> "GeoBank":
-        """Load a reference-format npz (range.py:78-90 key names)."""
-        db = np.load(path, allow_pickle=True)
+    def from_npz(cls, path: str, use_native: bool = True, **kw) -> "GeoBank":
+        """Load a reference-format npz (range.py:78-90 key names).
+
+        Uses the native mmap reader (range_tpu/native/bankio) when available
+        (~3x faster than np.load on the ~0.5 GB reference db); falls back to
+        numpy transparently."""
+        db = None
+        if use_native:
+            try:
+                from ..native.bankio import load_npz_native
+
+                db = load_npz_native(
+                    path, ["locs", "satclip_embeddings", "image_embeddings"])
+            except Exception:
+                db = None
+        if db is None:
+            db = np.load(path, allow_pickle=True)
         return cls.from_arrays(
             db["locs"].astype(np.float32),
             db["satclip_embeddings"].astype(np.float32),

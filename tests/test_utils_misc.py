@@ -101,3 +101,32 @@ def test_lcprob():
     assert abs(prob[1] - 0.5) < 1e-9 and abs(prob[8] - 0.5) < 1e-9
     named = lc.prob_to_lc(prob)
     assert named["Tree Cover"] == prob[1]
+
+
+def test_native_npz_reader(tmp_path):
+    """Native mmap NPZ reader matches numpy on stored + compressed archives
+    and feeds GeoBank.from_npz."""
+    from range_tpu.native.bankio import load_npz_native, native_available
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "db.npz")
+    np.savez(path,
+             locs=rng.uniform(-180, 180, (500, 2)).astype(np.float32),
+             satclip_embeddings=rng.standard_normal((500, 32)).astype(np.float32),
+             image_embeddings=rng.standard_normal((500, 64)).astype(np.float32))
+    a = load_npz_native(path)
+    b = dict(np.load(path))
+    for k in b:
+        np.testing.assert_array_equal(a[k], b[k])
+    bank = GeoBank.from_npz(path, pad_to=128)
+    assert int(bank.n_valid) == 500
+
+    pathz = str(tmp_path / "dbz.npz")
+    np.savez_compressed(pathz, x=rng.standard_normal((100, 7)).astype("<f8"),
+                        y=rng.integers(0, 5, 100).astype("<i8"))
+    az = load_npz_native(pathz)
+    bz = dict(np.load(pathz))
+    for k in bz:
+        np.testing.assert_array_equal(az[k], bz[k])

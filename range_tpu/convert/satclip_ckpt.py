@@ -181,7 +181,8 @@ def vit_params_from_state_dict(sd: Dict[str, Any], prefix: str, dtype) -> Dict:
 
 
 def load_satclip_checkpoint(ckpt_path: str, dtype=jnp.float32):
-    """Returns (SatClipLocationEncoder, params)."""
+    """Returns (SatClipLocationEncoder, params) — `get_satclip(...,
+    return_all=False)` semantics (`satclip/load.py:16-18`)."""
     from ..models.satclip import SatClipLocationConfig, SatClipLocationEncoder
 
     ckpt = load_torch_checkpoint(ckpt_path)
@@ -193,3 +194,44 @@ def load_satclip_checkpoint(ckpt_path: str, dtype=jnp.float32):
         sd, config.pe_type, config.num_hidden_layers, dtype
     )
     return encoder, params
+
+
+def load_satclip_full(ckpt_path: str, dtype=jnp.float32):
+    """`get_satclip(..., return_all=True)` semantics (`satclip/load.py:15-16`):
+    the full dual tower — (SatClipModel, params) with visual + location +
+    logit_scale — e.g. for bank construction, which uses `.visual`
+    (`generate_db.py:231-234`).
+
+    Only the ViT vision branch is supported (the released SatCLIP-ViT16-L40;
+    the timm moco_resnet/vit branches of `model_old.py:286-311` pull torchgeo
+    weights and are out of scope)."""
+    from ..models.satclip import SatClipLocationConfig
+    from ..models.vit import ViTConfig
+    from ..train.satclip import SatClipConfig, SatClipModel
+
+    ckpt = load_torch_checkpoint(ckpt_path)
+    hp = dict(ckpt["hyper_parameters"])
+    vision_layers = hp.get("vision_layers", 12)
+    if not isinstance(vision_layers, int):
+        raise NotImplementedError(
+            f"vision_layers={vision_layers!r}: only the ViT branch converts")
+    vit = ViTConfig(
+        image_resolution=hp.get("image_resolution", 256),
+        patch_size=hp.get("vision_patch_size", 16),
+        width=hp.get("vision_width", 768),
+        layers=vision_layers,
+        heads=hp.get("vision_width", 768) // 64,  # model_old.py:315
+        in_channels=hp.get("in_channels", 13),
+        output_dim=hp.get("embed_dim", 256),
+    )
+    config = SatClipConfig(
+        vision=vit, location=SatClipLocationConfig.from_hyper_parameters(hp))
+    model = SatClipModel(config)
+    sd = ckpt["state_dict"]
+    params = {
+        "visual": vit_params_from_state_dict(sd, "model.visual.", dtype),
+        "location": location_params_from_state_dict(
+            sd, config.location.pe_type, config.location.num_hidden_layers, dtype),
+        "logit_scale": _v(sd["model.logit_scale"], dtype),
+    }
+    return model, params

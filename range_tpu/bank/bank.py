@@ -50,6 +50,10 @@ class GeoBank:
     keys_sem: jnp.ndarray
     values: jnp.ndarray
     n_valid: jnp.ndarray
+    # Scattered-validity banks (cluster-packed, bank/clustered.py) carry an
+    # explicit [Np] {0,1} mask; None means the valid rows are the prefix
+    # [0, n_valid).
+    valid_mask: Optional[jnp.ndarray] = None
 
     @property
     def num_rows(self) -> int:
@@ -176,6 +180,8 @@ class GeoBank:
 
     def row_mask(self) -> jnp.ndarray:
         """[Np] float32 {0,1} validity mask."""
+        if self.valid_mask is not None:
+            return self.valid_mask.astype(jnp.float32)
         return (
             jnp.arange(self.num_rows, dtype=jnp.int32) < self.n_valid
         ).astype(jnp.float32)

@@ -1,0 +1,173 @@
+"""Clustered bank: spatially-ordered rows + per-tile pruning bounds.
+
+The scaling idea the reference never needed (single-GPU brute force): with
+bank rows reordered so each kernel tile is geographically coherent, a tile's
+contribution to either softmax is bounded by
+
+    max_{row in tile} t * (q . k_row)  <=  t * (q . c_tile + r_tile)
+
+(Cauchy-Schwarz, c = tile centroid, r = max row distance to c).  Tiles whose
+upper bound sits `margin` below a query-tile's best lower bound contribute
+< e^{-margin} relative softmax mass and are skipped — exactly, with an
+auditable error bound, not heuristically.  The geo family (temp 40) prunes
+hard under spatial ordering; the sem family prunes when the key embeddings
+are spatially autocorrelated (true for real SatCLIP banks).
+
+`compute_tile_plan` turns the bounds into, per query-tile, a dense-leading
+list of active bank-tile indices; the pruned kernel
+(ops/retrieval_pallas.py:retrieve_pruned) walks that list via scalar
+prefetch — the padded tail repeats the last active tile, which the Pallas
+pipeline serves without re-DMA and the kernel skips without compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bank import GeoBank
+from ..ops.kmeans import kmeans
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TileStats:
+    """Per bank tile (bn contiguous rows): bounding balls for both families."""
+
+    sem_centroid: jnp.ndarray  # [T, Dk]
+    sem_radius: jnp.ndarray  # [T]
+    geo_centroid: jnp.ndarray  # [T, 3]
+    geo_radius: jnp.ndarray  # [T]
+
+
+def cluster_bank(bank: GeoBank, bn: int = 1024, n_clusters: Optional[int] = None,
+                 iters: int = 8, seed: int = 0,
+                 rows_per_cluster: int = 256) -> Tuple[GeoBank, TileStats]:
+    """Reorder bank rows cluster-contiguously and pack clusters into
+    bn-aligned tiles so that no kernel tile mixes geographically distant
+    clusters (mixing blows up the tile bounding radii and kills pruning).
+
+    Host-side (bank prep is offline): geographic k-means, clusters relabeled
+    along latitude bands, then greedy packing — whole clusters are appended
+    in order with zero-padding inserted whenever the next cluster would
+    straddle a tile boundary.  The result carries an explicit scattered
+    validity mask.  Row count grows by the padding (typically 10-30%).
+    """
+    assert bank.num_rows % bn == 0, (bank.num_rows, bn)
+    if n_clusters is None:
+        n_clusters = max(8, min(8192, bank.num_rows // rows_per_cluster))
+    valid = bank.row_mask()
+    centroids, assign = kmeans(jax.random.PRNGKey(seed), bank.xyz, n_clusters,
+                               iters=iters, valid=valid)
+    # geographic relabeling: latitude bands, longitude within band, so that
+    # clusters adjacent in the packing order are spatial neighbors
+    c_np = np.asarray(centroids)
+    lat = np.arcsin(np.clip(c_np[:, 2], -1, 1))
+    lon = np.arctan2(c_np[:, 1], c_np[:, 0])
+    band = np.floor((lat + np.pi / 2) / (np.pi / 12.0))
+    cluster_order = np.argsort(band * 10.0 + lon / np.pi, kind="stable")
+
+    assign_np = np.asarray(assign)
+    valid_np = np.asarray(valid) > 0
+    # greedy packing of whole clusters into bn-aligned tiles
+    chunks = []  # row-index arrays, -1 = padding
+    cur = 0  # fill level of the open tile
+    for c in cluster_order:
+        rows = np.nonzero((assign_np == c) & valid_np)[0]
+        if rows.size == 0:
+            continue
+        if cur > 0 and cur + rows.size > bn and rows.size < bn:
+            chunks.append(np.full(bn - cur, -1, np.int64))  # pad out the tile
+            cur = 0
+        chunks.append(rows)
+        cur = (cur + rows.size) % bn
+    if cur > 0:
+        chunks.append(np.full(bn - cur, -1, np.int64))
+    order = np.concatenate(chunks) if chunks else np.full(bn, -1, np.int64)
+    n_rows = len(order)
+    assert n_rows % bn == 0
+
+    def take(x):
+        arr = np.asarray(x)
+        out = np.zeros((n_rows, *arr.shape[1:]), arr.dtype)
+        sel = order >= 0
+        out[sel] = arr[order[sel]]
+        return jnp.asarray(out)
+
+    reordered = GeoBank(
+        locs_lonlat=take(bank.locs_lonlat),
+        xyz=take(bank.xyz),
+        keys_sem=take(bank.keys_sem),
+        values=take(bank.values),
+        n_valid=bank.n_valid,
+        valid_mask=jnp.asarray((order >= 0).astype(np.float32)),
+    )
+    stats = tile_stats(reordered, bn)
+    return reordered, stats
+
+
+@functools.partial(jax.jit, static_argnames=("bn",))
+def _tile_stats_impl(keys, xyz, valid, bn: int):
+    T = keys.shape[0] // bn
+
+    def per_tile(k_t, x_t, v_t):
+        w = v_t / jnp.maximum(jnp.sum(v_t), 1.0)
+        c_sem = w @ k_t  # [Dk]
+        c_geo = w @ x_t
+        r_sem = jnp.max(jnp.linalg.norm(k_t - c_sem, axis=1) * v_t)
+        r_geo = jnp.max(jnp.linalg.norm(x_t - c_geo, axis=1) * v_t)
+        return c_sem, r_sem, c_geo, r_geo
+
+    ks = keys.reshape(T, bn, -1).astype(jnp.float32)
+    xs = xyz.reshape(T, bn, 3).astype(jnp.float32)
+    vs = valid.reshape(T, bn)
+    c_sem, r_sem, c_geo, r_geo = jax.vmap(per_tile)(ks, xs, vs)
+    return TileStats(c_sem, r_sem, c_geo, r_geo)
+
+
+def tile_stats(bank: GeoBank, bn: int) -> TileStats:
+    return _tile_stats_impl(bank.keys_sem, bank.xyz, bank.row_mask(), bn=bn)
+
+
+def compute_tile_plan(
+    q: jnp.ndarray,
+    centroids: jnp.ndarray,
+    radii: jnp.ndarray,
+    *,
+    temp: float,
+    bm: int = 512,
+    margin: float = 20.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per query-tile active bank-tile list for ONE logit family.
+
+    A tile is kept iff for SOME query in the query-tile its upper logit bound
+    temp*(q.c + r) exceeds that query's best lower bound max_t temp*(q.c - r)
+    minus `margin` (dropped softmax mass < N*e^{-margin} relative; margin 20
+    keeps the error under ~1e-4 for N=1e5).
+
+    Returns (idx [nB, T] int32 — active tiles first (ascending), tail
+    repeating the last active tile so the kernel pipeline re-serves it
+    without DMA; counts [nB] int32)."""
+    B = q.shape[0]
+    Bp = ((B + bm - 1) // bm) * bm
+    q = jnp.pad(q.astype(jnp.float32), ((0, Bp - B), (0, 0)))
+    T = radii.shape[0]
+    qc = q @ centroids.T  # [Bp, T]
+    ub = temp * (qc + radii[None, :])
+    lb = jnp.max(temp * (qc - radii[None, :]), axis=1, keepdims=True)
+    keep = ub >= lb - margin  # [Bp, T]
+    # padded query rows (all-zero) give ub=temp*r, lb=max(-temp*r): a
+    # harmless superset; the OR over real rows dominates.
+    keep = keep.reshape(Bp // bm, bm, T).any(axis=1)  # [nB, T]
+    counts = jnp.maximum(jnp.sum(keep, axis=1).astype(jnp.int32), 1)
+    # active-first index list: stable argsort of (not keep)
+    idx = jnp.argsort(~keep, axis=1, stable=True).astype(jnp.int32)  # [nB, T]
+    g = jnp.arange(T)[None, :]
+    last = jnp.take_along_axis(idx, jnp.maximum(counts - 1, 0)[:, None], axis=1)
+    idx = jnp.where(g < counts[:, None], idx, last)
+    return idx, counts

@@ -186,7 +186,7 @@ def retrieve_fused(
     beta: jnp.ndarray,
     *,
     sem_d: int,
-    bm: int = 256,
+    bm: int = 512,
     bn: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -246,8 +246,159 @@ def retrieve_fused(
     return out[:B]
 
 
+def _family_pruned_kernel(idx_ref, cnt_ref, q_ref, k_ref, v_ref, mask_ref,
+                          out_ref, acc_ref, d_ref):
+    """One-family pruned softmax-weighted sum.  Grid (iB, g) where g walks
+    the query-tile's *active-first* bank-tile list (scalar-prefetched
+    idx/counts from bank/clustered.compute_tile_plan).  For g >= count the
+    index map repeats the last active tile — the pipeline serves it without
+    a new DMA and the body skips all compute."""
+    i = pl.program_id(0)
+    g = pl.program_id(1)
+    ng = pl.num_programs(1)
+    active = g < cnt_ref[i]
+
+    @pl.when(g == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        d_ref[:] = jnp.zeros_like(d_ref)
+
+    @pl.when(active)
+    def _():
+        q = q_ref[:]
+        k = k_ref[:]
+        prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+        logits = (
+            jnp.dot(q, k.T, preferred_element_type=jnp.float32, precision=prec)
+            + mask_ref[:]
+        )
+        p = jnp.exp(jnp.minimum(logits, CLAMP))
+        d_ref[:] += jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[:]
+        vprec = jax.lax.Precision.HIGHEST if v.dtype == jnp.float32 else None
+        acc_ref[:] += jnp.dot(p.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32,
+                              precision=vprec)
+
+    @pl.when(g == ng - 1)
+    def _():
+        out_ref[:] = acc_ref[:] / jnp.maximum(d_ref[:], 1e-30)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "interpret"))
+def _family_pruned_call(q_fam, k_fam, values, mask_neg, tile_idx, tile_counts,
+                        *, bm: int, bn: int, interpret: bool = False):
+    """q_fam [B, C] x k_fam [N, C] -> softmax-weighted values [B, Dv], visiting
+    only the active tiles of each query tile."""
+    B, C = q_fam.shape
+    N, Dv = values.shape
+    Bp = _round_up(B, bm)
+    if Bp != B:
+        q_fam = jnp.pad(q_fam, ((0, Bp - B), (0, 0)))
+    T = N // bn
+    assert tile_idx.shape == (Bp // bm, T), (tile_idx.shape, (Bp // bm, T))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Bp // bm, T),
+        in_specs=[
+            pl.BlockSpec((bm, C), lambda i, g, idx, cnt: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, C), lambda i, g, idx, cnt: (idx[i, g], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, Dv), lambda i, g, idx, cnt: (idx[i, g], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, g, idx, cnt: (0, idx[i, g]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, Dv), lambda i, g, idx, cnt: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bm, Dv), jnp.float32),
+            pltpu.VMEM((bm, 1), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        _family_pruned_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, Dv), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(tile_idx, tile_counts, q_fam, k_fam, values, mask_neg)
+    return out[:B]
+
+
+def retrieve_pruned(q_sem, q_xyz, bank, stats, *, sem_temp=12.0, geo_temp=40.0,
+                    beta=0.5, mode="range+", tier: str = "fast",
+                    bm: int = 512, bn: int = 1024, margin: float = 20.0,
+                    sort_queries: bool = True,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Pruned retrieval over a clustered bank (bank/clustered.cluster_bank):
+    each logit family runs its own pruned pass with its own tile plan (the
+    geo family at temp 40 prunes hard under spatial ordering; sem prunes to
+    the extent the keys are spatially autocorrelated).  Dropped tiles
+    contribute < N*e^{-margin} relative softmax mass per family.
+
+    `sort_queries` orders the batch geographically first (and restores the
+    original order after): the keep decision is per QUERY-TILE (an OR over
+    its bm queries), so spatially coherent query tiles are what make the
+    per-query pruning survive aggregation.
+
+    When to use (measured on v5e): the dense fused kernel is near the
+    machine floor (exp throughput + two value matmuls), and splitting
+    families doubles the value-stream DMA — so this path only wins when BOTH
+    families prune substantially (regional query batches against a bank
+    whose keys are spatially autocorrelated).  At temp 12 the semantic
+    softmax is near-global on weakly-clustered keys; benchmark your bank."""
+    from ..bank.clustered import compute_tile_plan
+
+    if mode == "range":
+        q_xyz = None
+        beta = 1.0
+
+    inv = None
+    if sort_queries and q_xyz is not None:
+        lat = jnp.arcsin(jnp.clip(q_xyz[:, 2], -1, 1))
+        lon = jnp.arctan2(q_xyz[:, 1], q_xyz[:, 0])
+        band = jnp.floor((lat + jnp.pi / 2) / (jnp.pi / 12.0))
+        order = jnp.argsort(band * 10.0 + lon / jnp.pi, stable=True)
+        inv = jnp.argsort(order)
+        q_sem = q_sem[order]
+        q_xyz = q_xyz[order]
+    q_cat = pack_queries(q_sem, q_xyz, sem_temp, geo_temp, tier=tier)
+    k_cat = pack_bank(bank.keys_sem, bank.xyz, tier=tier)
+    sem_d, cat_d = packed_dims(bank.keys_sem.shape[1], tier)
+    mask_neg = (NEG * (1.0 - bank.row_mask()))[None, :].astype(jnp.float32)
+    if stats.sem_radius.shape[0] != bank.num_rows // bn:
+        raise ValueError(
+            f"tile stats built for {stats.sem_radius.shape[0]} tiles but "
+            f"bn={bn} gives {bank.num_rows // bn}; rebuild via cluster_bank "
+            f"with matching bn")
+
+    idx_s, cnt_s = compute_tile_plan(
+        q_sem, stats.sem_centroid, stats.sem_radius, temp=sem_temp, bm=bm,
+        margin=margin)
+    sem = _family_pruned_call(q_cat[:, :sem_d], k_cat[:, :sem_d], bank.values,
+                              mask_neg, idx_s, cnt_s, bm=bm, bn=bn,
+                              interpret=interpret)
+    if mode == "range":
+        return sem
+    idx_g, cnt_g = compute_tile_plan(
+        q_xyz, stats.geo_centroid, stats.geo_radius, temp=geo_temp, bm=bm,
+        margin=margin)
+    geo = _family_pruned_call(q_cat[:, sem_d:], k_cat[:, sem_d:], bank.values,
+                              mask_neg, idx_g, cnt_g, bm=bm, bn=bn,
+                              interpret=interpret)
+    out = beta * sem + (1.0 - beta) * geo
+    if inv is not None:
+        out = out[inv]
+    return out
+
+
 def _pick_bn(bn: int, bm: int, cat_d: int, Dv: int, k_item: int, v_item: int,
-             n_rows: int, budget: int = 11 * 2**20) -> int:
+             n_rows: int, budget: int = 15 * 2**20) -> int:
     """Largest bn <= requested that fits the VMEM budget (double-buffered
     k/v blocks + accumulator + logit temporaries) and divides n_rows."""
     while bn > 128:
@@ -265,7 +416,7 @@ def _pick_bn(bn: int, bm: int, cat_d: int, Dv: int, k_item: int, v_item: int,
 
 def retrieve_pallas(q_sem, q_xyz, bank, *, sem_temp=12.0, geo_temp=40.0,
                     beta=0.5, mode="range+", tier: str = "fast",
-                    bm: int = 256, bn: int = 1024,
+                    bm: int = 512, bn: int = 1024,
                     interpret: bool = False) -> jnp.ndarray:
     """Drop-in fused equivalent of `ops.retrieval.retrieve` (same semantics;
     see module docstring for the precision tiers)."""

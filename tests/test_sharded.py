@@ -78,3 +78,39 @@ def test_padding_entirely_on_last_shard():
                                            geo_temp=40.0, beta=0.5, chunk=128))
     assert np.all(np.isfinite(got))
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_pallas_matches_single_device():
+    """Multi-chip fused-kernel path (unnormalized partials + psum) equals the
+    single-device streaming reference; kernel in interpret mode on the
+    virtual CPU mesh."""
+    from range_tpu.parallel.sharded import sharded_retrieve_pallas
+
+    bank, q, q_xyz = _setup(n=1500, b=24, dk=32, dv=64, seed=5, pad_to=1024)
+    expect = np.asarray(
+        retrieval.retrieve(q, q_xyz, bank, sem_temp=12.0, geo_temp=40.0,
+                           beta=0.4, mode="range+", chunk=256)
+    )
+    mesh = make_mesh((1, 8), ("data", "bank"))
+    sb = shard_bank(bank, mesh)
+    got = np.asarray(
+        sharded_retrieve_pallas(q, q_xyz, sb, mesh, sem_temp=12.0,
+                                geo_temp=40.0, beta=0.4, tier="high",
+                                bm=8, bn=128, interpret=True)
+    )
+    np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_pallas_range_mode():
+    from range_tpu.parallel.sharded import sharded_retrieve_pallas
+
+    bank, q, _ = _setup(n=1024, seed=6)
+    expect = np.asarray(retrieval.retrieve(q, None, bank, sem_temp=15.0,
+                                           mode="range"))
+    mesh = make_mesh((1, 8), ("data", "bank"))
+    sb = shard_bank(bank, mesh)
+    got = np.asarray(
+        sharded_retrieve_pallas(q, None, sb, mesh, sem_temp=15.0, mode="range",
+                                tier="high", bm=8, bn=128, interpret=True)
+    )
+    np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-4)

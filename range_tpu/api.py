@@ -242,6 +242,29 @@ _S2VEC_PRESETS = {
 }
 
 
+def sphere2vec_hparams(dataset: str = "inat2018", encoder: str = "spherec",
+                       head: str = "linear", yaml_path: Optional[str] = None
+                       ) -> dict:
+    """Tuned sphere2vec hyperparameters.
+
+    The reference ships a per-dataset yaml database
+    (`sphere2vec/hparams.yaml`, read by `get_sphere2vec`, sphere2vec.py:255).
+    Pass `yaml_path` to read such a file; otherwise the embedded inat2018
+    presets above (the only rows the reference factory actually consumes)
+    are returned."""
+    if yaml_path is not None:
+        import yaml
+
+        with open(yaml_path) as f:
+            db = yaml.safe_load(f)
+        return dict(db[dataset][f"{encoder}-{head}"])
+    if dataset != "inat2018" or head != "linear":
+        raise KeyError(
+            f"embedded presets cover inat2018/*-linear only; pass yaml_path "
+            f"for {dataset}/{encoder}-{head}")
+    return dict(_S2VEC_PRESETS[encoder])
+
+
 def _make_s2vec(variant: str):
     @register(f"s2vec_{variant}")
     def _s2vec(**kw):

@@ -81,6 +81,30 @@ def main():
     throughput = BATCH / per_call
     log(f"steady-state: {per_call*1e3:.2f} ms/call -> {throughput:,.0f} queries/s")
 
+    # fidelity diagnostics (stderr): retrieval quality of the serving config
+    try:
+        from range_tpu.ops.retrieval import retrieve as retrieve_ref
+        from range_tpu.ops.retrieval import exact_nn
+        from range_tpu.ops.topk import recall_at_k, topk_sem
+
+        q_small = enc.model.query_embedding(enc.params, coords[:2048])
+        from range_tpu.geometry import lonlat_deg_to_xyz
+
+        q_xyz = lonlat_deg_to_xyz(coords[:2048])
+        true = exact_nn(q_small, bank, chunk=8192)
+        _, cand = topk_sem(q_small, bank, k=1, chunk=8192)
+        log(f"recall@1 (f32 top-k vs exact NN): {recall_at_k(cand, true):.4f}")
+        ref = retrieve_ref(q_small, q_xyz, bank, sem_temp=12.0, geo_temp=40.0,
+                           beta=0.5, chunk=4096)
+        fused = out[:2048, :1024]
+        import numpy as _np
+
+        rel = _np.abs(_np.asarray(fused) - _np.asarray(ref)) / _np.maximum(
+            _np.abs(_np.asarray(ref)), 1e-1)
+        log(f"fused-vs-exact retrieval maxrelerr: {rel.max():.5f}")
+    except Exception as e:  # diagnostics never fail the bench
+        log(f"fidelity diagnostics skipped: {e}")
+
     print(json.dumps({
         "metric": "range_plus_query_throughput",
         "value": round(throughput, 1),

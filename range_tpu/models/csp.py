@@ -97,11 +97,27 @@ def aodha_embed(coords: jnp.ndarray, extent=(-180, 180, -90, 90),
     return jnp.concatenate([jnp.sin(math.pi * c), jnp.cos(math.pi * c)], axis=-1)
 
 
+def rff_embed(coords: jnp.ndarray, dirvec: jnp.ndarray, shift: jnp.ndarray,
+              extent=(-180, 180, -90, 90)) -> jnp.ndarray:
+    """Random Fourier features (Rahimi & Recht): cos(x W + b) sqrt(2/F) over
+    min-max normalized coords (`SpatialRelationEncoder.py:1155-1254`).  The
+    direction/shift vectors are frozen parameters stored in checkpoints."""
+    c = coord_normalize(coords, extent)
+    F = dirvec.shape[1]
+    return jnp.cos(c @ dirvec + shift) * math.sqrt(2.0 / F)
+
+
+# gridcellnorm/theorynorm share the plain encoders' math: the reference
+# "Norm" variants' normalization line executes after the embedding is built
+# (dead code, SpatialRelationEncoder.py:305-306), so they are exact aliases.
 _PE_DIMS = {
     "gridcell": lambda f: 4 * f,
+    "gridcellnorm": lambda f: 4 * f,
     "theory": lambda f: 6 * f,
+    "theorynorm": lambda f: 6 * f,
     "naive": lambda f: 2,
     "geo_net_fft": lambda f: 4,
+    "rff": lambda f: f,
 }
 
 
@@ -190,6 +206,7 @@ def apply_ffn(params, x, cfg: FFNConfig, *, training=False, rng=None):
 @dataclasses.dataclass(frozen=True)
 class CspConfig:
     spa_enc_type: str = "gridcell"
+    rbf_kernal_size: float = 1.0  # RFF gaussian variance (utils.py kwarg)
     num_filts: int = 256  # loc embedding dim
     num_classes: int = 1
     num_users: int = 1
@@ -251,33 +268,45 @@ class CspLocationEncoder:
         self.embedding_dim = config.num_filts
 
     def init(self, rng, dtype=jnp.float32):
-        k1, k2, k3 = jax.random.split(rng, 3)
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
         cfg = self.config
         bound_c = 1.0 / math.sqrt(cfg.num_filts)
-        return {
+        params = {
             "ffn": init_ffn(k1, self.ffn_config, dtype),
             "class_emb": {"w": jax.random.uniform(
                 k2, (cfg.num_filts, cfg.num_classes), dtype, -bound_c, bound_c)},
             "user_emb": {"w": jax.random.uniform(
                 k3, (cfg.num_filts, cfg.num_users), dtype, -bound_c, bound_c)},
         }
+        if cfg.spa_enc_type == "rff":
+            kd, ks = jax.random.split(k4)
+            params["rff"] = {
+                "dirvec": math.sqrt(cfg.rbf_kernal_size)
+                * jax.random.normal(kd, (2, cfg.frequency_num), dtype),
+                "shift": jax.random.uniform(ks, (cfg.frequency_num,), dtype,
+                                            0.0, 2 * math.pi),
+            }
+        return params
 
-    def pe(self, coords: jnp.ndarray) -> jnp.ndarray:
+    def pe(self, coords: jnp.ndarray, params=None) -> jnp.ndarray:
         cfg = self.config
-        if cfg.spa_enc_type == "gridcell":
+        if cfg.spa_enc_type in ("gridcell", "gridcellnorm"):
             return gridcell_embed(coords, cfg.frequency_num, cfg.max_radius,
                                   cfg.min_radius, cfg.freq_init)
-        if cfg.spa_enc_type == "theory":
+        if cfg.spa_enc_type in ("theory", "theorynorm"):
             return theory_embed(coords, cfg.frequency_num, cfg.max_radius,
                                 cfg.min_radius, cfg.freq_init)
         if cfg.spa_enc_type == "naive":
             return naive_embed(coords, cfg.map_range)
         if cfg.spa_enc_type == "geo_net_fft":
             return aodha_embed(coords, cfg.map_range)
+        if cfg.spa_enc_type == "rff":
+            return rff_embed(coords, params["rff"]["dirvec"],
+                             params["rff"]["shift"], cfg.map_range)
         raise NotImplementedError(cfg.spa_enc_type)
 
     def features(self, params, coords, *, training=False, rng=None):
-        return apply_ffn(params["ffn"], self.pe(coords), self.ffn_config,
+        return apply_ffn(params["ffn"], self.pe(coords, params), self.ffn_config,
                          training=training, rng=rng)
 
     def apply(self, params, coords, *, return_feats: bool = True,
@@ -316,11 +345,15 @@ def csp_params_from_state_dict(sd: Dict[str, Any], cfg: CspConfig, dtype=jnp.flo
             layer["ln_b"] = _v(sd[f"{prefix}{i}.layernorm.bias"])
         layers.append(layer)
         i += 1
-    return {
+    params = {
         "ffn": layers,
         "class_emb": {"w": _t(sd["loc_enc.class_emb.weight"])},
         "user_emb": {"w": _t(sd["loc_enc.user_emb.weight"])},
     }
+    if "loc_enc.spa_enc.dirvec" in sd:  # RFF frozen parameters
+        params["rff"] = {"dirvec": _v(sd["loc_enc.spa_enc.dirvec"]),
+                         "shift": _v(sd["loc_enc.spa_enc.shift"])}
+    return params
 
 
 def load_csp(path: str, dtype=jnp.float32) -> Tuple[CspLocationEncoder, Any]:

@@ -184,3 +184,33 @@ def test_full_reference_name_coverage():
                      "Wrap", "s2vec_spherem", "s2vec_spherec",
                      "s2vec_spheremplus", "s2vec_spherecplus", "s2vec_grid"]:
         assert required in names, required
+
+
+def test_csp_rff_parity():
+    """RFF encoder vs reference: dirvec/shift restored from the state dict."""
+    ref_models = _load_ref_csp()
+    ref_sre = sys.modules["refcsp.SpatialRelationEncoder"]
+    ref_module = sys.modules["refcsp.module"]
+    torch.manual_seed(5)
+    np.random.seed(5)
+    cfg = CspConfig(spa_enc_type="rff", num_filts=32, num_classes=4,
+                    frequency_num=16, rbf_kernal_size=2.0,
+                    spa_f_act="relu", num_hidden_layer=1, hidden_dim=64,
+                    use_layn=False, skip_connection=False)
+    ffn = ref_module.MultiLayerFeedForwardNN(
+        input_dim=16, output_dim=32, num_hidden_layers=1, dropout_rate=0.5,
+        hidden_dim=64, activation="relu")
+    spa = ref_sre.RFFSpatialRelationEncoder(
+        32, coord_dim=2, frequency_num=16, rbf_kernal_size=2.0,
+        extent=(-180, 180, -90, 90), ffn=ffn, device="cpu")
+    ref = ref_models.LocationEncoder(spa_enc=spa, num_inputs=2, num_classes=4,
+                                     num_filts=32).eval()
+    sd = {f"loc_enc.{k}": v.numpy() for k, v in ref.state_dict().items()}
+    params = csp_params_from_state_dict(sd, cfg, jnp.float32)
+    ours = CspLocationEncoder(cfg)
+    coords = _coords(16, seed=5)
+    with torch.no_grad():
+        expect = ref(torch.tensor(coords, dtype=torch.float32),
+                     return_feats=True).numpy()
+    got = np.asarray(ours.apply(params, jnp.asarray(coords, jnp.float32)))
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-5)

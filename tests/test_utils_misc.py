@@ -130,3 +130,37 @@ def test_native_npz_reader(tmp_path):
     bz = dict(np.load(pathz))
     for k in bz:
         np.testing.assert_array_equal(az[k], bz[k])
+
+
+def test_guarded_step_skips_nonfinite():
+    from range_tpu.utils.guard import FailureMonitor, guarded_step
+
+    def step(params, opt_state, batch, rng):
+        loss = jnp.sum(batch["x"])  # nan batch -> nan loss
+        return params + 1.0, opt_state + 1, loss
+
+    g = guarded_step(step)
+    p, o = jnp.zeros(3), jnp.asarray(0)
+    p, o, loss = g(p, o, {"x": jnp.ones(2)}, None)
+    assert float(p[0]) == 1.0 and int(o) == 1
+    p, o, loss = g(p, o, {"x": jnp.asarray([jnp.nan, 1.0])}, None)
+    assert float(p[0]) == 1.0 and int(o) == 1  # update skipped
+    assert not np.isfinite(float(loss))
+
+    mon = FailureMonitor(patience=2)
+    assert not mon.observe(1.0)
+    assert not mon.observe(float("nan"))
+    assert mon.observe(float("nan"))  # second consecutive -> restore
+
+
+def test_profiling_helpers(tmp_path):
+    from range_tpu.utils.profiling import device_memory_stats, fenced_timer, trace
+
+    out = []
+    with fenced_timer("x", out):
+        _ = float(jnp.sum(jnp.ones((64, 64))))
+    assert out and out[0][1] > 0
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
+    with trace(str(tmp_path / "prof")):
+        _ = float(jnp.sum(jnp.ones((8, 8))))

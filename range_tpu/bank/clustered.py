@@ -134,6 +134,24 @@ def tile_stats(bank: GeoBank, bn: int) -> TileStats:
     return _tile_stats_impl(bank.keys_sem, bank.xyz, bank.row_mask(), bn=bn)
 
 
+def compute_keep_mask(q: jnp.ndarray, centroids: jnp.ndarray,
+                      radii: jnp.ndarray, *, temp: float, bm: int = 512,
+                      margin: float = 20.0) -> jnp.ndarray:
+    """[nB, T] bool: per query-tile, which bank tiles can matter for one
+    logit family (Cauchy–Schwarz bounding-ball bounds; see module docstring)."""
+    B = q.shape[0]
+    Bp = ((B + bm - 1) // bm) * bm
+    q = jnp.pad(q.astype(jnp.float32), ((0, Bp - B), (0, 0)))
+    T = radii.shape[0]
+    qc = q @ centroids.T  # [Bp, T]
+    ub = temp * (qc + radii[None, :])
+    lb = jnp.max(temp * (qc - radii[None, :]), axis=1, keepdims=True)
+    keep = ub >= lb - margin  # [Bp, T]
+    # padded query rows (all-zero) give ub=temp*r, lb=max(-temp*r): a
+    # harmless superset; the OR over real rows dominates.
+    return keep.reshape(Bp // bm, bm, T).any(axis=1)  # [nB, T]
+
+
 def compute_tile_plan(
     q: jnp.ndarray,
     centroids: jnp.ndarray,
@@ -153,17 +171,9 @@ def compute_tile_plan(
     Returns (idx [nB, T] int32 — active tiles first (ascending), tail
     repeating the last active tile so the kernel pipeline re-serves it
     without DMA; counts [nB] int32)."""
-    B = q.shape[0]
-    Bp = ((B + bm - 1) // bm) * bm
-    q = jnp.pad(q.astype(jnp.float32), ((0, Bp - B), (0, 0)))
+    keep = compute_keep_mask(q, centroids, radii, temp=temp, bm=bm,
+                             margin=margin)
     T = radii.shape[0]
-    qc = q @ centroids.T  # [Bp, T]
-    ub = temp * (qc + radii[None, :])
-    lb = jnp.max(temp * (qc - radii[None, :]), axis=1, keepdims=True)
-    keep = ub >= lb - margin  # [Bp, T]
-    # padded query rows (all-zero) give ub=temp*r, lb=max(-temp*r): a
-    # harmless superset; the OR over real rows dominates.
-    keep = keep.reshape(Bp // bm, bm, T).any(axis=1)  # [nB, T]
     counts = jnp.maximum(jnp.sum(keep, axis=1).astype(jnp.int32), 1)
     # active-first index list: stable argsort of (not keep)
     idx = jnp.argsort(~keep, axis=1, stable=True).astype(jnp.int32)  # [nB, T]

@@ -189,7 +189,7 @@ def retrieve_fused(
     beta: jnp.ndarray,
     *,
     sem_d: int,
-    bm: int = 512,
+    bm: int = 256,
     bn: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -310,7 +310,7 @@ def retrieve_fused_parts(
     mask_neg: jnp.ndarray,
     *,
     sem_d: int,
-    bm: int = 512,
+    bm: int = 256,
     bn: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -437,7 +437,7 @@ def _family_pruned_call(q_fam, k_fam, values, mask_neg, tile_idx, tile_counts,
 
 def retrieve_pruned(q_sem, q_xyz, bank, stats, *, sem_temp=12.0, geo_temp=40.0,
                     beta=0.5, mode="range+", tier: str = "fast",
-                    bm: int = 512, bn: int = 1024, margin: float = 20.0,
+                    bm: int = 256, bn: int = 1024, margin: float = 20.0,
                     sort_queries: bool = True,
                     interpret: bool = False) -> jnp.ndarray:
     """Pruned retrieval over a clustered bank (bank/clustered.cluster_bank):
@@ -504,13 +504,15 @@ def retrieve_pruned(q_sem, q_xyz, bank, stats, *, sem_temp=12.0, geo_temp=40.0,
 
 def _pick_bn(bn: int, bm: int, cat_d: int, Dv: int, k_item: int, v_item: int,
              n_rows: int, budget: int = 15 * 2**20) -> int:
-    """Largest bn <= requested that fits the VMEM budget (double-buffered
-    k/v blocks + accumulator + logit temporaries) and divides n_rows."""
+    """Largest bn <= requested that fits the VMEM budget and divides n_rows.
+    Mosaic double-buffers ALL streamed blocks (k, v, q, out), measured
+    against actual scoped-vmem OOM reports."""
     while bn > 128:
         need = (
-            2 * bn * (cat_d * k_item + Dv * v_item)  # double-buffered inputs
+            2 * bn * (cat_d * k_item + Dv * v_item)  # k/v blocks, double-buffered
+            + 2 * bm * cat_d * k_item                # query block, double-buffered
+            + 2 * bm * Dv * 4                        # out block, double-buffered
             + bm * (2 * Dv + 2) * 4                  # accumulator + denominators
-            + bm * cat_d * k_item                    # query block
             + 2 * bm * bn * 4                        # p_s / p_g tiles
         )
         if need <= budget and n_rows % bn == 0:
@@ -519,9 +521,157 @@ def _pick_bn(bn: int, bm: int, cat_d: int, Dv: int, k_item: int, v_item: int,
     return bn
 
 
+def _hybrid_kernel(sem_d, flag_ref, beta_ref, q_ref, k_ref, v_ref, mask_ref,
+                   out_ref, acc_ref, ds_ref, dg_ref):
+    """Dense semantic path + tile-flagged geo path.  Same grid/DMA as
+    _fused_kernel (K/V stream regardless — the sem family needs them), but
+    the geo logits/exp/value-matmul are skipped where the scalar-prefetched
+    flag[i, j] is 0 (tile provably negligible for the geo softmax)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        ds_ref[:] = jnp.zeros_like(ds_ref)
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+
+    q = q_ref[:]
+    k = k_ref[:]
+    mask = mask_ref[:]
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    Dv = v_ref.shape[1]
+    v = v_ref[:]
+    vprec = jax.lax.Precision.HIGHEST if v.dtype == jnp.float32 else None
+
+    s_logits = (
+        jnp.dot(q[:, :sem_d], k[:, :sem_d].T, preferred_element_type=jnp.float32,
+                precision=prec)
+        + mask
+    )
+    p_s = jnp.exp2(jnp.minimum(s_logits, CLAMP2))
+    ds_ref[:] += jnp.sum(p_s, axis=-1, keepdims=True)
+    acc_ref[:, :Dv] += jnp.dot(p_s.astype(v.dtype), v,
+                               preferred_element_type=jnp.float32,
+                               precision=vprec)
+
+    @pl.when(flag_ref[i, j] > 0)
+    def _():
+        g_logits = (
+            jnp.dot(q[:, sem_d:], k[:, sem_d:].T,
+                    preferred_element_type=jnp.float32, precision=prec)
+            + mask
+        )
+        p_g = jnp.exp2(jnp.minimum(g_logits, CLAMP2))
+        dg_ref[:] += jnp.sum(p_g, axis=-1, keepdims=True)
+        acc_ref[:, Dv:] += jnp.dot(p_g.astype(v.dtype), v,
+                                   preferred_element_type=jnp.float32,
+                                   precision=vprec)
+
+    @pl.when(j == nj - 1)
+    def _():
+        beta = beta_ref[0]
+        sem = acc_ref[:, :Dv] / jnp.maximum(ds_ref[:], 1e-30)
+        geo = acc_ref[:, Dv:] / jnp.maximum(dg_ref[:], 1e-30)
+        out_ref[:] = beta * sem + (1.0 - beta) * geo
+
+
+@functools.partial(jax.jit, static_argnames=("sem_d", "bm", "bn", "interpret"))
+def retrieve_fused_hybrid(q_cat, k_cat, values, mask_neg, beta, geo_flags, *,
+                          sem_d: int, bm: int = 256, bn: int = 1024,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Fused retrieval with geo compute gated per (query-tile, bank-tile) by
+    `geo_flags` [nB, T] int32 from bank/clustered.compute_keep_mask."""
+    B, cat_d = q_cat.shape
+    N, Dv = values.shape
+    Bp = _round_up(B, bm)
+    if Bp != B:
+        q_cat = jnp.pad(q_cat, ((0, Bp - B), (0, 0)))
+    assert N % bn == 0
+    T = N // bn
+    assert geo_flags.shape == (Bp // bm, T), (geo_flags.shape, (Bp // bm, T))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bp // bm, T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # beta
+            pl.BlockSpec((bm, cat_d), lambda i, j, f: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, cat_d), lambda i, j, f: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, Dv), lambda i, j, f: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, f: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, Dv), lambda i, j, f: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bm, 2 * Dv), jnp.float32),
+            pltpu.VMEM((bm, 1), jnp.float32),
+            pltpu.VMEM((bm, 1), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_hybrid_kernel, sem_d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, Dv), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(geo_flags, jnp.asarray([beta], jnp.float32).reshape(1), q_cat, k_cat,
+      values, mask_neg)
+    return out[:B]
+
+
+def retrieve_hybrid(q_sem, q_xyz, bank, stats, *, sem_temp=12.0, geo_temp=40.0,
+                    beta=0.5, tier: str = "fast", bm: int = 256,
+                    bn: int = 1024, margin: float = 20.0,
+                    sort_queries: bool = True,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Dense sem + geo-pruned fused retrieval over a clustered bank: unlike
+    `retrieve_pruned`, the K/V stream is shared between families (no
+    duplicate DMA).
+
+    Measured on v5e: despite skipping 37% of geo tiles, the per-tile
+    conditional costs more than it saves (Mosaic schedules the conditional
+    branch conservatively, breaking matmul/DMA overlap) — 54 ms vs the dense
+    kernel's 41 ms on the regional-batch benchmark.  Kept as the structural
+    template for hardware/compilers where predicated tiles are free;
+    production uses the dense kernel."""
+    from ..bank.clustered import compute_keep_mask
+
+    inv = None
+    if sort_queries:
+        lat = jnp.arcsin(jnp.clip(q_xyz[:, 2], -1, 1))
+        lon = jnp.arctan2(q_xyz[:, 1], q_xyz[:, 0])
+        band = jnp.floor((lat + jnp.pi / 2) / (jnp.pi / 12.0))
+        order = jnp.argsort(band * 10.0 + lon / jnp.pi, stable=True)
+        inv = jnp.argsort(order)
+        q_sem = q_sem[order]
+        q_xyz = q_xyz[order]
+    q_cat = pack_queries(q_sem, q_xyz, sem_temp, geo_temp, tier=tier)
+    k_cat = pack_bank(bank.keys_sem, bank.xyz, tier=tier)
+    sem_d, cat_d = packed_dims(bank.keys_sem.shape[1], tier)
+    mask_neg = (NEG * (1.0 - bank.row_mask()))[None, :].astype(jnp.float32)
+    if stats.geo_radius.shape[0] != bank.num_rows // bn:
+        raise ValueError("tile stats tile count mismatch; rebuild cluster_bank")
+    flags = compute_keep_mask(q_xyz, stats.geo_centroid, stats.geo_radius,
+                              temp=geo_temp, bm=bm, margin=margin
+                              ).astype(jnp.int32)
+    out = retrieve_fused_hybrid(q_cat, k_cat, bank.values, mask_neg,
+                                jnp.float32(beta), flags, sem_d=sem_d, bm=bm,
+                                bn=bn, interpret=interpret)
+    if inv is not None:
+        out = out[inv]
+    return out
+
+
 def retrieve_pallas(q_sem, q_xyz, bank, *, sem_temp=12.0, geo_temp=40.0,
                     beta=0.5, mode="range+", tier: str = "fast",
-                    bm: int = 512, bn: int = 1024,
+                    bm: int = 256, bn: int = 1024,
                     interpret: bool = False) -> jnp.ndarray:
     """Drop-in fused equivalent of `ops.retrieval.retrieve` (same semantics;
     see module docstring for the precision tiers)."""

@@ -134,3 +134,18 @@ def test_pruned_range_mode():
                                      margin=20.0, interpret=True))
     err = np.abs(got - expect) / np.maximum(np.abs(expect), 1e-1)
     assert err.max() < 5e-3, err.max()
+
+
+def test_hybrid_matches_dense():
+    from range_tpu.ops.retrieval_pallas import retrieve_hybrid
+
+    bank = _clustered_bank()
+    cb, stats = cluster_bank(bank, bn=128)
+    q_sem, q_xyz = _queries(cb, b=48, seed=6)
+    expect = np.asarray(retrieval.retrieve(q_sem, q_xyz, cb, sem_temp=12.0,
+                                           geo_temp=40.0, beta=0.5, chunk=128))
+    got = np.asarray(retrieve_hybrid(q_sem, q_xyz, cb, stats, sem_temp=12.0,
+                                     geo_temp=40.0, beta=0.5, tier="high",
+                                     bm=16, bn=128, margin=20.0, interpret=True))
+    err = np.abs(got - expect) / np.maximum(np.abs(expect), 1e-1)
+    assert err.max() < 5e-3, err.max()

@@ -15,12 +15,10 @@ machines without the HF artifacts); pass a real checkpoint for parity.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .bank.bank import GeoBank
 from .geometry import deg2rad, lonlat_deg_to_xyz

@@ -16,9 +16,6 @@ jit on device):
 
 from __future__ import annotations
 
-import math
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

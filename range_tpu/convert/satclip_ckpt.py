@@ -10,7 +10,7 @@ torch Linear stores weight as [out, in]; our layout is [in, out] (plain
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax.numpy as jnp
 import numpy as np

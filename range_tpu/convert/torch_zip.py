@@ -19,7 +19,7 @@ import io
 import pickle
 import zipfile
 from collections import OrderedDict
-from typing import Any, Dict
+from typing import Any
 
 import numpy as np
 

@@ -7,7 +7,7 @@ host sklearn clustering)."""
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict
 
 import numpy as np
 

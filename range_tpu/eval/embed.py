@@ -11,8 +11,6 @@ stays on device)."""
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from ..data.tasks import GeoTask

@@ -9,8 +9,6 @@ reference path (sklearn is an eval-only dependency)."""
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from ..ops.ridge import ridge_probe

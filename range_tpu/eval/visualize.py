@@ -9,7 +9,7 @@ matplotlib-gated (cartopy/basemap aren't required — we return the image).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -18,9 +18,6 @@ bit-level parity runs on CPU.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
-
-import jax
 import jax.numpy as jnp
 
 from ..ops.nets import get_neural_network

@@ -17,7 +17,6 @@ real MAE state dict (timm/MAE naming).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional
 
 import jax

@@ -15,7 +15,6 @@ along a data axis (each data row-group handles a slice of the batch).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

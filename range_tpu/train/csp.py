@@ -22,13 +22,11 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Dict, Optional
-
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.csp import CspConfig, CspLocationEncoder
+from ..models.csp import CspLocationEncoder
 
 
 @dataclasses.dataclass(frozen=True)

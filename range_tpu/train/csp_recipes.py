@@ -13,7 +13,7 @@ Counterparts of the remaining CSP training surface:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, Optional
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np

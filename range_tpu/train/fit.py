@@ -11,11 +11,10 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Any, Callable, Iterator, Optional
+from typing import Callable, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..utils.checkpoint import save_msgpack
 from ..utils.metrics import AverageMeter, setup_logger

@@ -13,8 +13,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
-
 
 def save_orbax(path: str, state: Any) -> None:
     """Save a pytree (params / {params, opt_state, step}) with orbax."""

@@ -107,6 +107,44 @@ def random_gaussian_blur3(rng: jax.Array, image: jnp.ndarray) -> jnp.ndarray:
     return img[:, 0]
 
 
+def sapclip_uni_transform(rng: jax.Array, image: jnp.ndarray,
+                          point: jnp.ndarray, size: int = 256,
+                          scales=(1, 3, 5), scale_ratio=(1 / 3, 1 / 3, 1 / 3),
+                          crop_type: str = "resized"):
+    """Multi-scale SAPCLIP transform (`transforms.py:176-231`): sample a
+    scale, center-crop size*scale, then resize (or random-crop) back to
+    `size`; returns (image, jittered point, scale index one-hot).
+
+    Device-side jax version: the scale is drawn with jax PRNG and applied
+    through lax.switch so the whole thing traces into one program."""
+    k_scale, k_crop, k_pt, k_aug = jax.random.split(rng, 4)
+    idx = jax.random.choice(k_scale, len(scales), p=jnp.asarray(scale_ratio))
+
+    def branch(s):
+        def fn(img):
+            big = center_crop_jax(img, size * s)
+            if crop_type == "resized":
+                return jax.image.resize(big, (img.shape[0], size, size),
+                                        method="bilinear")
+            return random_crop(k_crop, big, size)
+
+        return fn
+
+    image = jax.lax.switch(idx, [branch(s) for s in scales], image)
+    image = random_flips(k_aug, image)
+    onehot = jax.nn.one_hot(idx, len(scales))
+    return image, coordinate_jitter(k_pt, point), onehot
+
+
+def center_crop_jax(image: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Traceable center crop (torch CenterCrop offsets)."""
+    _, h, w = image.shape
+    top = round((h - size) / 2.0)
+    left = round((w - size) / 2.0)
+    return jax.lax.dynamic_slice(image, (0, top, left),
+                                 (image.shape[0], size, size))
+
+
 def pretrained_s2_train_transform(rng: jax.Array, image: jnp.ndarray,
                                   point: jnp.ndarray, size: int = 256):
     """Device-side equivalent of `get_pretrained_s2_train_transform`

@@ -127,6 +127,32 @@ def batches(ds: InatDataset, batch_size: int, with_features: bool = False
         yield batch
 
 
+def load_bird_data(ip_dir: str, ann_file_name: str, split_name: str,
+                   remove_empty: bool = False, meta_type: str = "orig_meta"):
+    """Birdsnap/NABirds-style loader (`csp/main/datasets.py:411-483`): one
+    json keyed by split, each entry {valid_image, im_path, class_id,
+    orig_meta/ebird_meta: {user_id, lon, lat, date}}.
+
+    Returns (locs [N,2], classes [N], users [N], dates [N], valid_inds [N]).
+    """
+    with open(os.path.join(ip_dir, ann_file_name)) as f:
+        data_orig = json.load(f)
+    data = [dd for dd in data_orig[split_name] if dd["valid_image"]]
+    classes = np.asarray([dd["class_id"] for dd in data], np.int64)
+    users = np.asarray(
+        [-1 if dd[meta_type]["user_id"] is None else dd[meta_type]["user_id"]
+         for dd in data], np.int64)
+    dates = np.asarray([dd[meta_type]["date"] for dd in data], np.float64)
+    lon = [dd[meta_type]["lon"] for dd in data]
+    lat = [dd[meta_type]["lat"] for dd in data]
+    locs = np.stack([np.asarray(lon, np.float64), np.asarray(lat, np.float64)], 1)
+    valid = (~np.isnan(locs[:, 0])) & (users >= 0) & (~np.isnan(dates))
+    if remove_empty:
+        locs, classes, users, dates = (locs[valid], classes[valid],
+                                       users[valid], dates[valid])
+    return locs, classes, users, dates, valid
+
+
 def export_csvs(splits: Dict[str, InatDataset], out_dir: str, year: str = "2018"):
     """Write `inat{year}_{split}.csv` (lon, lat, class) — the artifacts the
     probe datasets read (`evaldatasets.py:59-94`, produced upstream by

@@ -156,3 +156,50 @@ def test_create_database_end_to_end():
         loaded = np.load(path)
         assert set(loaded.keys()) == {"locs", "image_embeddings", "satclip_embeddings"}
         assert loaded["image_embeddings"].shape == (40, 48)
+
+
+def test_sapclip_uni_transform():
+    """Multi-scale SAPCLIP transform: shape-stable, scale one-hot valid."""
+    from range_tpu.bank.transforms import sapclip_uni_transform
+
+    img = jnp.asarray(np.random.default_rng(0).standard_normal((3, 1280, 1280)),
+                      jnp.float32)
+    pt = jnp.asarray([10.0, 20.0])
+    seen = set()
+    for seed in range(8):
+        out, pt2, onehot = sapclip_uni_transform(jax.random.PRNGKey(seed), img,
+                                                 pt, size=256)
+        assert out.shape == (3, 256, 256)
+        assert float(jnp.sum(onehot)) == 1.0
+        assert float(pt2[0]) >= 10.0  # one-sided jitter
+        seen.add(int(jnp.argmax(onehot)))
+    assert len(seen) >= 2  # multiple scales sampled
+
+
+def test_load_bird_data(tmp_path):
+    import json, os
+
+    from range_tpu.data.inat import load_bird_data
+
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(20):
+        entries.append({
+            "valid_image": i % 5 != 0,
+            "im_path": f"img_{i}.jpg",
+            "class_id": int(rng.integers(0, 4)),
+            "orig_meta": {
+                "user_id": None if i == 1 else int(rng.integers(0, 3)),
+                "lon": float(rng.uniform(-180, 180)),
+                "lat": float(rng.uniform(-90, 90)),
+                "date": 0.3,
+            },
+        })
+    path = os.path.join(str(tmp_path), "birdsnap_meta.json")
+    with open(path, "w") as f:
+        json.dump({"train": entries, "valid": entries[:4]}, f)
+    locs, classes, users, dates, valid = load_bird_data(
+        str(tmp_path), "birdsnap_meta.json", "train", remove_empty=True)
+    assert locs.shape[0] == classes.shape[0] == users.shape[0]
+    assert np.all(users >= 0)
+    assert locs.shape[0] < 20  # invalid images + missing users dropped

@@ -101,10 +101,13 @@ def _satclip_tower(pretrained_path: Optional[str], dtype, seed: int):
 
 def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                  dtype=jnp.float32, seed: int = 0, chunk: int = 4096,
-                 compute_dtype=jnp.float32, **kw) -> GeoEncoder:
+                 compute_dtype=jnp.float32, tier: str = "fast",
+                 use_pallas: Optional[bool] = None, **kw) -> GeoEncoder:
     tower, params = _satclip_tower(pretrained_path, dtype, seed)
     bank = _as_bank(db_path, chunk)
-    cfg = RangeConfig(mode=mode, beta=beta, chunk=chunk, compute_dtype=compute_dtype)
+    cfg = RangeConfig(mode=mode, beta=beta, chunk=chunk,
+                      compute_dtype=compute_dtype, tier=tier,
+                      use_pallas=use_pallas)
     enc = RangeEncoder(tower, bank, cfg)
 
     def apply_fn(p, c, extra):

@@ -124,7 +124,7 @@ def fibonacci_lattice(n: int, n_classes: int = 16):
     """
     half = n // 2
     phi = (1 + math.sqrt(5)) / 2
-    i = jnp.arange(-half, half, dtype=jnp.float64 if jnp.zeros(0).dtype == jnp.float64 else jnp.float32)
+    i = jnp.arange(-half, half).astype(jnp.result_type(float))
     lat = jnp.arcsin((2 * i) / (2 * half + 1)) * (180.0 / math.pi)
     lon = jnp.mod(i, phi) * (360.0 / phi)
     lon = jnp.where(lon > 180.0, lon - 360.0, lon)

@@ -128,13 +128,17 @@ class GeoBank:
         )
 
     def save_npz(self, path: str) -> None:
-        """Write back in the reference npz schema (`generate_db.py:212-214`)."""
-        n = int(self.n_valid)
+        """Write back in the reference npz schema (`generate_db.py:212-214`),
+        gathering only the valid rows (scattered-mask banks included)."""
+        if self.valid_mask is not None:
+            sel = np.asarray(self.valid_mask) > 0
+        else:
+            sel = np.arange(self.num_rows) < int(self.n_valid)
         np.savez(
             path,
-            locs=np.asarray(self.locs_lonlat[:n]),
-            satclip_embeddings=np.asarray(self.keys_sem[:n], np.float32),
-            image_embeddings=np.asarray(self.values[:n], np.float32),
+            locs=np.asarray(self.locs_lonlat)[sel],
+            satclip_embeddings=np.asarray(self.keys_sem, np.float32)[sel],
+            image_embeddings=np.asarray(self.values, np.float32)[sel],
         )
 
     @classmethod

@@ -65,12 +65,11 @@ def cluster_bank(bank: GeoBank, bn: int = 1024, n_clusters: Optional[int] = None
     centroids, assign = kmeans(jax.random.PRNGKey(seed), bank.xyz, n_clusters,
                                iters=iters, valid=valid)
     # geographic relabeling: latitude bands, longitude within band, so that
-    # clusters adjacent in the packing order are spatial neighbors
-    c_np = np.asarray(centroids)
-    lat = np.arcsin(np.clip(c_np[:, 2], -1, 1))
-    lon = np.arctan2(c_np[:, 1], c_np[:, 0])
-    band = np.floor((lat + np.pi / 2) / (np.pi / 12.0))
-    cluster_order = np.argsort(band * 10.0 + lon / np.pi, kind="stable")
+    # clusters adjacent in the packing order are spatial neighbors (same
+    # ordering the pruned retrieval applies to queries — geometry.geo_sort_order)
+    from ..geometry import geo_sort_order
+
+    cluster_order = np.asarray(geo_sort_order(centroids))
 
     assign_np = np.asarray(assign)
     valid_np = np.asarray(valid) > 0
@@ -147,8 +146,10 @@ def compute_keep_mask(q: jnp.ndarray, centroids: jnp.ndarray,
     ub = temp * (qc + radii[None, :])
     lb = jnp.max(temp * (qc - radii[None, :]), axis=1, keepdims=True)
     keep = ub >= lb - margin  # [Bp, T]
-    # padded query rows (all-zero) give ub=temp*r, lb=max(-temp*r): a
-    # harmless superset; the OR over real rows dominates.
+    # padded query rows (all-zero) have ub = temp*r >= lb - margin for every
+    # tile, i.e. they would keep EVERYTHING — mask them out of the OR
+    row_valid = (jnp.arange(Bp) < B)[:, None]
+    keep = keep & row_valid
     return keep.reshape(Bp // bm, bm, T).any(axis=1)  # [nB, T]
 
 

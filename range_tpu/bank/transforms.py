@@ -110,14 +110,17 @@ def random_gaussian_blur3(rng: jax.Array, image: jnp.ndarray) -> jnp.ndarray:
 def sapclip_uni_transform(rng: jax.Array, image: jnp.ndarray,
                           point: jnp.ndarray, size: int = 256,
                           scales=(1, 3, 5), scale_ratio=(1 / 3, 1 / 3, 1 / 3),
-                          crop_type: str = "resized"):
+                          crop_type: str = "resized",
+                          normalize: bool = False):
     """Multi-scale SAPCLIP transform (`transforms.py:176-231`): sample a
-    scale, center-crop size*scale, then resize (or random-crop) back to
-    `size`; returns (image, jittered point, scale index one-hot).
+    scale, center-crop size*scale (zero-padding like torchvision when the
+    image is smaller than the crop), resize (or random-crop) back to `size`,
+    flips + gaussian blur, optional ImageNet normalization (for raw [0,255]
+    inputs); returns (image, jittered point, scale index one-hot).
 
     Device-side jax version: the scale is drawn with jax PRNG and applied
     through lax.switch so the whole thing traces into one program."""
-    k_scale, k_crop, k_pt, k_aug = jax.random.split(rng, 4)
+    k_scale, k_crop, k_pt, k_flip, k_blur = jax.random.split(rng, 5)
     idx = jax.random.choice(k_scale, len(scales), p=jnp.asarray(scale_ratio))
 
     def branch(s):
@@ -131,14 +134,26 @@ def sapclip_uni_transform(rng: jax.Array, image: jnp.ndarray,
         return fn
 
     image = jax.lax.switch(idx, [branch(s) for s in scales], image)
-    image = random_flips(k_aug, image)
+    image = random_flips(k_flip, image)
+    image = random_gaussian_blur3(k_blur, image)
+    if normalize:
+        image = (image / 255.0 - jnp.asarray(IMAGENET_MEAN)[:, None, None]) /             jnp.asarray(IMAGENET_STD)[:, None, None]
     onehot = jax.nn.one_hot(idx, len(scales))
     return image, coordinate_jitter(k_pt, point), onehot
 
 
 def center_crop_jax(image: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Traceable center crop (torch CenterCrop offsets)."""
+    """Traceable center crop with torchvision semantics: zero-pads first when
+    the requested crop exceeds the image (CenterCrop does this too, which the
+    multi-scale transform relies on for scale > 1 at patch-sized inputs)."""
     _, h, w = image.shape
+    pad_h = max(0, size - h)
+    pad_w = max(0, size - w)
+    if pad_h or pad_w:
+        image = jnp.pad(image, ((0, 0),
+                                (pad_h // 2, pad_h - pad_h // 2),
+                                (pad_w // 2, pad_w - pad_w // 2)))
+        _, h, w = image.shape
     top = round((h - size) / 2.0)
     left = round((w - size) / 2.0)
     return jax.lax.dynamic_slice(image, (0, top, left),

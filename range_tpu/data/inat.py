@@ -96,17 +96,22 @@ def load_dataset(data_dir: str, year: str = "2018", eval_split: str = "val",
     splits = {}
     for split, ann in [("train", f"train{year}.json"),
                        (eval_split, f"{eval_split}{year}.json")]:
-        locs, classes, users, dates, _ = load_inat_data(
+        locs, classes, users, dates, keep = load_inat_data(
             data_dir, f"{split}{year}_locations.json", ann, remove_invalid)
         ds = InatDataset(locs, classes, users, dates)
+        # CNN prediction/feature rows follow the ORIGINAL image order; align
+        # them with the kept observations (the reference applies
+        # val_preds[val_inds, :], csp/main/datasets.py:360)
         if split == eval_split and load_cnn_predictions:
-            ds.preds = load_sparse_feats(os.path.join(
+            preds = load_sparse_feats(os.path.join(
                 data_dir, "features_inception",
                 f"inat{year}_{eval_split}_preds_sparse.npz"))
+            ds.preds = preds[keep] if remove_invalid else preds
         if split == eval_split and load_cnn_features:
-            ds.feats = np.load(os.path.join(
+            feats = np.load(os.path.join(
                 data_dir, "features_inception",
                 f"inat{year}_{eval_split}_net_feats.npy"))
+            ds.feats = feats[keep] if remove_invalid else feats
         splits[split] = ds
     return splits
 

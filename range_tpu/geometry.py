@@ -112,22 +112,13 @@ def shifted_sigmoid(a: jnp.ndarray, inflection_point: float = 15.0) -> jnp.ndarr
     return 1.0 / (1.0 + jnp.exp(a - inflection_point))
 
 
-def fibonacci_lattice(n: int, n_classes: int = 16):
-    """Fibonacci lattice over the sphere with cyclic class labels.
+def geo_sort_order(xyz: jnp.ndarray, n_bands: int = 12) -> jnp.ndarray:
+    """Spatial sort key for batches of unit vectors: latitude bands, then
+    longitude within a band.  Shared by the pruned/hybrid retrieval query
+    ordering and the clustered-bank relabeling so they stay correlated.
 
-    NumPy-free jnp re-derivation of the reference checkerboard seed generator
-    (`range/evaluation/checkerboarddataset.py:12-36`): `n` is halved, points
-    are indexed i in [-n/2, n/2), lat = asin(2i / (n + 1)) and
-    lon = (i mod phi) * 360/phi wrapped to [-180, 180].
-
-    Returns (lons_deg [n], lats_deg [n], labels [n]) as jnp arrays.
-    """
-    half = n // 2
-    phi = (1 + math.sqrt(5)) / 2
-    i = jnp.arange(-half, half).astype(jnp.result_type(float))
-    lat = jnp.arcsin((2 * i) / (2 * half + 1)) * (180.0 / math.pi)
-    lon = jnp.mod(i, phi) * (360.0 / phi)
-    lon = jnp.where(lon > 180.0, lon - 360.0, lon)
-    lon = jnp.where(lon < -180.0, lon + 360.0, lon)
-    labels = jnp.mod(jnp.arange(-half, half), n_classes)
-    return lon, lat, labels
+    Returns the argsort permutation."""
+    lat = jnp.arcsin(jnp.clip(xyz[:, 2], -1, 1))
+    lon = jnp.arctan2(xyz[:, 1], xyz[:, 0])
+    band = jnp.floor((lat + jnp.pi / 2) / (jnp.pi / n_bands))
+    return jnp.argsort(band * 10.0 + lon / jnp.pi, stable=True)

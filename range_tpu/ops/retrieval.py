@@ -103,7 +103,7 @@ def retrieve(
     q_xyz: Optional[jnp.ndarray],
     bank: GeoBank,
     *,
-    sem_temp: float = 15.0,
+    sem_temp: float = 12.0,  # RANGE+ default (range.py:108); RANGE uses 15
     geo_temp: float = 40.0,
     beta: float = 0.5,
     mode: str = "range+",

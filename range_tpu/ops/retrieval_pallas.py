@@ -465,10 +465,9 @@ def retrieve_pruned(q_sem, q_xyz, bank, stats, *, sem_temp=12.0, geo_temp=40.0,
 
     inv = None
     if sort_queries and q_xyz is not None:
-        lat = jnp.arcsin(jnp.clip(q_xyz[:, 2], -1, 1))
-        lon = jnp.arctan2(q_xyz[:, 1], q_xyz[:, 0])
-        band = jnp.floor((lat + jnp.pi / 2) / (jnp.pi / 12.0))
-        order = jnp.argsort(band * 10.0 + lon / jnp.pi, stable=True)
+        from ..geometry import geo_sort_order
+
+        order = geo_sort_order(q_xyz)
         inv = jnp.argsort(order)
         q_sem = q_sem[order]
         q_xyz = q_xyz[order]
@@ -645,10 +644,9 @@ def retrieve_hybrid(q_sem, q_xyz, bank, stats, *, sem_temp=12.0, geo_temp=40.0,
 
     inv = None
     if sort_queries:
-        lat = jnp.arcsin(jnp.clip(q_xyz[:, 2], -1, 1))
-        lon = jnp.arctan2(q_xyz[:, 1], q_xyz[:, 0])
-        band = jnp.floor((lat + jnp.pi / 2) / (jnp.pi / 12.0))
-        order = jnp.argsort(band * 10.0 + lon / jnp.pi, stable=True)
+        from ..geometry import geo_sort_order
+
+        order = geo_sort_order(q_xyz)
         inv = jnp.argsort(order)
         q_sem = q_sem[order]
         q_xyz = q_xyz[order]

@@ -78,20 +78,26 @@ def sharded_retrieve(
         keys_sem=P(bank_axis, None),
         values=P(bank_axis, None),
         n_valid=P(),
+        valid_mask=P(bank_axis) if bank.valid_mask is not None else None,
     )
 
     def local(q_sem_l, q_xyz_l, bank_l):
-        # row-validity is global: shard i owns rows [i*rps, (i+1)*rps)
-        shard_idx = jax.lax.axis_index(bank_axis)
-        row0 = shard_idx * rows_per_shard
-        local_valid = jnp.clip(bank_l.n_valid - row0, 0, rows_per_shard)
-        bank_l = GeoBank(
-            locs_lonlat=bank_l.locs_lonlat,
-            xyz=bank_l.xyz,
-            keys_sem=bank_l.keys_sem,
-            values=bank_l.values,
-            n_valid=local_valid,
-        )
+        if bank_l.valid_mask is not None:
+            # scattered-validity banks (cluster-packed): mask shards with rows
+            local_bank = bank_l
+        else:
+            # prefix-validity: shard i owns rows [i*rps, (i+1)*rps)
+            shard_idx = jax.lax.axis_index(bank_axis)
+            row0 = shard_idx * rows_per_shard
+            local_valid = jnp.clip(bank_l.n_valid - row0, 0, rows_per_shard)
+            local_bank = GeoBank(
+                locs_lonlat=bank_l.locs_lonlat,
+                xyz=bank_l.xyz,
+                keys_sem=bank_l.keys_sem,
+                values=bank_l.values,
+                n_valid=local_valid,
+            )
+        bank_l = local_bank
 
         states = retrieval.partial_states(
             q_sem_l, q_xyz_l, bank_l,

@@ -75,13 +75,21 @@ class CspTrainer:
 
     def rand_locations(self, rng, n: int) -> jnp.ndarray:
         """Random negative (lon, lat) degrees.  Mirrors `rand_samples`
-        (losses.py:18-73): 'uniform' draws in the rectangle, 'spherical'
-        draws area-uniform on the sphere; both scale to lon*180/lat*90."""
+        (losses.py:18-73) INCLUDING its quirk: for spa_enc models the
+        reference scales `rand_feats_orig` — which the 'spherical' branch has
+        overwritten with raw U[0,1] draws (losses.py:47-60,65-68) — so
+        'spherical' negatives actually land in lon [0,180] x lat [0,90].
+        'spherical_correct' gives true area-uniform sampling on the sphere.
+        """
         cfg = self.config
         if cfg.neg_rand_type == "uniform":
             u = jax.random.uniform(rng, (n, 2), minval=-1.0, maxval=1.0)
             lon, lat = u[:, 0], u[:, 1]
         elif cfg.neg_rand_type == "spherical":
+            # faithful to the upstream bug: raw U[0,1] draws scaled to degrees
+            u = jax.random.uniform(rng, (n, 2))
+            lon, lat = u[:, 0], u[:, 1]
+        elif cfg.neg_rand_type == "spherical_correct":
             k1, k2 = jax.random.split(rng)
             theta1 = 2 * jnp.pi * jax.random.uniform(k1, (n,))
             theta2 = jnp.arccos(2 * jax.random.uniform(k2, (n,)) - 1)

@@ -57,11 +57,13 @@ def fit(step_fn: Callable, params, opt_state,
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             params, opt_state, loss = step_fn(params, opt_state, batch, sub)
             step += 1
+            meter.update(float(loss))
             if step % config.log_every == 0:
-                meter.update(float(loss))
                 logger.info(f"epoch {epoch} step {step} loss {meter.val:.4f} "
                             f"(avg {meter.avg:.4f})")
-        history["train_loss"].append(meter.avg if meter.count else float(loss))
+        history["train_loss"].append(meter.avg if meter.count else float("nan"))
+        if not meter.count:
+            logger.warning(f"epoch {epoch}: no training batches")
 
         if val_batches is not None and eval_loss_fn is not None:
             vmeter = AverageMeter()

@@ -165,6 +165,11 @@ def test_sapclip_uni_transform():
     img = jnp.asarray(np.random.default_rng(0).standard_normal((3, 1280, 1280)),
                       jnp.float32)
     pt = jnp.asarray([10.0, 20.0])
+    # patch-sized input (256x256): scale>1 branches must zero-pad, not crash
+    small = jnp.asarray(np.random.default_rng(1).standard_normal((3, 256, 256)),
+                        jnp.float32)
+    out_s, _, _ = sapclip_uni_transform(jax.random.PRNGKey(0), small, pt, size=256)
+    assert out_s.shape == (3, 256, 256)
     seen = set()
     for seed in range(8):
         out, pt2, onehot = sapclip_uni_transform(jax.random.PRNGKey(seed), img,

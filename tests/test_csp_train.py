@@ -51,14 +51,19 @@ def test_csp_losses_decrease(loss):
 
 def test_rand_locations_ranges():
     tr = _trainer()
-    for kind in ["uniform", "spherical"]:
+    for kind in ["uniform", "spherical", "spherical_correct"]:
         tr2 = CspTrainer(tr.encoder, CspTrainConfig(neg_rand_type=kind))
         pts = np.asarray(tr2.rand_locations(jax.random.PRNGKey(0), 2000))
         assert pts[:, 0].min() >= -180 and pts[:, 0].max() <= 180
         assert pts[:, 1].min() >= -90 and pts[:, 1].max() <= 90
-    # spherical sampling is area-uniform: |lat| > 60deg holds ~13.4% of area
-    frac_high = np.mean(np.abs(pts[:, 1]) > 60)
-    assert 0.08 < frac_high < 0.2
+        if kind == "spherical":
+            # faithful to the upstream quirk (losses.py:47-68): raw U[0,1]
+            # draws scaled to degrees => NE quadrant only
+            assert pts[:, 0].min() >= 0 and pts[:, 1].min() >= 0
+        if kind == "spherical_correct":
+            # area-uniform: |lat| > 60deg holds ~13.4% of the sphere
+            frac_high = np.mean(np.abs(pts[:, 1]) > 60)
+            assert 0.08 < frac_high < 0.2
 
 
 def _toy_model():

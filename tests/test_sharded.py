@@ -114,3 +114,56 @@ def test_sharded_pallas_range_mode():
                                 tier="high", bm=8, bn=128, interpret=True)
     )
     np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_retrieve_clustered_bank_valid_mask():
+    """Scattered-validity (cluster-packed) banks through the jnp sharded path
+    must match the single-device result (review fix: valid_mask was ignored)."""
+    from range_tpu.bank.clustered import cluster_bank
+
+    bank, q, q_xyz = _setup(n=900, b=16, dk=32, dv=32, seed=7, pad_to=128)
+    cb, _ = cluster_bank(bank, bn=128)
+    # pad cluster-packed rows to a multiple of 8 shards x 128
+    rows = cb.num_rows
+    target = ((rows + 1023) // 1024) * 1024
+    if target != rows:
+        import jax.numpy as jnp
+
+        def pad(x, width):
+            return jnp.pad(x, ((0, width), *[(0, 0)] * (x.ndim - 1)))
+
+        from range_tpu.bank.bank import GeoBank
+
+        cb = GeoBank(
+            locs_lonlat=pad(cb.locs_lonlat, target - rows),
+            xyz=pad(cb.xyz, target - rows),
+            keys_sem=pad(cb.keys_sem, target - rows),
+            values=pad(cb.values, target - rows),
+            n_valid=cb.n_valid,
+            valid_mask=pad(cb.valid_mask, target - rows),
+        )
+    expect = np.asarray(retrieval.retrieve(q, q_xyz, cb, sem_temp=12.0,
+                                           geo_temp=40.0, beta=0.5, chunk=128))
+    mesh = make_mesh((1, 8), ("data", "bank"))
+    sb = shard_bank(cb, mesh)
+    got = np.asarray(sharded_retrieve(q, q_xyz, sb, mesh, sem_temp=12.0,
+                                      geo_temp=40.0, beta=0.5, chunk=128))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_save_npz_clustered_roundtrip(tmp_path):
+    """save_npz on a scattered-mask bank keeps exactly the valid rows
+    (review fix: prefix slicing lost/corrupted rows)."""
+    from range_tpu.bank.clustered import cluster_bank
+
+    bank, _, _ = _setup(n=900, dk=16, dv=16, seed=8, pad_to=128)
+    cb, _ = cluster_bank(bank, bn=128)
+    path = str(tmp_path / "db.npz")
+    cb.save_npz(path)
+    loaded = np.load(path)
+    assert loaded["locs"].shape == (900, 2)
+    assert np.all(np.isfinite(loaded["satclip_embeddings"]))
+    # same multiset of key rows as the original bank's valid rows
+    orig = np.sort(np.asarray(bank.keys_sem[:900]).round(5).sum(1))
+    got = np.sort(loaded["satclip_embeddings"].round(5).sum(1))
+    np.testing.assert_allclose(got, orig, rtol=1e-4)

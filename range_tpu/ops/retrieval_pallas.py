@@ -481,10 +481,11 @@ def retrieve_pruned(q_sem, q_xyz, bank, stats, *, sem_temp=12.0, geo_temp=40.0,
             f"bn={bn} gives {bank.num_rows // bn}; rebuild via cluster_bank "
             f"with matching bn")
 
+    values = _serving_values(bank.values, interpret)
     idx_s, cnt_s = compute_tile_plan(
         q_sem, stats.sem_centroid, stats.sem_radius, temp=sem_temp, bm=bm,
         margin=margin)
-    sem = _family_pruned_call(q_cat[:, :sem_d], k_cat[:, :sem_d], bank.values,
+    sem = _family_pruned_call(q_cat[:, :sem_d], k_cat[:, :sem_d], values,
                               mask_neg, idx_s, cnt_s, bm=bm, bn=bn,
                               interpret=interpret)
     if mode == "range":
@@ -492,7 +493,7 @@ def retrieve_pruned(q_sem, q_xyz, bank, stats, *, sem_temp=12.0, geo_temp=40.0,
     idx_g, cnt_g = compute_tile_plan(
         q_xyz, stats.geo_centroid, stats.geo_radius, temp=geo_temp, bm=bm,
         margin=margin)
-    geo = _family_pruned_call(q_cat[:, sem_d:], k_cat[:, sem_d:], bank.values,
+    geo = _family_pruned_call(q_cat[:, sem_d:], k_cat[:, sem_d:], values,
                               mask_neg, idx_g, cnt_g, bm=bm, bn=bn,
                               interpret=interpret)
     out = beta * sem + (1.0 - beta) * geo
@@ -501,8 +502,20 @@ def retrieve_pruned(q_sem, q_xyz, bank, stats, *, sem_temp=12.0, geo_temp=40.0,
     return out
 
 
+def _serving_values(values: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """The compiled kernel always runs bf16 values: f32 value blocks do not
+    fit VMEM at any useful block size (measured: every f32 config OOMs at
+    19-33 MB scoped vs the 16 MB limit), and the weighted average smooths
+    bf16 value rounding to <1% (test_fused_bf16_values_close).  Interpret
+    mode (CPU parity tests) keeps the stored dtype; f32-exact serving goes
+    through ops/retrieval.retrieve."""
+    if interpret or values.dtype == jnp.bfloat16:
+        return values
+    return values.astype(jnp.bfloat16)
+
+
 def _pick_bn(bn: int, bm: int, cat_d: int, Dv: int, k_item: int, v_item: int,
-             n_rows: int, budget: int = 15 * 2**20) -> int:
+             n_rows: int, budget: int = 13 * 2**20) -> int:
     """Largest bn <= requested that fits the VMEM budget and divides n_rows.
     Mosaic double-buffers ALL streamed blocks (k, v, q, out), measured
     against actual scoped-vmem OOM reports."""
@@ -659,9 +672,10 @@ def retrieve_hybrid(q_sem, q_xyz, bank, stats, *, sem_temp=12.0, geo_temp=40.0,
     flags = compute_keep_mask(q_xyz, stats.geo_centroid, stats.geo_radius,
                               temp=geo_temp, bm=bm, margin=margin
                               ).astype(jnp.int32)
-    out = retrieve_fused_hybrid(q_cat, k_cat, bank.values, mask_neg,
-                                jnp.float32(beta), flags, sem_d=sem_d, bm=bm,
-                                bn=bn, interpret=interpret)
+    out = retrieve_fused_hybrid(q_cat, k_cat,
+                                _serving_values(bank.values, interpret),
+                                mask_neg, jnp.float32(beta), flags,
+                                sem_d=sem_d, bm=bm, bn=bn, interpret=interpret)
     if inv is not None:
         out = out[inv]
     return out
@@ -680,8 +694,9 @@ def retrieve_pallas(q_sem, q_xyz, bank, *, sem_temp=12.0, geo_temp=40.0,
     k_cat = pack_bank(bank.keys_sem, bank.xyz, tier=tier)
     sem_d, cat_d = packed_dims(bank.keys_sem.shape[1], tier)
     mask_neg = (NEG * (1.0 - bank.row_mask()))[None, :].astype(jnp.float32)
+    values = _serving_values(bank.values, interpret)
     bn = _pick_bn(bn, bm, cat_d, bank.value_dim, k_cat.dtype.itemsize,
-                  bank.values.dtype.itemsize, bank.num_rows)
-    return retrieve_fused(q_cat, k_cat, bank.values, mask_neg,
+                  values.dtype.itemsize, bank.num_rows)
+    return retrieve_fused(q_cat, k_cat, values, mask_neg,
                           jnp.float32(beta), sem_d=sem_d, bm=bm, bn=bn,
                           interpret=interpret)

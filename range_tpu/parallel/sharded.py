@@ -190,8 +190,11 @@ def sharded_retrieve_pallas(
             mask = (jnp.arange(rows_per_shard) < local_valid).astype(jnp.float32)
         mask_neg = (NEG * (1.0 - mask))[None, :].astype(jnp.float32)
         k_cat = pack_bank(bank_l.keys_sem, bank_l.xyz, tier=tier)
-        parts = retrieve_fused_parts(q_cat_l, k_cat, bank_l.values, mask_neg,
-                                     sem_d=sem_d, bm=bm, bn=bn,
+        from ..ops.retrieval_pallas import _serving_values
+
+        parts = retrieve_fused_parts(q_cat_l, k_cat,
+                                     _serving_values(bank_l.values, interpret),
+                                     mask_neg, sem_d=sem_d, bm=bm, bn=bn,
                                      interpret=interpret)
         total = jax.lax.psum(parts, bank_axis)
         sem = total[:, :Dv] / jnp.maximum(total[:, 2 * Dv:2 * Dv + 1], 1e-30)

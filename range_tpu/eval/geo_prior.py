@@ -125,6 +125,54 @@ def combine(cnn_preds: Optional[jnp.ndarray], prior: jnp.ndarray) -> jnp.ndarray
     return cnn_preds * prior
 
 
+def compute_acc(val_preds: Optional[np.ndarray], val_classes: np.ndarray,
+                val_locs: Optional[np.ndarray] = None,
+                train_classes: Optional[np.ndarray] = None,
+                train_locs: Optional[np.ndarray] = None,
+                prior_type: str = "no_prior", prior=None,
+                num_classes: Optional[int] = None,
+                hyper_params: Optional[dict] = None,
+                ks: Sequence[int] = (1, 3, 5, 10)) -> Dict[int, float]:
+    """Prior-type dispatch mirroring `compute_acc`/`compute_acc_batch`
+    (`csp/main/eval_helper.py:18-260`), fully batched.
+
+    prior_type: 'no_prior' | 'train_freq' | 'nn_dist' | 'nn_knn' | 'kde' |
+    'grid' (prior = GridPrior) | 'model' (prior = callable locs -> [B, K]).
+    """
+    hp = hyper_params or {}
+    if num_classes is None:
+        num_classes = val_preds.shape[1] if val_preds is not None else int(
+            np.max(train_classes)) + 1
+    if prior_type == "no_prior":
+        p = None
+    elif prior_type == "train_freq":
+        p = train_freq_prior(np.asarray(train_classes), num_classes)[None, :]
+    elif prior_type in ("nn_dist", "nn_knn"):
+        p = neighbor_prior(
+            jnp.asarray(train_classes), num_classes, jnp.asarray(val_locs),
+            jnp.asarray(train_locs),
+            ptype="distance" if prior_type == "nn_dist" else "knn",
+            dist_thresh=hp.get("dist_thresh", 0.05),
+            num_neighbors=hp.get("num_neighbors", 100))
+    elif prior_type == "kde":
+        p = kde_prior(jnp.asarray(train_classes), jnp.asarray(train_locs),
+                      num_classes, jnp.asarray(val_locs),
+                      kde_nb=hp.get("kde_nb", 100))
+    elif prior_type == "grid":
+        p = prior.eval(np.asarray(val_locs))
+    elif prior_type == "model":
+        p = prior(np.asarray(val_locs))
+    else:
+        raise ValueError(f"unknown prior_type {prior_type}")
+    if p is None:
+        pred = np.asarray(val_preds)
+    else:
+        pred = np.asarray(combine(
+            jnp.asarray(val_preds) if val_preds is not None else None,
+            jnp.asarray(p)))
+    return compute_topk_acc(pred, val_classes, ks)
+
+
 def compute_topk_acc(pred: np.ndarray, classes: np.ndarray,
                      ks: Sequence[int] = (1, 3, 5, 10)) -> Dict[int, float]:
     """Top-k accuracies (compute_acc's metric set, eval_helper.py:238-243)."""

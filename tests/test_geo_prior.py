@@ -142,3 +142,37 @@ def test_inat_pipeline(tmp_path):
     sparse.save_npz(sp_path, preds)
     dense = inat.load_sparse_feats(sp_path)
     np.testing.assert_allclose(dense, preds.todense(), rtol=1e-6)
+
+
+def test_compute_acc_dispatch():
+    """The prior-type dispatch wrapper (compute_acc parity surface)."""
+    train_locs, train_cls = _toy_data(seed=9)
+    val_locs, val_cls = _toy_data(100, seed=10)
+    k = 6
+    rng = np.random.default_rng(11)
+    preds = np.asarray(jax.nn.softmax(jnp.asarray(
+        0.5 * np.eye(k)[val_cls] + rng.normal(0, 0.3, (100, k))), axis=-1))
+    base = gp.compute_acc(preds, val_cls, prior_type="no_prior")
+    assert set(base) == {1, 3, 5, 10}
+    nn = gp.compute_acc(preds, val_cls, val_locs=val_locs,
+                        train_classes=train_cls, train_locs=train_locs,
+                        prior_type="nn_dist",
+                        hyper_params={"dist_thresh": 0.2})
+    assert nn[1] >= base[1]
+    tf = gp.compute_acc(preds, val_cls, train_classes=train_cls,
+                        prior_type="train_freq")
+    assert 0 <= tf[1] <= 1
+    grid = gp.GridPrior(train_locs, train_cls, k, gp_size=(36, 18))
+    gr = gp.compute_acc(preds, val_cls, val_locs=val_locs, prior_type="grid",
+                        prior=grid)
+    assert 0 <= gr[1] <= 1
+    kde = gp.compute_acc(preds, val_cls, val_locs=val_locs,
+                         train_classes=train_cls, train_locs=train_locs,
+                         prior_type="kde", hyper_params={"kde_nb": 20})
+    assert 0 <= kde[1] <= 1
+    # prior-only (val_preds=None) requires a prior
+    only = gp.compute_acc(None, val_cls, val_locs=val_locs,
+                          train_classes=train_cls, train_locs=train_locs,
+                          prior_type="nn_dist", num_classes=k,
+                          hyper_params={"dist_thresh": 0.2})
+    assert only[1] > 1.0 / k

@@ -107,6 +107,32 @@ def rff_embed(coords: jnp.ndarray, dirvec: jnp.ndarray, shift: jnp.ndarray,
     return jnp.cos(c @ dirvec + shift) * math.sqrt(2.0 / F)
 
 
+def hexagon_embed(coords: jnp.ndarray, frequency_num: int,
+                  max_radius: float) -> jnp.ndarray:
+    """Hexagon grid-cell PE (`SpatialRelationEncoder.py:355-446`): per coord
+    and frequency, three sines phase-shifted by 120 degrees; frequencies are
+    max_radius^{-f/(F-1)} (the class's own ladder, not _cal_freq_list).
+    [B, 2] -> [B, 6*F] in (coord, freq, phase) order."""
+    f = jnp.arange(frequency_num, dtype=coords.dtype)
+    freqs = max_radius ** (-f / (frequency_num - 1))
+    ang = coords[:, :, None] * freqs[None, None, :]  # [B, 2, F]
+    phases = jnp.asarray([0.0, 2 * math.pi / 3, 4 * math.pi / 3], coords.dtype)
+    out = jnp.sin(ang[..., None] + phases)  # [B, 2, F, 3]
+    return out.reshape(coords.shape[0], -1)
+
+
+def rbf_embed(coords: jnp.ndarray, anchors: jnp.ndarray,
+              kernel_size: float) -> jnp.ndarray:
+    """RBF anchor-point PE (`SpatialRelationEncoder.py:974-1140`, 'global'
+    model): exp(-|x - a|^2 / (2 sigma^2)) against anchor locations sampled
+    from the training set.  Anchors live in the param tree (the reference
+    keeps them as a module attribute, so they are NOT in its checkpoints —
+    reproducibility requires re-supplying train_locs there; here they
+    checkpoint with everything else)."""
+    d2 = jnp.sum((coords[:, None, :] - anchors[None, :, :]) ** 2, axis=-1)
+    return jnp.exp(-d2 / (2.0 * kernel_size ** 2))
+
+
 # gridcellnorm/theorynorm share the plain encoders' math: the reference
 # "Norm" variants' normalization line executes after the embedding is built
 # (dead code, SpatialRelationEncoder.py:305-306), so they are exact aliases.
@@ -118,6 +144,8 @@ _PE_DIMS = {
     "naive": lambda f: 2,
     "geo_net_fft": lambda f: 4,
     "rff": lambda f: f,
+    "hexagridcell": lambda f: 6 * f,
+    "rbf": lambda f: f,  # f doubles as num_rbf_anchor_pts
 }
 
 
@@ -267,7 +295,7 @@ class CspLocationEncoder:
         )
         self.embedding_dim = config.num_filts
 
-    def init(self, rng, dtype=jnp.float32):
+    def init(self, rng, dtype=jnp.float32, train_locs=None):
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         cfg = self.config
         bound_c = 1.0 / math.sqrt(cfg.num_filts)
@@ -286,6 +314,15 @@ class CspLocationEncoder:
                 "shift": jax.random.uniform(ks, (cfg.frequency_num,), dtype,
                                             0.0, 2 * math.pi),
             }
+        if cfg.spa_enc_type == "rbf":
+            if train_locs is None:
+                raise ValueError("spa_enc_type='rbf' needs train_locs at init "
+                                 "(anchor points sample from the training set, "
+                                 "utils.py get_spa_encoder / baselines)")
+            idx = jax.random.choice(k4, train_locs.shape[0],
+                                    (cfg.frequency_num,),
+                                    replace=train_locs.shape[0] < cfg.frequency_num)
+            params["rbf_anchors"] = jnp.asarray(train_locs, dtype)[idx]
         return params
 
     def pe(self, coords: jnp.ndarray, params=None) -> jnp.ndarray:
@@ -303,6 +340,10 @@ class CspLocationEncoder:
         if cfg.spa_enc_type == "rff":
             return rff_embed(coords, params["rff"]["dirvec"],
                              params["rff"]["shift"], cfg.map_range)
+        if cfg.spa_enc_type == "hexagridcell":
+            return hexagon_embed(coords, cfg.frequency_num, cfg.max_radius)
+        if cfg.spa_enc_type == "rbf":
+            return rbf_embed(coords, params["rbf_anchors"], cfg.rbf_kernal_size)
         raise NotImplementedError(cfg.spa_enc_type)
 
     def features(self, params, coords, *, training=False, rng=None):

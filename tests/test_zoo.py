@@ -214,3 +214,49 @@ def test_csp_rff_parity():
                      return_feats=True).numpy()
     got = np.asarray(ours.apply(params, jnp.asarray(coords, jnp.float32)))
     np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-5)
+
+
+def test_csp_hexagon_and_rbf():
+    """Hexagon PE matches the reference's per-element math; RBF produces
+    valid gaussian responses around its anchors."""
+    from range_tpu.models.csp import hexagon_embed, rbf_embed
+
+    coords = np.array([[10.0, 20.0], [-50.0, 5.0]])
+    F, R = 4, 360.0
+    got = np.asarray(hexagon_embed(jnp.asarray(coords), F, R))
+    # reference cal_coord_embed (SpatialRelationEncoder.py:390-406)
+    import math as m
+    expect = []
+    for row in coords:
+        e = []
+        for c in row:
+            for f in range(F):
+                ang = c / (R ** (f / (F - 1)))
+                e += [m.sin(ang), m.sin(ang + 2 * m.pi / 3), m.sin(ang + 4 * m.pi / 3)]
+        expect.append(e)
+    np.testing.assert_allclose(got, np.asarray(expect), rtol=1e-5, atol=1e-6)
+
+    anchors = jnp.asarray([[0.0, 0.0], [100.0, 50.0]])
+    r = np.asarray(rbf_embed(jnp.asarray(coords), anchors, kernel_size=30.0))
+    assert r.shape == (2, 2)
+    assert np.all((r > 0) & (r <= 1))
+    # closer anchor responds more
+    assert r[0, 0] > r[0, 1]
+
+    # full encoder paths run
+    enc_h = CspLocationEncoder(CspConfig(spa_enc_type="hexagridcell",
+                                         num_filts=16, frequency_num=4,
+                                         hidden_dim=32, use_layn=False,
+                                         skip_connection=False))
+    p = enc_h.init(jax.random.PRNGKey(0))
+    out = enc_h.apply(p, jnp.asarray(coords, jnp.float32))
+    assert out.shape == (2, 16)
+
+    enc_r = CspLocationEncoder(CspConfig(spa_enc_type="rbf", num_filts=16,
+                                         frequency_num=8, rbf_kernal_size=30.0,
+                                         hidden_dim=32, use_layn=False,
+                                         skip_connection=False))
+    train_locs = np.random.default_rng(0).uniform(-90, 90, (50, 2))
+    p = enc_r.init(jax.random.PRNGKey(1), train_locs=train_locs)
+    out = enc_r.apply(p, jnp.asarray(coords, jnp.float32))
+    assert out.shape == (2, 16)

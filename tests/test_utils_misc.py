@@ -164,3 +164,26 @@ def test_profiling_helpers(tmp_path):
     assert isinstance(stats, dict)
     with trace(str(tmp_path / "prof")):
         _ = float(jnp.sum(jnp.ones((8, 8))))
+
+
+def test_native_npz_reader_odd_dtypes(tmp_path):
+    from range_tpu.native.bankio import load_npz_native, native_available
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "odd.npz")
+    arrays = {
+        "scalar": np.float32(3.5),
+        "boolean": rng.random(17) > 0.5,
+        "int8": rng.integers(-100, 100, (5, 7)).astype(np.int8),
+        "f16": rng.standard_normal((3, 3)).astype(np.float16),
+        "threed": rng.standard_normal((2, 3, 4)).astype(np.float32),
+        "empty": np.zeros((0, 4), np.float32),
+        "f64": rng.standard_normal(9),
+    }
+    np.savez(path, **arrays)
+    out = load_npz_native(path)
+    ref = dict(np.load(path))
+    for k in ref:
+        np.testing.assert_array_equal(out[k], ref[k])

@@ -202,9 +202,11 @@ def load_satclip_full(ckpt_path: str, dtype=jnp.float32):
     logit_scale — e.g. for bank construction, which uses `.visual`
     (`generate_db.py:231-234`).
 
-    Only the ViT vision branch is supported (the released SatCLIP-ViT16-L40;
-    the timm moco_resnet/vit branches of `model_old.py:286-311` pull torchgeo
-    weights and are out of scope)."""
+    ViT and ModifiedResNet vision branches are supported (a tuple/list of
+    `vision_layers` selects ResNet, `model_old.py:274-284`; the timm
+    moco_resnet/vit branches of `model_old.py:286-311` pull torchgeo weights
+    and are out of scope)."""
+    from ..models.resnet import ResNetConfig, resnet_params_from_state_dict
     from ..models.satclip import SatClipLocationConfig
     from ..models.vit import ViTConfig
     from ..train.satclip import SatClipConfig, SatClipModel
@@ -212,24 +214,37 @@ def load_satclip_full(ckpt_path: str, dtype=jnp.float32):
     ckpt = load_torch_checkpoint(ckpt_path)
     hp = dict(ckpt["hyper_parameters"])
     vision_layers = hp.get("vision_layers", 12)
-    if not isinstance(vision_layers, int):
+    if isinstance(vision_layers, (tuple, list)):
+        vision = ResNetConfig(
+            layers=tuple(vision_layers),
+            output_dim=hp.get("embed_dim", 256),
+            width=hp.get("vision_width", 64),
+            input_resolution=hp.get("image_resolution", 256),
+            in_channels=hp.get("in_channels", 13),
+        )
+        vision_params = lambda sd: resnet_params_from_state_dict(
+            sd, "model.visual.", vision, dtype)
+    elif isinstance(vision_layers, int):
+        vision = ViTConfig(
+            image_resolution=hp.get("image_resolution", 256),
+            patch_size=hp.get("vision_patch_size", 16),
+            width=hp.get("vision_width", 768),
+            layers=vision_layers,
+            heads=hp.get("vision_width", 768) // 64,  # model_old.py:315
+            in_channels=hp.get("in_channels", 13),
+            output_dim=hp.get("embed_dim", 256),
+        )
+        vision_params = lambda sd: vit_params_from_state_dict(
+            sd, "model.visual.", dtype)
+    else:
         raise NotImplementedError(
-            f"vision_layers={vision_layers!r}: only the ViT branch converts")
-    vit = ViTConfig(
-        image_resolution=hp.get("image_resolution", 256),
-        patch_size=hp.get("vision_patch_size", 16),
-        width=hp.get("vision_width", 768),
-        layers=vision_layers,
-        heads=hp.get("vision_width", 768) // 64,  # model_old.py:315
-        in_channels=hp.get("in_channels", 13),
-        output_dim=hp.get("embed_dim", 256),
-    )
+            f"vision_layers={vision_layers!r}: only ViT/ResNet branches convert")
     config = SatClipConfig(
-        vision=vit, location=SatClipLocationConfig.from_hyper_parameters(hp))
+        vision=vision, location=SatClipLocationConfig.from_hyper_parameters(hp))
     model = SatClipModel(config)
     sd = ckpt["state_dict"]
     params = {
-        "visual": vit_params_from_state_dict(sd, "model.visual.", dtype),
+        "visual": vision_params(sd),
         "location": location_params_from_state_dict(
             sd, config.location.pe_type, config.location.num_hidden_layers, dtype),
         "logit_scale": _v(sd["model.logit_scale"], dtype),

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..models.resnet import ResNetConfig, apply_resnet, init_resnet
 from ..models.satclip import SatClipLocationConfig, SatClipLocationEncoder
 from ..models.vit import ViTConfig, apply_vit, init_vit
 
@@ -35,13 +36,16 @@ Params = Any
 
 @dataclasses.dataclass(frozen=True)
 class SatClipConfig:
-    vision: ViTConfig = ViTConfig()
+    # ViTConfig or ResNetConfig — mirrors model_old.py:274-284, where a tuple
+    # of vision_layers selects the ModifiedResNet branch.
+    vision: Any = ViTConfig()
     location: SatClipLocationConfig = SatClipLocationConfig()
     init_logit_scale: float = math.log(1 / 0.07)  # model_old.py:332
 
 
 class SatClipModel:
-    """Dual tower: ViT image encoder + (posenc -> SIREN) location encoder."""
+    """Dual tower: ViT/ResNet image encoder + (posenc -> SIREN) location
+    encoder."""
 
     def __init__(self, config: SatClipConfig = SatClipConfig()):
         self.config = config
@@ -49,13 +53,19 @@ class SatClipModel:
 
     def init(self, rng, dtype=jnp.float32) -> Params:
         kv, kl = jax.random.split(rng)
+        if isinstance(self.config.vision, ResNetConfig):
+            visual = init_resnet(kv, self.config.vision, dtype=dtype)
+        else:
+            visual = init_vit(kv, self.config.vision, dtype=dtype)
         return {
-            "visual": init_vit(kv, self.config.vision, dtype=dtype),
+            "visual": visual,
             "location": self.location.init(kl, dtype=dtype),
             "logit_scale": jnp.asarray(self.config.init_logit_scale, dtype),
         }
 
     def encode_image(self, params, images):
+        if isinstance(self.config.vision, ResNetConfig):
+            return apply_resnet(params["visual"], images, self.config.vision)
         return apply_vit(params["visual"], images, self.config.vision)
 
     def encode_location(self, params, coords, *, training=False, rng=None):
@@ -150,6 +160,8 @@ def param_shardings(params: Params, mesh: Mesh, tp_axis: Optional[str] = None
         return shardings
     vis = params["visual"]
     svis = shardings["visual"]
+    if "blocks" not in vis:  # ResNet visual: conv towers stay replicated (DP)
+        return shardings
     for blk_p, blk_s in zip(vis["blocks"], svis["blocks"]):
         blk_s["mlp"]["fc"]["w"] = NamedSharding(mesh, P(None, tp_axis))
         blk_s["mlp"]["fc"]["b"] = NamedSharding(mesh, P(tp_axis))

@@ -72,3 +72,30 @@ def load_reference_location_encoder():
     sys.modules["refsatclip.positional_encoding"] = pe
     mod = _load("refsatclip.location_encoder", REF_SATCLIP + "/location_encoder.py")
     return mod
+
+
+def load_reference_model_old():
+    """Returns the reference `model_old` module (Bottleneck, AttentionPool2d,
+    ModifiedResNet, CLIP).  timm/torchgeo and the dataset module are stubbed —
+    the parity tests only instantiate the ModifiedResNet branch, which needs
+    none of them."""
+    if "refsatclip.model_old" in sys.modules:
+        return sys.modules["refsatclip.model_old"]
+    load_reference_location_encoder()  # ensures the refsatclip package exists
+    for name in ["timm", "torchgeo"]:
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    tg_models = types.ModuleType("torchgeo.models")
+    for w in ["ResNet18_Weights", "ResNet50_Weights", "ViTSmall16_Weights"]:
+        setattr(tg_models, w, None)
+    sys.modules["torchgeo.models"] = tg_models
+    sys.modules["torchgeo"].models = tg_models
+    dm = types.ModuleType("refsatclip.datamodules")
+    dm.__path__ = []
+    s2 = types.ModuleType("refsatclip.datamodules.s2geo_dataset")
+    s2.S2Geo = None
+    dm.s2geo_dataset = s2
+    sys.modules["refsatclip.datamodules"] = dm
+    sys.modules["refsatclip.datamodules.s2geo_dataset"] = s2
+    sys.modules["refsatclip"].datamodules = dm
+    return _load("refsatclip.model_old", REF_SATCLIP + "/model_old.py")

@@ -180,6 +180,59 @@ def vit_params_from_state_dict(sd: Dict[str, Any], prefix: str, dtype) -> Dict:
     return params
 
 
+def timm_vit_params_from_state_dict(sd: Dict[str, Any], prefix: str,
+                                    output_dim: int, dtype) -> Dict:
+    """Map timm `vit_small_patch16_224`-style weights — the `moco_vit16`
+    vision variant (model_old.py:304-311) — into models/vit.py layout
+    (pool='cls_head', use_ln_pre=False, quick_gelu=False, patch_bias=True).
+
+    timm naming: patch_embed.proj, cls_token [1,1,W], pos_embed [1,T+1,W],
+    blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2}, norm, head.
+    torchgeo moco weights ship without `head` (loaded strict=False upstream);
+    it falls back to zeros, trainable per the upstream recipe.
+    """
+    conv = np.asarray(sd[f"{prefix}patch_embed.proj.weight"])
+    W = conv.shape[0]
+
+    def ln(name):
+        return {"g": _v(sd[f"{prefix}{name}.weight"], dtype),
+                "b": _v(sd[f"{prefix}{name}.bias"], dtype)}
+
+    def linear(name):
+        return {"w": _t(sd[f"{prefix}{name}.weight"], dtype),
+                "b": _v(sd[f"{prefix}{name}.bias"], dtype)}
+
+    blocks = []
+    i = 0
+    while f"{prefix}blocks.{i}.norm1.weight" in sd:
+        b = f"blocks.{i}."
+        blocks.append({
+            "ln1": ln(b + "norm1"),
+            "attn": {"qkv": linear(b + "attn.qkv"),
+                     "out": linear(b + "attn.proj")},
+            "ln2": ln(b + "norm2"),
+            "mlp": {"fc": linear(b + "mlp.fc1"),
+                    "proj": linear(b + "mlp.fc2")},
+        })
+        i += 1
+    params = {
+        "patch": {"w": jnp.asarray(conv.reshape(W, -1).T, dtype),
+                  "b": _v(sd[f"{prefix}patch_embed.proj.bias"], dtype)},
+        "class_embedding": _v(
+            np.asarray(sd[f"{prefix}cls_token"]).reshape(-1), dtype),
+        "positional_embedding": _v(
+            np.asarray(sd[f"{prefix}pos_embed"])[0], dtype),
+        "blocks": blocks,
+        "ln_post": ln("norm"),
+    }
+    if f"{prefix}head.weight" in sd:
+        params["head"] = linear("head")
+    else:
+        params["head"] = {"w": jnp.zeros((W, output_dim), dtype),
+                          "b": jnp.zeros((output_dim,), dtype)}
+    return params
+
+
 def load_satclip_checkpoint(ckpt_path: str, dtype=jnp.float32):
     """Returns (SatClipLocationEncoder, params) — `get_satclip(...,
     return_all=False)` semantics (`satclip/load.py:16-18`)."""
@@ -202,11 +255,14 @@ def load_satclip_full(ckpt_path: str, dtype=jnp.float32):
     logit_scale — e.g. for bank construction, which uses `.visual`
     (`generate_db.py:231-234`).
 
-    ViT and ModifiedResNet vision branches are supported (a tuple/list of
-    `vision_layers` selects ResNet, `model_old.py:274-284`; the timm
-    moco_resnet/vit branches of `model_old.py:286-311` pull torchgeo weights
-    and are out of scope)."""
+    All vision branches of `model_old.py:274-311` are supported: int
+    `vision_layers` -> CLIP ViT, tuple/list -> ModifiedResNet,
+    'moco_resnet18'/'moco_resnet50' -> timm-layout standard ResNet,
+    'moco_vit16' -> timm-layout ViT-small (cls_head pooling)."""
     from ..models.resnet import ResNetConfig, resnet_params_from_state_dict
+    from ..models.resnet_std import (
+        RESNET18, RESNET50, dataclasses_replace_dims,
+        std_resnet_params_from_state_dict)
     from ..models.satclip import SatClipLocationConfig
     from ..models.vit import ViTConfig
     from ..train.satclip import SatClipConfig, SatClipModel
@@ -214,7 +270,23 @@ def load_satclip_full(ckpt_path: str, dtype=jnp.float32):
     ckpt = load_torch_checkpoint(ckpt_path)
     hp = dict(ckpt["hyper_parameters"])
     vision_layers = hp.get("vision_layers", 12)
-    if isinstance(vision_layers, (tuple, list)):
+    if vision_layers in ("moco_resnet18", "moco_resnet50"):
+        base = RESNET18 if vision_layers == "moco_resnet18" else RESNET50
+        vision = dataclasses_replace_dims(
+            base, output_dim=hp.get("embed_dim", 256),
+            in_channels=hp.get("in_channels", 13))
+        vision_params = lambda sd: std_resnet_params_from_state_dict(
+            sd, "model.visual.", vision, dtype)
+    elif vision_layers == "moco_vit16":
+        # timm vit_small_patch16_224 geometry (model_old.py:304-311)
+        vision = ViTConfig(
+            image_resolution=224, patch_size=16, width=384, layers=12,
+            heads=6, in_channels=hp.get("in_channels", 13),
+            output_dim=hp.get("embed_dim", 256), pool="cls_head",
+            quick_gelu=False, use_ln_pre=False, patch_bias=True)
+        vision_params = lambda sd: timm_vit_params_from_state_dict(
+            sd, "model.visual.", hp.get("embed_dim", 256), dtype)
+    elif isinstance(vision_layers, (tuple, list)):
         vision = ResNetConfig(
             layers=tuple(vision_layers),
             output_dim=hp.get("embed_dim", 256),

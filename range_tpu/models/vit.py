@@ -39,7 +39,10 @@ class ViTConfig:
     heads: int = 12
     in_channels: int = 13
     output_dim: int = 256
-    pool: str = "cls_proj"  # 'cls_proj' (CLIP) | 'mean' (SatMAE-style)
+    # 'cls_proj' (CLIP, bias-free proj) | 'mean' (SatMAE-style) |
+    # 'cls_head' (timm: final norm -> cls token -> Linear head with bias;
+    # the moco_vit16 variant, model_old.py:304-311)
+    pool: str = "cls_proj"
     quick_gelu: bool = True  # reference uses QuickGELU (model_old.py:172-174)
     use_ln_pre: bool = True  # CLIP pre-LN; MAE-style encoders skip it
     patch_bias: bool = False  # CLIP patch conv is bias-free; MAE has bias
@@ -110,6 +113,8 @@ def init_vit(rng, cfg: ViTConfig, dtype=jnp.float32) -> Params:
         params["ln_pre"] = {"g": jnp.ones((w,), dtype), "b": jnp.zeros((w,), dtype)}
     if cfg.pool == "cls_proj":
         params["proj"] = jax.random.normal(keys[3], (w, cfg.output_dim), dtype) * scale
+    elif cfg.pool == "cls_head":
+        params["head"] = lin(keys[4], w, cfg.output_dim)
     return params
 
 
@@ -166,6 +171,9 @@ def apply_vit(params: Params, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     if cfg.pool == "cls_proj":
         out = _ln(h[:, 0, :], params["ln_post"])
         return out @ params["proj"]
+    if cfg.pool == "cls_head":
+        out = _ln(h[:, 0, :], params["ln_post"])
+        return out @ params["head"]["w"] + params["head"]["b"]
     # SatMAE-style: mean over patch tokens after final LN
     # (`range/vision_models/satmae.py:19-21,37-39` mean-pools tokens 1:)
     out = _ln(h, params["ln_post"])

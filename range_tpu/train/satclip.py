@@ -28,6 +28,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.resnet import ResNetConfig, apply_resnet, init_resnet
+from ..models.resnet_std import StdResNetConfig, apply_std_resnet, init_std_resnet
 from ..models.satclip import SatClipLocationConfig, SatClipLocationEncoder
 from ..models.vit import ViTConfig, apply_vit, init_vit
 
@@ -55,6 +56,8 @@ class SatClipModel:
         kv, kl = jax.random.split(rng)
         if isinstance(self.config.vision, ResNetConfig):
             visual = init_resnet(kv, self.config.vision, dtype=dtype)
+        elif isinstance(self.config.vision, StdResNetConfig):
+            visual = init_std_resnet(kv, self.config.vision, dtype=dtype)
         else:
             visual = init_vit(kv, self.config.vision, dtype=dtype)
         return {
@@ -66,6 +69,8 @@ class SatClipModel:
     def encode_image(self, params, images):
         if isinstance(self.config.vision, ResNetConfig):
             return apply_resnet(params["visual"], images, self.config.vision)
+        if isinstance(self.config.vision, StdResNetConfig):
+            return apply_std_resnet(params["visual"], images, self.config.vision)
         return apply_vit(params["visual"], images, self.config.vision)
 
     def encode_location(self, params, coords, *, training=False, rng=None):

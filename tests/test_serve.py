@@ -1,0 +1,95 @@
+"""Serving layer: bucketed padding, dynamic batching, HTTP surface."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import range_tpu
+from range_tpu.serve import BucketedRunner, DynamicBatcher, EmbeddingServer
+
+
+@pytest.fixture(scope="module")
+def encoder():
+    return range_tpu.load_model("Wrap")
+
+
+def _rand_coords(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.stack([rng.uniform(-180, 180, n), rng.uniform(-90, 90, n)],
+                    1).astype(np.float32)
+
+
+def test_bucketed_runner_matches_direct(encoder):
+    runner = BucketedRunner(encoder, buckets=[4, 16], max_batch=16)
+    for n in [1, 3, 4, 5, 16, 37]:  # crosses buckets and max_batch chunking
+        coords = _rand_coords(n, seed=n)
+        direct = np.asarray(encoder(coords))
+        served = runner(coords)
+        assert served.shape == direct.shape
+        np.testing.assert_allclose(served, direct, rtol=1e-6, atol=1e-6)
+
+
+def test_bucketed_runner_rejects_bad_shapes(encoder):
+    runner = BucketedRunner(encoder, buckets=[4])
+    with pytest.raises(ValueError):
+        runner(np.zeros((3,), np.float32))
+    with pytest.raises(ValueError):
+        runner(np.zeros((3, 5), np.float32))
+
+
+def test_dynamic_batcher_concurrent(encoder):
+    runner = BucketedRunner(encoder, buckets=[8, 64], max_batch=64)
+    batcher = DynamicBatcher(runner, max_wait_ms=5.0)
+    try:
+        inputs = [_rand_coords(n, seed=100 + n) for n in [2, 5, 7, 3]]
+        results = [None] * len(inputs)
+
+        def work(i):
+            results[i] = batcher.embed(inputs[i])
+
+        threads = [threading.Thread(target=work, args=(i,))
+                   for i in range(len(inputs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        for i, c in enumerate(inputs):
+            np.testing.assert_allclose(results[i], np.asarray(encoder(c)),
+                                       rtol=1e-6, atol=1e-6)
+    finally:
+        batcher.close()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_http_server_roundtrip(encoder):
+    with EmbeddingServer(encoder, port=0, buckets=[8], max_batch=8) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["model"] == "Wrap"
+
+        coords = _rand_coords(5, seed=7)
+        out = _post(base + "/embed", {"coords": coords.tolist()})
+        emb = np.asarray(out["embeddings"], np.float32)
+        np.testing.assert_allclose(emb, np.asarray(encoder(coords)),
+                                   rtol=1e-5, atol=1e-5)
+
+        # malformed requests -> 400, wrong path -> 404
+        for payload in [{"coords": [1, 2, 3]}, {"wrong": []}]:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(base + "/embed", payload)
+            assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/nope", {})
+        assert ei.value.code == 404

@@ -1,0 +1,132 @@
+"""OOM-aware block-shape autotuner for the fused retrieval kernel.
+
+`_pick_bn` (retrieval_pallas.py) uses a conservative analytic VMEM model —
+it never OOMs, but leaves throughput on the table when a larger block would
+actually fit (Mosaic's real scoped-vmem accounting depends on scheduling
+details the model can't see; bm=512 measured faster on some geometries and
+OOM'd on others).  This module probes candidate (bm, bn) pairs ON DEVICE:
+compile + time each, catch Mosaic's scoped-vmem / resource-exhausted errors,
+and keep the fastest survivor.  Results are cached per problem geometry so a
+serving process pays the probe cost once per shape.
+
+Timing fences with a scalar fetch (`float(jnp.sum(...))`) rather than
+`block_until_ready()`, which can return early through a tunneled device.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+log = logging.getLogger("range_tpu.autotune")
+
+# (n_queries_bucket, bank_rows, sem_dim, value_dim, tier, mode) -> (bm, bn)
+_CACHE: Dict[Tuple, Tuple[int, int]] = {}
+
+DEFAULT_CANDIDATES: Sequence[Tuple[int, int]] = (
+    (256, 1024),  # the calibrated safe default
+    (256, 2048),
+    (512, 1024),
+    (512, 2048),
+    (128, 2048),
+    (1024, 512),
+)
+
+
+def _geometry_key(q_sem, bank, tier: str, mode: str) -> Tuple:
+    # bucket query count to the kernel's bm granularity ceiling so nearby
+    # batch sizes share an entry
+    qb = 1 << max(8, (q_sem.shape[0] - 1).bit_length())
+    return (qb, bank.num_rows, bank.keys_sem.shape[1], bank.value_dim,
+            tier, mode)
+
+
+def _is_oom(err: Exception) -> bool:
+    s = str(err).lower()
+    return ("vmem" in s or "resource" in s or "exhausted" in s
+            or "out of memory" in s or "scoped" in s)
+
+
+def autotune_retrieve(q_sem, q_xyz, bank, *,
+                      sem_temp: float = 12.0, geo_temp: float = 40.0,
+                      beta: float = 0.5, mode: str = "range+",
+                      tier: str = "fast",
+                      candidates: Sequence[Tuple[int, int]] = DEFAULT_CANDIDATES,
+                      repeats: int = 3,
+                      cache: Optional[Dict] = None,
+                      interpret: bool = False) -> Tuple[int, int]:
+    """Returns the fastest (bm, bn) for this problem geometry, probing on
+    device the first time and reading the cache afterwards.  Candidates that
+    fail to compile/execute (VMEM OOM) are skipped; `_pick_bn` inside
+    `retrieve_pallas` still clamps bn, so a surviving candidate is always
+    runnable.  Any non-OOM error also skips the candidate (logged)."""
+    from .retrieval_pallas import retrieve_pallas
+
+    cache = _CACHE if cache is None else cache
+    key = _geometry_key(q_sem, bank, tier, mode)
+    if key in cache:
+        return cache[key]
+
+    best, best_t = None, float("inf")
+    for bm, bn in candidates:
+        if bm > q_sem.shape[0] and best is not None:
+            continue  # padding beyond the batch only wastes work
+        try:
+            t = _time_candidate(q_sem, q_xyz, bank, sem_temp, geo_temp, beta,
+                                mode, tier, bm, bn, repeats, interpret)
+        except Exception as err:  # Mosaic OOM surfaces at compile OR run time
+            if _is_oom(err):
+                log.info("autotune: (bm=%d, bn=%d) OOM, skipped", bm, bn)
+                continue
+            log.warning("autotune: (bm=%d, bn=%d) failed: %s", bm, bn, err)
+            continue
+        log.info("autotune: (bm=%d, bn=%d) %.3f ms", bm, bn, t * 1e3)
+        if t < best_t:
+            best, best_t = (bm, bn), t
+    if best is None:  # every candidate failed: fall back to safe default
+        best = (256, 1024)
+    cache[key] = best
+    return best
+
+
+def _time_candidate(q_sem, q_xyz, bank, sem_temp, geo_temp, beta, mode, tier,
+                    bm, bn, repeats, interpret=False) -> float:
+    import functools
+
+    from .retrieval_pallas import retrieve_pallas
+
+    # jit with the bank as an ARGUMENT (a closure constant would serialize
+    # the whole bank into the HLO), matching how serving calls the kernel —
+    # un-jitted, per-call repacking and dispatch overhead would swamp the
+    # differences the tuner is trying to measure.
+    fn = jax.jit(functools.partial(retrieve_pallas, sem_temp=sem_temp,
+                                   geo_temp=geo_temp, beta=beta, mode=mode,
+                                   tier=tier, bm=bm, bn=bn,
+                                   interpret=interpret))
+
+    # measure the PIPELINED regime (dispatch `repeats` times, fence once with
+    # a scalar fetch) — serving overlaps dispatch with device compute, and a
+    # per-call fence would add a tunnel round-trip to every sample, hiding
+    # the block-shape differences being measured
+    float(jnp.sum(fn(q_sem, q_xyz, bank)))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fn(q_sem, q_xyz, bank)
+    float(jnp.sum(out))
+    return (time.perf_counter() - t0) / repeats
+
+
+def retrieve_autotuned(q_sem, q_xyz, bank, **kwargs):
+    """`retrieve_pallas` with autotuned block shapes.  kwargs as
+    retrieve_pallas minus bm/bn."""
+    from .retrieval_pallas import retrieve_pallas
+
+    tune_keys = {k: kwargs[k] for k in ("sem_temp", "geo_temp", "beta",
+                                        "mode", "tier", "interpret")
+                 if k in kwargs}
+    bm, bn = autotune_retrieve(q_sem, q_xyz, bank, **tune_keys)
+    return retrieve_pallas(q_sem, q_xyz, bank, bm=bm, bn=bn, **kwargs)

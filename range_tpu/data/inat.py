@@ -173,3 +173,78 @@ def export_csvs(splits: Dict[str, InatDataset], out_dir: str, year: str = "2018"
         df.to_csv(path, index=False)
         paths[split] = path
     return paths
+
+
+def load_yfcc_data(data_dir: str, ann_file_name: str, split_name: str):
+    """YFCC100M split loader (`csp/main/datasets.py:579-592`): one csv with
+    split/lon/lat/class columns; no user or date features (users all -1,
+    dates all 0).  Returns (locs [N,2], classes [N], users [N], dates [N])."""
+    import pandas as pd
+
+    da = pd.read_csv(os.path.join(data_dir, ann_file_name))
+    rows = da[da["split"] == split_name]
+    locs = rows[["lon", "lat"]].values.astype(np.float32)
+    classes = rows["class"].values.astype(np.int64)
+    users = np.full(locs.shape[0], -1, np.int64)
+    dates = np.zeros(locs.shape[0], np.float32)
+    return locs, classes, users, dates
+
+
+def load_csp_dataset(dataset: str, data_dir: str, eval_split: str = "val",
+                     remove_invalid: bool = True,
+                     load_cnn_predictions: bool = False,
+                     meta_type: str = "orig_meta") -> Dict[str, InatDataset]:
+    """Dataset dispatch mirroring `csp/main/datasets.py:16-399` for the
+    families whose artifacts this framework handles offline:
+
+      * 'inat_2017'/'inat_2018' — paired locations+annotations json
+      * 'fmow'     — same schema with {split}_location.json/{split}.json
+                     naming and dense `feature_moco/fmow_{split}_preds.npy`
+                     (62 classes, :159-210)
+      * 'birdsnap'/'nabirds' — single json keyed by split (:230-268)
+      * 'yfcc'     — train_test_split.csv + dense
+                     `features_inception/YFCC_{split}_preds.npy` (:272-297)
+
+    Returns {'train': InatDataset, eval_split: InatDataset}.
+    """
+    if dataset.startswith("inat"):
+        return load_dataset(data_dir, dataset.split("_")[-1], eval_split,
+                            remove_invalid, load_cnn_predictions)
+    splits: Dict[str, InatDataset] = {}
+    if dataset == "fmow":
+        if eval_split == "test":
+            raise ValueError("fMOW test split not available upstream")
+        for split in ["train", eval_split]:
+            locs, classes, users, dates, keep = load_inat_data(
+                data_dir, f"{split}_location.json", f"{split}.json",
+                remove_invalid)
+            ds = InatDataset(locs, classes, users, dates)
+            if split == eval_split and load_cnn_predictions:
+                preds = np.load(os.path.join(
+                    data_dir, "feature_moco", f"fmow_{eval_split}_preds.npy"))
+                ds.preds = preds[keep] if remove_invalid else preds
+            splits[split] = ds
+    elif dataset in ("birdsnap", "nabirds"):
+        ann = ("birdsnap_with_loc_2019.json" if dataset == "birdsnap"
+               else "nabirds_with_loc_2019.json")
+        for split in ["train", eval_split]:
+            locs, classes, users, dates, valid = load_bird_data(
+                data_dir, ann, split, remove_invalid, meta_type)
+            splits[split] = InatDataset(locs, classes, users, dates)
+            if split == eval_split and load_cnn_predictions:
+                preds = load_sparse_feats(os.path.join(
+                    data_dir, "features_inception",
+                    f"{dataset}_{eval_split}_preds_sparse.npz"))
+                splits[split].preds = preds[valid] if remove_invalid else preds
+    elif dataset == "yfcc":
+        for split in ["train", eval_split]:
+            locs, classes, users, dates = load_yfcc_data(
+                data_dir, "train_test_split.csv", split)
+            splits[split] = InatDataset(locs, classes, users, dates)
+            if split == eval_split and load_cnn_predictions:
+                splits[split].preds = np.load(os.path.join(
+                    data_dir, "features_inception",
+                    f"YFCC_{eval_split}_preds.npy"))
+    else:
+        raise ValueError(f"unknown dataset {dataset!r}")
+    return splits

@@ -176,3 +176,62 @@ def test_compute_acc_dispatch():
                           prior_type="nn_dist", num_classes=k,
                           hyper_params={"dist_thresh": 0.2})
     assert only[1] > 1.0 / k
+
+
+def test_csp_dataset_dispatch(tmp_path):
+    """fmow/yfcc/birdsnap branches of the CSP dataset dispatch."""
+    from range_tpu.data import inat
+    import pandas as pd
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(0)
+
+    # --- fmow: paired location/annotation json, dense moco preds
+    n = 20
+    for split in ["train", "val"]:
+        loc = [{"id": i, "lon": float(rng.uniform(-180, 180)),
+                "lat": float(rng.uniform(-90, 90)), "date_c": 0.1,
+                "user_id": 0} for i in range(n)]
+        ann = {"images": [{"id": i} for i in range(n)],
+               "annotations": [{"image_id": i,
+                                "category_id": int(rng.integers(0, 62))}
+                               for i in range(n)]}
+        with open(os.path.join(d, f"{split}_location.json"), "w") as f:
+            json.dump(loc, f)
+        with open(os.path.join(d, f"{split}.json"), "w") as f:
+            json.dump(ann, f)
+    os.makedirs(os.path.join(d, "feature_moco"), exist_ok=True)
+    np.save(os.path.join(d, "feature_moco", "fmow_val_preds.npy"),
+            rng.random((n, 62), np.float32))
+    splits = inat.load_csp_dataset("fmow", d, load_cnn_predictions=True)
+    assert splits["train"].locs.shape == (n, 2)
+    assert splits["val"].preds.shape == (n, 62)
+    with pytest.raises(ValueError):
+        inat.load_csp_dataset("fmow", d, eval_split="test")
+
+    # --- yfcc: single csv with split column, users -1, dates 0
+    df = pd.DataFrame({
+        "split": ["train"] * 15 + ["val"] * 5,
+        "lon": rng.uniform(-180, 180, 20),
+        "lat": rng.uniform(-90, 90, 20),
+        "class": rng.integers(0, 100, 20),
+    })
+    df.to_csv(os.path.join(d, "train_test_split.csv"), index=False)
+    y = inat.load_csp_dataset("yfcc", d)
+    assert y["train"].locs.shape == (15, 2) and y["val"].locs.shape == (5, 2)
+    assert np.all(y["train"].users == -1) and np.all(y["val"].dates == 0)
+
+    # --- birdsnap: split-keyed json with per-entry metadata
+    entries = {}
+    for split in ["train", "val"]:
+        entries[split] = [
+            {"valid_image": True, "class_id": int(rng.integers(0, 500)),
+             "orig_meta": {"user_id": 1, "lon": 0.0, "lat": 1.0, "date": 0.5}}
+            for _ in range(8)]
+    with open(os.path.join(d, "birdsnap_with_loc_2019.json"), "w") as f:
+        json.dump(entries, f)
+    b = inat.load_csp_dataset("birdsnap", d)
+    assert b["val"].locs.shape == (8, 2)
+
+    with pytest.raises(ValueError):
+        inat.load_csp_dataset("mystery", d)

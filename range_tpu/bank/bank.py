@@ -54,6 +54,10 @@ class GeoBank:
     # explicit [Np] {0,1} mask; None means the valid rows are the prefix
     # [0, n_valid).
     valid_mask: Optional[jnp.ndarray] = None
+    # Set by `quantize_values`: values are int8 with per-row dequantization
+    # scale [1, Np] f32 (row value = values[r] * value_scale[0, r]).  Halves
+    # the dominant HBM stream in the fused retrieval kernel.
+    value_scale: Optional[jnp.ndarray] = None
 
     @property
     def num_rows(self) -> int:
@@ -189,3 +193,32 @@ class GeoBank:
         return (
             jnp.arange(self.num_rows, dtype=jnp.int32) < self.n_valid
         ).astype(jnp.float32)
+
+
+def quantize_values(bank: GeoBank) -> GeoBank:
+    """Per-row symmetric int8 quantization of the value matrix.
+
+    values[r] ~= int8[r] * scale[r] with scale = max|row| / 127 — exact in
+    sign/zero rows, <=0.4% per-element rounding on gaussian-like embeddings,
+    and the dual-softmax's weighted averaging smooths the retrieved-feature
+    error well below that.  Keys and all softmax math are untouched, so
+    recall is unaffected.  Runs on device (jit) — no host round-trip."""
+    if bank.value_scale is not None:
+        return bank
+
+    @jax.jit
+    def _q(values):
+        v = values.astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(v), axis=1), 1e-12) / 127.0
+        v_i8 = jnp.clip(jnp.round(v / scale[:, None]), -127, 127).astype(jnp.int8)
+        return v_i8, scale[None, :]
+
+    v_i8, scale = _q(bank.values)
+    return dataclasses.replace(bank, values=v_i8, value_scale=scale)
+
+
+def dequantize_values(bank: GeoBank) -> jnp.ndarray:
+    """[Np, Dv] f32 reconstruction of quantized values (for exact paths)."""
+    if bank.value_scale is None:
+        return bank.values.astype(jnp.float32)
+    return bank.values.astype(jnp.float32) * bank.value_scale.T

@@ -178,6 +178,52 @@ def _fused_kernel(sem_d, beta_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
         out_ref[:] = beta * sem + (1.0 - beta) * geo
 
 
+def _fused_kernel_i8(sem_d, beta_ref, q_ref, k_ref, v_ref, s_ref, mask_ref,
+                     out_ref, acc_ref, ds_ref, dg_ref):
+    """_fused_kernel over int8 values with per-row scale s [1, bn].
+
+    sum_j p_j (s_j v_i8_j) = sum_j (p_j s_j) v_i8_j — the dequantization
+    scale folds into the probability tile (one VPU multiply), so the value
+    matmul runs on the raw int8 block cast to bf16 in VMEM (int8 <= 127 is
+    exact in bf16) and the HBM value stream is half the bf16 kernel's.
+    Normalizers use the UNscaled probabilities."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        ds_ref[:] = jnp.zeros_like(ds_ref)
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+
+    q = q_ref[:]
+    k = k_ref[:]
+    mask = mask_ref[:]  # [1, bn]
+    beta = beta_ref[0]
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    s_logits = jnp.dot(q[:, :sem_d], k[:, :sem_d].T,
+                       preferred_element_type=jnp.float32, precision=prec) + mask
+    g_logits = jnp.dot(q[:, sem_d:], k[:, sem_d:].T,
+                       preferred_element_type=jnp.float32, precision=prec) + mask
+    p_s = jnp.exp2(jnp.minimum(s_logits, CLAMP2))
+    p_g = jnp.exp2(jnp.minimum(g_logits, CLAMP2))
+    ds_ref[:] += jnp.sum(p_s, axis=-1, keepdims=True)
+    dg_ref[:] += jnp.sum(p_g, axis=-1, keepdims=True)
+    Dv = v_ref.shape[1]
+    s = s_ref[:]  # [1, bn] f32 dequant scales
+    v = v_ref[:].astype(jnp.bfloat16)
+    acc_ref[:, :Dv] += jnp.dot((p_s * s).astype(jnp.bfloat16), v,
+                               preferred_element_type=jnp.float32)
+    acc_ref[:, Dv:] += jnp.dot((p_g * s).astype(jnp.bfloat16), v,
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        sem = acc_ref[:, :Dv] / jnp.maximum(ds_ref[:], 1e-30)
+        geo = acc_ref[:, Dv:] / jnp.maximum(dg_ref[:], 1e-30)
+        out_ref[:] = beta * sem + (1.0 - beta) * geo
+
+
 @functools.partial(
     jax.jit, static_argnames=("sem_d", "bm", "bn", "interpret")
 )
@@ -187,6 +233,7 @@ def retrieve_fused(
     values: jnp.ndarray,
     mask_neg: jnp.ndarray,
     beta: jnp.ndarray,
+    scale: jnp.ndarray = None,
     *,
     sem_d: int,
     bm: int = 256,
@@ -198,9 +245,11 @@ def retrieve_fused(
     Args:
       q_cat: [B, D] packed queries (pack_queries).
       k_cat: [N, D] packed keys (pack_bank); N must be a multiple of bn.
-      values: [N, Dv].
+      values: [N, Dv]; int8 when `scale` is given.
       mask_neg: [1, N] additive logits mask (0 valid / -1e30 pad).
       beta: scalar f32 blend weight (beta=1 => pure semantic path = RANGE).
+      scale: optional [1, N] f32 per-row value dequantization scales
+        (bank.quantize_values) — selects the int8-value kernel.
       sem_d: column split between the semantic and geo logit groups.
     Returns: [B, Dv] f32.
     """
@@ -217,16 +266,29 @@ def retrieve_fused(
     k_spec = pl.BlockSpec((bn, cat_d), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
     m_spec = pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
 
+    v_spec = pl.BlockSpec((bn, Dv), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # beta [1]
+        q_spec,
+        k_spec,
+        v_spec,
+    ]
+    operands = [jnp.asarray([beta], jnp.float32).reshape(1), q_cat, k_cat,
+                values]
+    if scale is None:
+        kernel = functools.partial(_fused_kernel, sem_d)
+    else:
+        kernel = functools.partial(_fused_kernel_i8, sem_d)
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(scale.astype(jnp.float32))
+    in_specs.append(m_spec)
+    operands.append(mask_neg)
+
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, sem_d),
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # beta [1]
-            q_spec,
-            k_spec,
-            pl.BlockSpec((bn, Dv), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            m_spec,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, Dv), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, Dv), jnp.float32),
         scratch_shapes=[
@@ -244,7 +306,7 @@ def retrieve_fused(
             transcendentals=2 * Bp * N,
         ),
         interpret=interpret,
-    )(jnp.asarray([beta], jnp.float32).reshape(1), q_cat, k_cat, values, mask_neg)
+    )(*operands)
 
     return out[:B]
 
@@ -686,7 +748,9 @@ def retrieve_pallas(q_sem, q_xyz, bank, *, sem_temp=12.0, geo_temp=40.0,
                     bm: int = 256, bn: int = 1024,
                     interpret: bool = False) -> jnp.ndarray:
     """Drop-in fused equivalent of `ops.retrieval.retrieve` (same semantics;
-    see module docstring for the precision tiers)."""
+    see module docstring for the precision tiers).  Banks prepared with
+    `bank.quantize_values` (int8 values + per-row scale) automatically take
+    the half-bandwidth int8-value kernel."""
     if mode == "range":
         beta = 1.0
         q_xyz = None
@@ -694,9 +758,17 @@ def retrieve_pallas(q_sem, q_xyz, bank, *, sem_temp=12.0, geo_temp=40.0,
     k_cat = pack_bank(bank.keys_sem, bank.xyz, tier=tier)
     sem_d, cat_d = packed_dims(bank.keys_sem.shape[1], tier)
     mask_neg = (NEG * (1.0 - bank.row_mask()))[None, :].astype(jnp.float32)
-    values = _serving_values(bank.values, interpret)
+    scale = getattr(bank, "value_scale", None)
+    if scale is None:
+        values = _serving_values(bank.values, interpret)
+        # int8 streams half the bytes but materializes a bf16 cast temp in
+        # VMEM — net block footprint matches bf16, so the same bn fits.
+        v_item = values.dtype.itemsize
+    else:
+        values = bank.values  # int8, streamed raw
+        v_item = 2
     bn = _pick_bn(bn, bm, cat_d, bank.value_dim, k_cat.dtype.itemsize,
-                  values.dtype.itemsize, bank.num_rows)
+                  v_item, bank.num_rows)
     return retrieve_fused(q_cat, k_cat, values, mask_neg,
-                          jnp.float32(beta), sem_d=sem_d, bm=bm, bn=bn,
+                          jnp.float32(beta), scale, sem_d=sem_d, bm=bm, bn=bn,
                           interpret=interpret)

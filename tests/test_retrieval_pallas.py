@@ -106,3 +106,30 @@ def test_fused_bf16_values_close():
     )
     err = np.abs(got - expect) / np.maximum(np.abs(expect), 1e-1)
     assert err.max() < 0.02, err.max()
+
+
+def test_int8_value_kernel_matches_exact():
+    """bank.quantize_values -> int8-value kernel path: same softmax weights
+    (keys untouched), retrieved features within quantization tolerance."""
+    from range_tpu.bank.bank import GeoBank, dequantize_values, quantize_values
+
+    bank = GeoBank.synthetic(0, 900, key_dim=64, value_dim=128, pad_to=256)
+    qb = quantize_values(bank)
+    assert qb.values.dtype == jnp.int8
+    assert qb.value_scale.shape == (1, bank.num_rows)
+    assert quantize_values(qb) is qb  # idempotent
+    # dequantization error bounded by scale/2 per element
+    deq = np.asarray(dequantize_values(qb))
+    scale = np.asarray(qb.value_scale)[0]
+    assert np.all(np.abs(deq - np.asarray(bank.values)) <= scale[:, None] * 0.51)
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((32, 64)), jnp.float32)
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    xyz = jnp.asarray(rng.standard_normal((32, 3)), jnp.float32)
+    xyz = xyz / jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    ref = np.asarray(retrieval.retrieve(q, xyz, bank))
+    out = np.asarray(retrieve_pallas(q, xyz, qb, tier="exact", bm=32, bn=256,
+                                     interpret=True))
+    rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-1)
+    assert rel.max() < 0.05 and rel.mean() < 0.01, (rel.max(), rel.mean())

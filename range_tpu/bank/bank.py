@@ -138,11 +138,13 @@ class GeoBank:
             sel = np.asarray(self.valid_mask) > 0
         else:
             sel = np.arange(self.num_rows) < int(self.n_valid)
+        values = (dequantize_values(self) if self.value_scale is not None
+                  else self.values)
         np.savez(
             path,
             locs=np.asarray(self.locs_lonlat)[sel],
             satclip_embeddings=np.asarray(self.keys_sem, np.float32)[sel],
-            image_embeddings=np.asarray(self.values, np.float32)[sel],
+            image_embeddings=np.asarray(values, np.float32)[sel],
         )
 
     @classmethod

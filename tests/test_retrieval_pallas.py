@@ -133,3 +133,17 @@ def test_int8_value_kernel_matches_exact():
                                      interpret=True))
     rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-1)
     assert rel.max() < 0.05 and rel.mean() < 0.01, (rel.max(), rel.mean())
+
+
+def test_quantized_bank_save_npz_dequantizes(tmp_path):
+    from range_tpu.bank.bank import GeoBank, quantize_values
+
+    bank = GeoBank.synthetic(3, 100, key_dim=16, value_dim=32, pad_to=64)
+    qb = quantize_values(bank)
+    p = str(tmp_path / "qb.npz")
+    qb.save_npz(p)
+    db = np.load(p)
+    orig = np.asarray(bank.values)[:100]
+    assert db["image_embeddings"].shape == (100, 32)
+    # round-trips real magnitudes, not raw int8 codes
+    np.testing.assert_allclose(db["image_embeddings"], orig, atol=0.02)

@@ -132,17 +132,31 @@ def compute_acc(val_preds: Optional[np.ndarray], val_classes: np.ndarray,
                 prior_type: str = "no_prior", prior=None,
                 num_classes: Optional[int] = None,
                 hyper_params: Optional[dict] = None,
+                val_feats: Optional[np.ndarray] = None,
                 ks: Sequence[int] = (1, 3, 5, 10)) -> Dict[int, float]:
     """Prior-type dispatch mirroring `compute_acc`/`compute_acc_batch`
     (`csp/main/eval_helper.py:18-260`), fully batched.
 
     prior_type: 'no_prior' | 'train_freq' | 'nn_dist' | 'nn_knn' | 'kde' |
-    'grid' (prior = GridPrior) | 'model' (prior = callable locs -> [B, K]).
+    'grid' (prior = GridPrior) | 'model'/'geo_net' (prior = callable
+    locs -> [B, K], the trained location model's class distribution;
+    samples with nan locations are dropped, eval_helper.py:104-126) |
+    'tang_et_al' (prior = callable (locs, val_feats) -> [B, K] log-probs,
+    eval_helper.py:129-140 + TangNet).
     """
     hp = hyper_params or {}
     if num_classes is None:
         num_classes = val_preds.shape[1] if val_preds is not None else int(
             np.max(train_classes)) + 1
+    if prior_type in ("model", "geo_net", "tang_et_al"):
+        # model priors can't score unlocated samples: drop nan-loc rows
+        ok = ~np.isnan(np.asarray(val_locs)[:, 0])
+        val_locs = np.asarray(val_locs)[ok]
+        val_classes = np.asarray(val_classes)[ok]
+        if val_preds is not None:
+            val_preds = np.asarray(val_preds)[ok]
+        if val_feats is not None:
+            val_feats = np.asarray(val_feats)[ok]
     if prior_type == "no_prior":
         p = None
     elif prior_type == "train_freq":
@@ -160,8 +174,14 @@ def compute_acc(val_preds: Optional[np.ndarray], val_classes: np.ndarray,
                       kde_nb=hp.get("kde_nb", 100))
     elif prior_type == "grid":
         p = prior.eval(np.asarray(val_locs))
-    elif prior_type == "model":
+    elif prior_type in ("model", "geo_net"):
         p = prior(np.asarray(val_locs))
+    elif prior_type == "tang_et_al":
+        # TangNet outputs log-softmax over classes; it IS the prediction
+        # (not multiplied into cnn preds), eval_helper.py:133-140
+        p = np.exp(np.asarray(prior(np.asarray(val_locs),
+                                    np.asarray(val_feats))))
+        val_preds = None
     else:
         raise ValueError(f"unknown prior_type {prior_type}")
     if p is None:

@@ -146,6 +146,7 @@ _PE_DIMS = {
     "rff": lambda f: f,
     "hexagridcell": lambda f: 6 * f,
     "rbf": lambda f: f,  # f doubles as num_rbf_anchor_pts
+    "theorydiag": lambda f: 6 * f,
 }
 
 
@@ -249,6 +250,9 @@ class CspConfig:
     skip_connection: bool = True
     dropout: float = 0.5
     map_range: Tuple[float, float, float, float] = (-180, 180, -90, 90)
+    # theorydiag only (SpatialRelationEncoder.py:796-800): extra linear after
+    # the block-diagonal contraction
+    use_post_mat: bool = False
 
     @classmethod
     def from_params(cls, p: Dict[str, Any]) -> "CspConfig":
@@ -269,6 +273,7 @@ class CspConfig:
             skip_connection=bool(p.get("skip_connection", False)),
             dropout=p.get("dropout", 0.5),
             map_range=tuple(p.get("map_range", (-180, 180, -90, 90))),
+            use_post_mat=bool(p.get("use_postmat", False)),
         )
 
 
@@ -323,6 +328,25 @@ class CspLocationEncoder:
                                     (cfg.frequency_num,),
                                     replace=train_locs.shape[0] < cfg.frequency_num)
             params["rbf_anchors"] = jnp.asarray(train_locs, dtype)[idx]
+        if cfg.spa_enc_type == "theorydiag":
+            # block-diagonal post matrix [F, 6, num_filts/F], xavier-uniform
+            # (SpatialRelationEncoder.py:793-795) — replaces the FFN
+            del params["ffn"]
+            f = cfg.frequency_num
+            assert cfg.num_filts % f == 0, (cfg.num_filts, f)
+            d = cfg.num_filts // f
+            bound = math.sqrt(6.0 / (6 + d))
+            kp, kl = jax.random.split(k4)
+            params["post_mat"] = jax.random.uniform(kp, (f, 6, d), dtype,
+                                                    -bound, bound)
+            if cfg.use_post_mat:
+                b2 = math.sqrt(6.0 / (2 * cfg.num_filts))
+                kw, kb = jax.random.split(kl)
+                params["post_linear"] = {
+                    "w": jax.random.uniform(kw, (cfg.num_filts, cfg.num_filts),
+                                            dtype, -b2, b2),
+                    "b": jnp.zeros((cfg.num_filts,), dtype),
+                }
         return params
 
     def pe(self, coords: jnp.ndarray, params=None) -> jnp.ndarray:
@@ -344,9 +368,28 @@ class CspLocationEncoder:
             return hexagon_embed(coords, cfg.frequency_num, cfg.max_radius)
         if cfg.spa_enc_type == "rbf":
             return rbf_embed(coords, params["rbf_anchors"], cfg.rbf_kernal_size)
+        if cfg.spa_enc_type == "theorydiag":
+            # same sin/cos grid as 'theory' (identical interleave since the
+            # inner width 6 is even), kept [B, F, 6] for the block contraction
+            flat = theory_embed(coords, cfg.frequency_num, cfg.max_radius,
+                                cfg.min_radius, cfg.freq_init)
+            return flat.reshape(coords.shape[0], cfg.frequency_num, 6)
         raise NotImplementedError(cfg.spa_enc_type)
 
     def features(self, params, coords, *, training=False, rng=None):
+        cfg = self.config
+        if cfg.spa_enc_type == "theorydiag":
+            # einsum with the block-diagonal matrix, then activation
+            # (SpatialRelationEncoder.py:893-906); dropout is a no-op at eval
+            h = jnp.einsum("bfs,fsd->bfd", self.pe(coords, params),
+                           params["post_mat"])
+            h = h.reshape(coords.shape[0], cfg.num_filts)
+            if training and rng is not None and cfg.dropout:
+                keep = 1.0 - cfg.dropout
+                h = h * jax.random.bernoulli(rng, keep, h.shape) / keep
+            if cfg.use_post_mat:
+                h = h @ params["post_linear"]["w"] + params["post_linear"]["b"]
+            return _ACTS[cfg.spa_f_act](h)
         return apply_ffn(params["ffn"], self.pe(coords, params), self.ffn_config,
                          training=training, rng=rng)
 
@@ -406,3 +449,40 @@ def load_csp(path: str, dtype=jnp.float32) -> Tuple[CspLocationEncoder, Any]:
     enc = CspLocationEncoder(cfg)
     params = csp_params_from_state_dict(ckpt["state_dict"], cfg, dtype)
     return enc, params
+
+
+# ---------------------------------------------------------------------------
+# TangNet (Tang et al. location-context baseline, csp/main/models.py:83-112)
+# ---------------------------------------------------------------------------
+
+
+def init_tangnet(rng, ip_loc_dim: int, feats_dim: int, loc_dim: int,
+                 num_classes: int, use_loc: bool = True, dtype=jnp.float32):
+    """fc_loc: grid one-hot -> loc embedding; fc_class: [loc ‖ image feats]
+    -> classes (torch Linear default init)."""
+    k1, k2 = jax.random.split(rng)
+
+    def lin(k, din, dout):
+        bound = 1.0 / math.sqrt(din)
+        kw, kb = jax.random.split(k)
+        return {"w": jax.random.uniform(kw, (din, dout), dtype, -bound, bound),
+                "b": jax.random.uniform(kb, (dout,), dtype, -bound, bound)}
+
+    cls_in = feats_dim + loc_dim if use_loc else feats_dim
+    return {"fc_loc": lin(k1, ip_loc_dim, loc_dim),
+            "fc_class": lin(k2, cls_in, num_classes),
+            "use_loc": use_loc}
+
+
+def apply_tangnet(params, loc_onehot: jnp.ndarray, net_feat: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """log_softmax class scores (models.py:101-112).  `loc_onehot` [B, G]
+    one-hot grid cell, `net_feat` [B, F] image features."""
+    if params["use_loc"]:
+        x = jax.nn.sigmoid(loc_onehot @ params["fc_loc"]["w"]
+                           + params["fc_loc"]["b"])
+        x = jnp.concatenate([x, net_feat], axis=1)
+    else:
+        x = net_feat
+    return jax.nn.log_softmax(x @ params["fc_class"]["w"]
+                              + params["fc_class"]["b"], axis=1)

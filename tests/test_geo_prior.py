@@ -235,3 +235,45 @@ def test_csp_dataset_dispatch(tmp_path):
 
     with pytest.raises(ValueError):
         inat.load_csp_dataset("mystery", d)
+
+
+def test_geo_net_and_tang_priors():
+    """'geo_net' (model prior, nan rows dropped) and 'tang_et_al'
+    (eval_helper.py:104-140) branches of compute_acc."""
+    train_locs, train_cls = _toy_data(seed=20)
+    val_locs, val_cls = _toy_data(100, seed=21)
+    k = 6
+    rng = np.random.default_rng(22)
+    preds = np.asarray(jax.nn.softmax(jnp.asarray(
+        0.5 * np.eye(k)[val_cls] + rng.normal(0, 0.3, (100, k))), axis=-1))
+    val_locs = val_locs.copy()
+    val_locs[0] = np.nan  # unlocated sample must be dropped, not crash
+
+    # geo_net prior: an oracle location model — should improve top-1
+    def loc_model(locs):
+        band = np.clip(((locs[:, 0] + 150) / 60).round().astype(int), 0, k - 1)
+        return 0.2 / k + 0.8 * np.eye(k)[band]
+
+    base = gp.compute_acc(preds, val_cls, val_locs=val_locs,
+                          prior_type="no_prior")
+    net = gp.compute_acc(preds, val_cls, val_locs=val_locs,
+                         prior_type="geo_net", prior=loc_model)
+    assert net[1] >= base[1]
+
+    # tang_et_al: prior IS the prediction (log-probs), feats routed through
+    from range_tpu.models.csp import apply_tangnet, init_tangnet
+    import jax as _jax
+
+    params = init_tangnet(_jax.random.PRNGKey(0), 12, 8, 4, k)
+    feats = rng.standard_normal((100, 8)).astype(np.float32)
+
+    def tang(locs, f):
+        grid = np.clip(((locs[:, 0] + 180) / 30).astype(int), 0, 11)
+        onehot = np.eye(12, dtype=np.float32)[grid]
+        return np.asarray(apply_tangnet(params, jnp.asarray(onehot),
+                                        jnp.asarray(f)))
+
+    tg = gp.compute_acc(preds, val_cls, val_locs=val_locs,
+                        prior_type="tang_et_al", prior=tang, val_feats=feats,
+                        num_classes=k)
+    assert 0.0 <= tg[1] <= 1.0

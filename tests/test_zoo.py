@@ -1,6 +1,7 @@
 """Encoder zoo: CSP parity vs the reference torch stack, GeoCLIP/SINR shapes
 and converter round-trips, registry coverage of all reference names."""
 
+import dataclasses
 import importlib.util
 import sys
 import types
@@ -260,3 +261,73 @@ def test_csp_hexagon_and_rbf():
     p = enc_r.init(jax.random.PRNGKey(1), train_locs=train_locs)
     out = enc_r.apply(p, jnp.asarray(coords, jnp.float32))
     assert out.shape == (2, 16)
+
+
+def test_csp_theorydiag_parity():
+    """theorydiag: block-diagonal post_mat contraction, no FFN
+    (SpatialRelationEncoder.py:749-906)."""
+    ref_sre = _load_ref_csp() and sys.modules["refcsp.SpatialRelationEncoder"]
+    torch.manual_seed(5)
+    spa = ref_sre.TheoryDiagGridCellSpatialRelationEncoder(
+        64, coord_dim=2, frequency_num=8, max_radius=360.0, min_radius=0.1,
+        dropout=0.5, f_act="sigmoid", freq_init="geometric",
+        use_post_mat=False, device="cpu").eval()
+
+    cfg = CspConfig(spa_enc_type="theorydiag", num_filts=64, num_classes=10,
+                    frequency_num=8, max_radius=360.0, min_radius=0.1,
+                    spa_f_act="sigmoid", dropout=0.5)
+    enc = CspLocationEncoder(cfg)
+    params = enc.init(jax.random.PRNGKey(0))
+    params["post_mat"] = jnp.asarray(spa.post_mat.detach().numpy())
+
+    rng = np.random.default_rng(6)
+    coords = np.stack([rng.uniform(-180, 180, 16), rng.uniform(-90, 90, 16)], 1)
+    with torch.no_grad():
+        ref = spa(coords[:, None, :]).numpy()[:, 0]
+    ours = np.asarray(enc.features(params, jnp.asarray(coords, jnp.float32)))
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
+
+    # use_post_mat variant round-trips through the extra linear
+    torch.manual_seed(7)
+    spa2 = ref_sre.TheoryDiagGridCellSpatialRelationEncoder(
+        64, coord_dim=2, frequency_num=8, max_radius=360.0, min_radius=0.1,
+        dropout=0.5, f_act="sigmoid", freq_init="geometric",
+        use_post_mat=True, device="cpu").eval()
+    cfg2 = dataclasses.replace(cfg, use_post_mat=True)
+    enc2 = CspLocationEncoder(cfg2)
+    p2 = enc2.init(jax.random.PRNGKey(1))
+    p2["post_mat"] = jnp.asarray(spa2.post_mat.detach().numpy())
+    p2["post_linear"] = {
+        "w": jnp.asarray(spa2.post_linear.weight.detach().numpy().T),
+        "b": jnp.asarray(spa2.post_linear.bias.detach().numpy())}
+    with torch.no_grad():
+        ref2 = spa2(coords[:, None, :]).numpy()[:, 0]
+    ours2 = np.asarray(enc2.features(p2, jnp.asarray(coords, jnp.float32)))
+    np.testing.assert_allclose(ours2, ref2, rtol=2e-5, atol=2e-5)
+
+
+def test_tangnet_parity():
+    """TangNet location-context baseline (csp/main/models.py:83-112)."""
+    ref_models = _load_ref_csp()
+    from range_tpu.models.csp import apply_tangnet, init_tangnet
+
+    torch.manual_seed(8)
+    net = ref_models.TangNet(ip_loc_dim=20, feats_dim=32, loc_dim=16,
+                             num_classes=10, use_loc=True).eval()
+    params = init_tangnet(jax.random.PRNGKey(0), 20, 32, 16, 10)
+    params["fc_loc"] = {"w": jnp.asarray(net.fc_loc.weight.detach().numpy().T),
+                        "b": jnp.asarray(net.fc_loc.bias.detach().numpy())}
+    params["fc_class"] = {
+        "w": jnp.asarray(net.fc_class.weight.detach().numpy().T),
+        "b": jnp.asarray(net.fc_class.bias.detach().numpy())}
+    rng = np.random.default_rng(9)
+    loc = np.eye(20, dtype=np.float32)[rng.integers(0, 20, 8)]
+    feat = rng.standard_normal((8, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(loc), torch.from_numpy(feat)).numpy()
+    ours = np.asarray(apply_tangnet(params, jnp.asarray(loc), jnp.asarray(feat)))
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
+    # no-loc variant ignores the grid input
+    p2 = init_tangnet(jax.random.PRNGKey(1), 20, 32, 16, 10, use_loc=False)
+    out2 = apply_tangnet(p2, jnp.asarray(loc), jnp.asarray(feat))
+    np.testing.assert_allclose(np.exp(np.asarray(out2)).sum(1), 1.0, rtol=1e-5)

@@ -196,3 +196,46 @@ def make_train_step(trainer: CspTrainer, optimizer: optax.GradientTransformation
         return params, opt_state, loss
 
     return jax.jit(step, donate_argnums=(0, 1))
+
+
+def embedding_loss(trainer: CspTrainer, params, rng, loc_feat: jnp.ndarray,
+                   loc_class: jnp.ndarray, user_ids=None,
+                   rand_sample_weight: float = 1.0) -> jnp.ndarray:
+    """Supervised geo_prior presence-absence loss (`losses.py:395-469`,
+    eq. 7-9 of arXiv:1906.05272): sigmoid class scores, positives up-weighted
+    by num_classes, random background locations pushed to absence; optional
+    user-affinity terms when `user_ids` is given.
+
+    Functional (trainer, params) rather than a method so the supervised CSP
+    path composes with any encoder the trainer wraps."""
+    enc, cfg = trainer.encoder, trainer.config
+    B = loc_feat.shape[0]
+    eps = 1e-5  # bce_loss = -log(x + 1e-5), losses.py:6-7
+
+    def bce(x):
+        return -jnp.log(x + eps)
+
+    loc_rand = trainer.rand_locations(rng, B)
+    emb_cat = enc.features(params, jnp.concatenate([loc_feat, loc_rand], 0))
+    loc_emb, loc_emb_rand = emb_cat[:B], emb_cat[B:]
+    loc_pred = jax.nn.sigmoid(loc_emb @ params["class_emb"]["w"])
+    loc_pred_rand = jax.nn.sigmoid(loc_emb_rand @ params["class_emb"]["w"])
+
+    pos_weight = loc_pred.shape[1]  # num_classes
+    onehot = jax.nn.one_hot(loc_class, loc_pred.shape[1], dtype=loc_pred.dtype)
+    loss_pos = bce(1.0 - loc_pred) * (1.0 - onehot) \
+        + pos_weight * bce(loc_pred) * onehot
+    loss_bg = bce(1.0 - loc_pred_rand)
+    total = jnp.mean(loss_pos)
+    if user_ids is None:
+        return total + jnp.mean(loss_bg) * rand_sample_weight
+
+    user = params["user_emb"]["w"].T[user_ids]  # [B, num_filts]
+    p_u_given_l = jax.nn.sigmoid(jnp.sum(user * loc_emb, axis=1))
+    p_u_given_randl = jax.nn.sigmoid(jnp.sum(user * loc_emb_rand, axis=1))
+    p_c_given_u = jax.nn.sigmoid(user @ params["class_emb"]["w"])
+    user_class_loss = bce(1.0 - p_c_given_u) * (1.0 - onehot) \
+        + pos_weight * bce(p_c_given_u) * onehot
+    return (total + jnp.mean(loss_bg) + jnp.mean(bce(p_u_given_l))
+            + jnp.mean(bce(1.0 - p_u_given_randl))
+            + jnp.mean(user_class_loss))

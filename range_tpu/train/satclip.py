@@ -200,3 +200,16 @@ def make_sharded_train_step(model: SatClipModel,
 
     jitted = jax.jit(step, donate_argnums=(0, 1))
     return jitted, place_params, place_batch
+
+
+def cast_floating(params: Params, dtype=jnp.bfloat16) -> Params:
+    """TPU counterpart of `convert_weights` (model_old.py:379-400): cast the
+    float leaves of a param tree for low-precision serving (bf16 on TPU, not
+    fp16 — bf16 keeps f32's exponent range so no loss-scale bookkeeping).
+    Integer/bool leaves (e.g. int8 quantized values) pass through."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, params)

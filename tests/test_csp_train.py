@@ -104,3 +104,53 @@ def test_get_loss_fn_dispatch():
     assert sinr_losses.get_loss_fn() is sinr_losses.an_loss
     po = sinr_losses.get_loss_fn(presence_only=True, loss_weight=100)
     assert po.func is sinr_losses.full_loss
+
+
+def test_embedding_loss_supervised():
+    """Supervised geo_prior loss (losses.py:395-469): positives dominate,
+    user term optional, differentiable."""
+    import numpy as np
+
+    from range_tpu.models.csp import CspConfig, CspLocationEncoder
+    from range_tpu.train.csp import CspTrainConfig, CspTrainer, embedding_loss
+
+    enc = CspLocationEncoder(CspConfig(spa_enc_type="gridcell", num_filts=32,
+                                       num_classes=5, num_users=3,
+                                       frequency_num=4))
+    tr = CspTrainer(enc, CspTrainConfig())
+    params = tr.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    locs = jnp.asarray(np.stack([rng.uniform(-180, 180, 8),
+                                 rng.uniform(-90, 90, 8)], 1), jnp.float32)
+    cls = jnp.asarray(rng.integers(0, 5, 8))
+    uid = jnp.asarray(rng.integers(0, 3, 8))
+
+    base = float(embedding_loss(tr, params, jax.random.PRNGKey(1), locs, cls))
+    with_user = float(embedding_loss(tr, params, jax.random.PRNGKey(1), locs,
+                                     cls, user_ids=uid))
+    assert np.isfinite(base) and with_user > base  # extra BCE terms add loss
+
+    # training against it must raise the true-class probability
+    import optax
+
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, key):
+        l, g = jax.value_and_grad(
+            lambda q: embedding_loss(tr, q, key, locs, cls))(p)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(p, u), s, l
+
+    def true_prob(p):
+        emb = enc.features(p, locs)
+        pred = jax.nn.sigmoid(emb @ p["class_emb"]["w"])
+        return float(jnp.mean(pred[jnp.arange(8), cls]))
+
+    before = true_prob(params)
+    key = jax.random.PRNGKey(2)
+    for i in range(60):
+        key, k = jax.random.split(key)
+        params, state, _ = step(params, state, k)
+    assert true_prob(params) > before

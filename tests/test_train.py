@@ -99,3 +99,14 @@ def test_decay_mask_rule():
     assert bool(mask["visual"]["blocks"][0]["mlp"]["fc"]["w"]) is True
     assert bool(mask["location"]["layers"][0]["b"]) is False
     assert bool(mask["location"]["layers"][0]["w"]) is True
+
+
+def test_cast_floating():
+    from range_tpu.train.satclip import cast_floating
+
+    tree = {"w": jnp.ones((2, 2), jnp.float32), "i": jnp.ones((2,), jnp.int8),
+            "nested": [jnp.zeros((3,), jnp.float64)]}
+    out = cast_floating(tree)
+    assert out["w"].dtype == jnp.bfloat16
+    assert out["i"].dtype == jnp.int8  # ints untouched
+    assert out["nested"][0].dtype == jnp.bfloat16

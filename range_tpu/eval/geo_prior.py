@@ -210,3 +210,38 @@ def label_ranks(pred: np.ndarray, classes: np.ndarray) -> np.ndarray:
     order = np.argsort(-np.asarray(pred), axis=1)
     ranks = np.argsort(order, axis=1) + 1
     return ranks[np.arange(pred.shape[0]), np.asarray(classes)]
+
+
+# cross-validated prior hyperparameters per dataset
+# (`csp/main/eval_helper.py:435-497` get_cross_val_hyper_params)
+_CROSS_VAL_HP = {
+    "inat_2018": dict(num_neighbors=1500, dist_type="euclidean",
+                      dist_thresh=2.0, gp_size=(180, 60), pseudo_count=2,
+                      kde_dist_type="euclidean", kde_quant=5.0, kde_nb=700),
+    "inat_2017": dict(num_neighbors=1450, dist_type="euclidean",
+                      dist_thresh=5.0, gp_size=(45, 30), pseudo_count=2,
+                      kde_dist_type="euclidean", kde_quant=5.0, kde_nb=700),
+    ("birdsnap", "ebird_meta"): dict(
+        num_neighbors=700, dist_type="euclidean", dist_thresh=5.0,
+        gp_size=(30, 30), pseudo_count=2, kde_dist_type="euclidean",
+        kde_quant=0.001, kde_nb=500),
+    ("birdsnap", "orig_meta"): dict(
+        num_neighbors=100, dist_type="euclidean", dist_thresh=9.0,
+        gp_size=(225, 60), pseudo_count=2, kde_dist_type="euclidean",
+        kde_quant=0.001, kde_nb=600),
+    "nabirds": dict(num_neighbors=500, dist_type="euclidean", dist_thresh=6.0,
+                    gp_size=(45, 60), pseudo_count=2,
+                    kde_dist_type="euclidean", kde_quant=0.001, kde_nb=600),
+    "yfcc": dict(num_neighbors=75, dist_type="haversine",
+                 dist_thresh=2.0 / 6371.4, gp_size=(540, 150), pseudo_count=3,
+                 kde_dist_type="euclidean", kde_quant=0.001, kde_nb=300),
+}
+
+
+def cross_val_hyper_params(dataset: str, meta_type: str = "orig_meta") -> dict:
+    """Cross-validated prior hyperparameters for a dataset (eval_helper.py:
+    435-497); birdsnap differs by metadata source."""
+    key = (dataset, meta_type) if dataset == "birdsnap" else dataset
+    if key not in _CROSS_VAL_HP:
+        raise KeyError(f"no cross-validated hyper-params for {dataset!r}")
+    return dict(_CROSS_VAL_HP[key])

@@ -277,3 +277,20 @@ def test_geo_net_and_tang_priors():
                         prior_type="tang_et_al", prior=tang, val_feats=feats,
                         num_classes=k)
     assert 0.0 <= tg[1] <= 1.0
+
+
+def test_cross_val_hyper_params():
+    hp = gp.cross_val_hyper_params("inat_2018")
+    assert hp["num_neighbors"] == 1500 and hp["gp_size"] == (180, 60)
+    assert gp.cross_val_hyper_params("birdsnap", "ebird_meta")["kde_nb"] == 500
+    assert gp.cross_val_hyper_params("yfcc")["dist_type"] == "haversine"
+    with pytest.raises(KeyError):
+        gp.cross_val_hyper_params("fmow")
+    # the table plugs straight into compute_acc
+    train_locs, train_cls = _toy_data(seed=30)
+    val_locs, val_cls = _toy_data(50, seed=31)
+    acc = gp.compute_acc(None, val_cls, val_locs=val_locs,
+                         train_classes=train_cls, train_locs=train_locs,
+                         prior_type="kde", num_classes=6,
+                         hyper_params={"kde_nb": 20})
+    assert 0 <= acc[1] <= 1

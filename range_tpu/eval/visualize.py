@@ -74,3 +74,34 @@ def save_map(rgb: np.ndarray, path: str, extent=(-180, 180, -90, 90)) -> None:
     fig.tight_layout()
     fig.savefig(path, dpi=150)
     plt.close(fig)
+
+
+def plot_gt_locations(train_locs: np.ndarray, train_classes: np.ndarray,
+                      class_of_interest: int, out_path: str,
+                      train_dates: np.ndarray = None, mask: np.ndarray = None,
+                      extent=(-180, 180, -90, 90)) -> int:
+    """Scatter the training locations of one class over an optional earth
+    mask, date encoded as color (`csp/main/trainer_helper.py:177-214`).
+    Returns the number of instances plotted (matplotlib gated at call time)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    inds = np.where(np.asarray(train_classes) == class_of_interest)[0]
+    w = (extent[1] - extent[0]) / 45.0
+    h = (extent[3] - extent[2]) / 45.0
+    plt.figure(figsize=[w, h])
+    if mask is not None:
+        plt.imshow(mask, extent=extent, cmap="tab20")
+    colors = (np.sin(np.pi * np.asarray(train_dates)[inds])
+              if train_dates is not None else None)
+    plt.scatter(train_locs[inds, 0], train_locs[inds, 1], c=colors, s=2,
+                cmap="magma", vmin=0, vmax=1)
+    ax = plt.gca()
+    ax.axes.get_xaxis().set_visible(False)
+    ax.axes.get_yaxis().set_visible(False)
+    ax.set_frame_on(False)
+    plt.savefig(out_path, dpi=300, bbox_inches="tight", pad_inches=0)
+    plt.close()
+    return len(inds)

@@ -294,3 +294,15 @@ def test_cross_val_hyper_params():
                          prior_type="kde", num_classes=6,
                          hyper_params={"kde_nb": 20})
     assert 0 <= acc[1] <= 1
+
+
+def test_plot_gt_locations(tmp_path):
+    from range_tpu.eval.visualize import plot_gt_locations
+
+    locs, cls = _toy_data(seed=40)
+    out = os.path.join(str(tmp_path), "gt_0000.jpg")
+    n = plot_gt_locations(locs, cls, class_of_interest=0, out_path=out,
+                          train_dates=np.random.default_rng(0).random(len(cls)),
+                          mask=np.zeros((18, 36)))
+    assert n == int((cls == 0).sum())
+    assert os.path.getsize(out) > 0

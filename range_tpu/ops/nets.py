@@ -243,3 +243,61 @@ def get_neural_network(name: str, input_dim: int, num_classes: int = 256,
     if name == "fcnet":
         return FCNet(num_inputs=input_dim, num_classes=num_classes, dim_hidden=dim_hidden)
     raise ValueError(f"{name} not a known neural network.")
+
+
+# ---------------------------------------------------------------------------
+# Latent-modulated SIREN (location_encoder.py:154-214, unused in the RANGE
+# path but part of the vendored net zoo)
+# ---------------------------------------------------------------------------
+
+
+def init_modulator(rng, dim_in: int, dim_hidden: int, num_layers: int,
+                   dtype=jnp.float32):
+    """Modulator (location_encoder.py:154-177): layer i maps
+    [hidden ‖ latent] (latent alone for i=0) -> ReLU hidden; each hidden is
+    one per-layer modulation signal for SirenNet's `mods`."""
+    layers = []
+    keys = jax.random.split(rng, num_layers)
+    for ind in range(num_layers):
+        d = dim_in if ind == 0 else dim_hidden + dim_in
+        bound = 1.0 / math.sqrt(d)
+        kw, kb = jax.random.split(keys[ind])
+        layers.append({
+            "w": jax.random.uniform(kw, (d, dim_hidden), dtype, -bound, bound),
+            "b": jax.random.uniform(kb, (dim_hidden,), dtype, -bound, bound),
+        })
+    return {"layers": layers}
+
+
+def apply_modulator(params, z: jnp.ndarray):
+    """latent [*, dim_in] -> tuple of per-layer modulations [*, dim_hidden]
+    (location_encoder.py:168-177: hidden re-concatenated with the latent
+    between layers)."""
+    x = z
+    hiddens = []
+    for layer in params["layers"]:
+        x = jax.nn.relu(x @ layer["w"] + layer["b"])
+        hiddens.append(x)
+        x = jnp.concatenate([x, z], axis=-1)
+    return tuple(hiddens)
+
+
+def image_grid(height: int, width: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[-1, 1]^2 pixel-center lattice, (h w) x 2 row-major — the SirenWrapper
+    coordinate buffer (location_encoder.py:196-199)."""
+    ys = jnp.linspace(-1.0, 1.0, height, dtype=dtype)
+    xs = jnp.linspace(-1.0, 1.0, width, dtype=dtype)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    return jnp.stack([gy, gx], axis=-1).reshape(height * width, 2)
+
+
+def siren_image(net: "SirenNet", net_params, height: int, width: int,
+                modulator_params=None, latent=None) -> jnp.ndarray:
+    """SirenWrapper forward (location_encoder.py:203-214): evaluate the SIREN
+    over the image lattice, optionally modulated by a latent, and reshape to
+    [1, C, H, W].  Train by MSE against an image, as upstream."""
+    mods = (apply_modulator(modulator_params, latent)
+            if modulator_params is not None else None)
+    dtype = jax.tree_util.tree_leaves(net_params)[0].dtype
+    out = net.apply(net_params, image_grid(height, width, dtype), mods=mods)
+    return out.reshape(height, width, -1).transpose(2, 0, 1)[None]

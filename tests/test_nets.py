@@ -100,3 +100,65 @@ def test_full_location_encoder_parity():
         expect = ref_model(torch.tensor(lonlat, dtype=torch.float64)).numpy()
     got = np.asarray(ours.apply(params, jnp.asarray(lonlat, jnp.float64)))
     np.testing.assert_allclose(got, expect, rtol=1e-8, atol=1e-9)
+
+
+def test_modulated_siren_parity():
+    """Modulator + SirenWrapper (location_encoder.py:154-214) vs torch."""
+    import torch
+
+    from range_tpu.ops.nets import (apply_modulator, image_grid,
+                                    init_modulator, siren_image)
+    from reference_loader import load_reference_location_encoder
+
+    ref = load_reference_location_encoder()
+    torch.manual_seed(0)
+    net_t = ref.SirenNet(dim_in=2, dim_hidden=16, dim_out=3,
+                         num_layers=3).double()
+    wrapper = ref.SirenWrapper(net_t, image_width=6, image_height=4,
+                               latent_dim=8).double().eval()
+
+    # convert both nets through the standard converters
+    from range_tpu.convert.satclip_ckpt import siren_params_from_state_dict
+    from range_tpu.ops.nets import SirenNet
+
+    sd = {k: v.detach().numpy() for k, v in net_t.state_dict().items()}
+    net_j = SirenNet(dim_in=2, dim_hidden=16, dim_out=3, num_layers=3,
+                     final_activation="identity")
+    params_j = siren_params_from_state_dict(
+        {f"model.location.nnet.{k}": v for k, v in sd.items()},
+        "model.location.nnet.", jnp.float64)
+
+    mod_params = init_modulator(jax.random.PRNGKey(0), 8, 16, 3,
+                                dtype=jnp.float64)
+    for i, layer in enumerate(wrapper.modulator.layers):
+        mod_params["layers"][i] = {
+            "w": jnp.asarray(layer[0].weight.detach().numpy().T),
+            "b": jnp.asarray(layer[0].bias.detach().numpy())}
+
+    z = np.random.default_rng(1).standard_normal(8)
+    # modulator alone
+    ref_mods = wrapper.modulator(torch.from_numpy(z))
+    ours_mods = apply_modulator(mod_params, jnp.asarray(z))
+    for r, o in zip(ref_mods, ours_mods):
+        np.testing.assert_allclose(np.asarray(o), r.detach().numpy(),
+                                   rtol=1e-9, atol=1e-9)
+    # grid matches the registered buffer
+    np.testing.assert_allclose(np.asarray(image_grid(4, 6)),
+                               wrapper.grid.numpy(), rtol=1e-6, atol=1e-6)
+    # full modulated image forward
+    with torch.no_grad():
+        ref_img = wrapper(latent=torch.from_numpy(z)).numpy()
+    ours_img = np.asarray(siren_image(net_j, params_j, 4, 6,
+                                      modulator_params=mod_params,
+                                      latent=jnp.asarray(z)))
+    # torch/jax linspace differ by ~1e-8 in the grid; w0=30 amplifies it
+    np.testing.assert_allclose(ours_img, ref_img, rtol=1e-6, atol=1e-6)
+    # exact parity when both nets see the identical grid
+    mods_j2 = apply_modulator(mod_params, jnp.asarray(z))
+    same_grid = np.asarray(net_j.apply(params_j,
+                                       jnp.asarray(wrapper.grid.numpy()),
+                                       mods=mods_j2))
+    with torch.no_grad():
+        ref_same = net_t(wrapper.grid, wrapper.modulator(
+            torch.from_numpy(z))).numpy()
+    np.testing.assert_allclose(same_grid, ref_same, rtol=1e-9, atol=1e-9)

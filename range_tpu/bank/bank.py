@@ -224,3 +224,50 @@ def dequantize_values(bank: GeoBank) -> jnp.ndarray:
     if bank.value_scale is None:
         return bank.values.astype(jnp.float32)
     return bank.values.astype(jnp.float32) * bank.value_scale.T
+
+
+def from_npz_device(path: str, *, pad_to: int = 1024,
+                    key_dtype=jnp.float32, value_dtype=jnp.float32,
+                    use_native: bool = True) -> GeoBank:
+    """Device-prep npz load: ship the three RAW arrays with async
+    `jax.device_put` (transfers overlap — no host-side normalize/pad on the
+    critical path) and run L2-normalization, xyz conversion, padding, and
+    dtype casts in ONE jitted program on device.
+
+    Equivalent to `GeoBank.from_npz` (range.py:78-100 semantics); preferable
+    for large banks on tunneled/remote devices where host round-trips
+    dominate.  The host only touches bytes once (the mmap read)."""
+    db = None
+    if use_native:
+        try:
+            from ..native.bankio import load_npz_native
+
+            db = load_npz_native(
+                path, ["locs", "satclip_embeddings", "image_embeddings"])
+        except Exception:
+            db = None
+    if db is None:
+        db = np.load(path, allow_pickle=True)
+    locs = jax.device_put(np.ascontiguousarray(db["locs"], np.float32))
+    keys = jax.device_put(
+        np.ascontiguousarray(db["satclip_embeddings"], np.float32))
+    vals = jax.device_put(
+        np.ascontiguousarray(db["image_embeddings"], np.float32))
+    n = int(locs.shape[0])
+    n_rows = _round_up(n, pad_to)
+
+    @jax.jit
+    def prep(locs, keys, vals):
+        keys = keys / jnp.linalg.norm(keys, axis=1, keepdims=True)
+        pad = n_rows - n
+        locs_p = jnp.pad(locs, ((0, pad), (0, 0)))
+        return (
+            locs_p,
+            jnp.pad(lonlat_deg_to_xyz(locs), ((0, pad), (0, 0))),
+            jnp.pad(keys, ((0, pad), (0, 0))).astype(key_dtype),
+            jnp.pad(vals, ((0, pad), (0, 0))).astype(value_dtype),
+        )
+
+    locs_p, xyz, keys_p, vals_p = prep(locs, keys, vals)
+    return GeoBank(locs_lonlat=locs_p, xyz=xyz, keys_sem=keys_p,
+                   values=vals_p, n_valid=jnp.asarray(n, jnp.int32))

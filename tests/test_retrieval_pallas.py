@@ -147,3 +147,20 @@ def test_quantized_bank_save_npz_dequantizes(tmp_path):
     assert db["image_embeddings"].shape == (100, 32)
     # round-trips real magnitudes, not raw int8 codes
     np.testing.assert_allclose(db["image_embeddings"], orig, atol=0.02)
+
+
+def test_from_npz_device_matches_host_load(tmp_path):
+    from range_tpu.bank.bank import GeoBank, from_npz_device
+
+    src = GeoBank.synthetic(7, 300, key_dim=16, value_dim=32, pad_to=128)
+    p = str(tmp_path / "db.npz")
+    src.save_npz(p)
+    host = GeoBank.from_npz(p, pad_to=128)
+    dev = from_npz_device(p, pad_to=128)
+    assert dev.num_rows == host.num_rows and int(dev.n_valid) == 300
+    np.testing.assert_allclose(np.asarray(dev.keys_sem),
+                               np.asarray(host.keys_sem), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dev.xyz), np.asarray(host.xyz),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dev.values),
+                               np.asarray(host.values), rtol=1e-6, atol=1e-6)

@@ -102,9 +102,18 @@ def _satclip_tower(pretrained_path: Optional[str], dtype, seed: int):
 def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                  dtype=jnp.float32, seed: int = 0, chunk: int = 4096,
                  compute_dtype=jnp.float32, tier: str = "fast",
-                 use_pallas: Optional[bool] = None, **kw) -> GeoEncoder:
+                 use_pallas: Optional[bool] = None,
+                 value_quant: Optional[str] = None, **kw) -> GeoEncoder:
     tower, params = _satclip_tower(pretrained_path, dtype, seed)
     bank = _as_bank(db_path, chunk)
+    if value_quant == "int8":
+        # per-row int8 values + scale: ~half the bank HBM footprint, taken by
+        # the fused kernel automatically (see bank.quantize_values / PERF.md)
+        from .bank.bank import quantize_values
+
+        bank = quantize_values(bank)
+    elif value_quant is not None:
+        raise ValueError(f"value_quant must be None or 'int8', got {value_quant!r}")
     cfg = RangeConfig(mode=mode, beta=beta, chunk=chunk,
                       compute_dtype=compute_dtype, tier=tier,
                       use_pallas=use_pallas)

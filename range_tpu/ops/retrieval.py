@@ -127,6 +127,15 @@ def retrieve(
     Returns:
       [B, Dv] retrieved high-res features (f32).
     """
+    if getattr(bank, "value_scale", None) is not None:
+        # int8-quantized bank (bank.quantize_values): the exact path works on
+        # the f32 reconstruction (the Pallas kernel streams int8 directly)
+        import dataclasses as _dc
+
+        from ..bank.bank import dequantize_values
+
+        bank = _dc.replace(bank, values=dequantize_values(bank),
+                           value_scale=None)
     sem_state, geo_state = partial_states(
         q_sem, q_xyz, bank,
         sem_temp=sem_temp, geo_temp=geo_temp, mode=mode, chunk=chunk,

@@ -128,3 +128,21 @@ def test_list_models():
     for required in ["RANGE", "RANGE+", "SatCLIP", "Direct", "Cartesian_3D",
                      "Theory", "Wrap", "s2vec_spherem"]:
         assert required in names
+
+
+def test_load_model_value_quant():
+    import range_tpu
+    from range_tpu.bank.bank import GeoBank
+
+    bank = GeoBank.synthetic(0, 600, key_dim=256, value_dim=64, pad_to=256)
+    q8 = range_tpu.load_model("RANGE+", db_path=bank, value_quant="int8",
+                              use_pallas=False)
+    f32 = range_tpu.load_model("RANGE+", db_path=bank, use_pallas=False)
+    assert q8.extra.values.dtype == jnp.int8
+    coords = np.stack([np.linspace(-170, 170, 8), np.linspace(-80, 80, 8)], 1)
+    a = np.asarray(q8(coords))
+    b = np.asarray(f32(coords))
+    rel = np.abs(a - b) / np.maximum(np.abs(b), 1e-1)
+    assert rel.max() < 0.05
+    with pytest.raises(ValueError):
+        range_tpu.load_model("RANGE+", db_path=bank, value_quant="int4")

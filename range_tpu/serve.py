@@ -235,8 +235,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     ap.add_argument("--max-batch", type=int, default=4096)
     ap.add_argument("--db-path", default=None,
                     help="retrieval bank npz for RANGE/RANGE+")
+    ap.add_argument("--value-quant", default=None, choices=["int8"],
+                    help="quantize bank values (halves bank HBM footprint)")
     args = ap.parse_args(argv)
     kw = {"db_path": args.db_path} if args.db_path else {}
+    if args.value_quant:
+        kw["value_quant"] = args.value_quant
     encoder = load_model(args.model, **kw)
     serve_http(encoder, args.host, args.port, max_batch=args.max_batch)
 

@@ -42,7 +42,21 @@ def shard_bank(bank: GeoBank, mesh: Mesh, axis: str = "bank") -> GeoBank:
         n_valid=jax.device_put(bank.n_valid, scalar),
         valid_mask=(jax.device_put(bank.valid_mask, NamedSharding(mesh, P(axis)))
                     if bank.valid_mask is not None else None),
+        # int8 dequant scales are [1, Np]: rows live on axis 1
+        value_scale=(jax.device_put(bank.value_scale,
+                                    NamedSharding(mesh, P(None, axis)))
+                     if bank.value_scale is not None else None),
     )
+
+
+def _local_dequant(bank_l: GeoBank, dtype=jnp.float32) -> GeoBank:
+    """Reconstruct real-valued values on an int8 shard (scale is [1, rows])."""
+    if bank_l.value_scale is None:
+        return bank_l
+    import dataclasses as _dc
+
+    v = (bank_l.values.astype(jnp.float32) * bank_l.value_scale.T).astype(dtype)
+    return _dc.replace(bank_l, values=v, value_scale=None)
 
 
 def sharded_retrieve(
@@ -79,9 +93,12 @@ def sharded_retrieve(
         values=P(bank_axis, None),
         n_valid=P(),
         valid_mask=P(bank_axis) if bank.valid_mask is not None else None,
+        value_scale=(P(None, bank_axis) if bank.value_scale is not None
+                     else None),
     )
 
     def local(q_sem_l, q_xyz_l, bank_l):
+        bank_l = _local_dequant(bank_l)
         if bank_l.valid_mask is not None:
             # scattered-validity banks (cluster-packed): mask shards with rows
             local_bank = bank_l
@@ -178,9 +195,14 @@ def sharded_retrieve_pallas(
         values=P(bank_axis, None),
         n_valid=P(),
         valid_mask=P(bank_axis) if bank.valid_mask is not None else None,
+        value_scale=(P(None, bank_axis) if bank.value_scale is not None
+                     else None),
     )
 
     def local(q_cat_l, bank_l):
+        # the parts kernel has no scale input: dequantize the shard to bf16
+        # (same VMEM/stream class as the default serving values)
+        bank_l = _local_dequant(bank_l, dtype=jnp.bfloat16)
         shard_idx = jax.lax.axis_index(bank_axis)
         if bank_l.valid_mask is not None:
             mask = bank_l.valid_mask.astype(jnp.float32)

@@ -167,3 +167,33 @@ def test_save_npz_clustered_roundtrip(tmp_path):
     orig = np.sort(np.asarray(bank.keys_sem[:900]).round(5).sum(1))
     got = np.sort(loaded["satclip_embeddings"].round(5).sum(1))
     np.testing.assert_allclose(got, orig, rtol=1e-4)
+
+
+def test_sharded_retrieve_quantized_bank():
+    """int8-quantized banks shard (scale rows live on axis 1) and both
+    sharded paths match the single-device exact result within quantization
+    tolerance."""
+    from range_tpu.bank.bank import GeoBank, quantize_values
+    from range_tpu.parallel.sharded import (shard_bank, sharded_retrieve,
+                                            sharded_retrieve_pallas)
+    from range_tpu.ops.retrieval import retrieve
+
+    mesh = make_mesh((1, 8), ("data", "bank"))
+    bank = GeoBank.synthetic(11, 1800, key_dim=32, value_dim=64, pad_to=2048)
+    qb = shard_bank(quantize_values(bank), mesh)
+    assert qb.value_scale is not None
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.standard_normal((16, 32)), jnp.float32)
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    xyz = jnp.asarray(rng.standard_normal((16, 3)), jnp.float32)
+    xyz = xyz / jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+
+    ref = np.asarray(retrieve(q, xyz, bank))
+    out = np.asarray(sharded_retrieve(q, xyz, qb, mesh))
+    rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-1)
+    assert rel.max() < 0.05, rel.max()
+
+    outp = np.asarray(sharded_retrieve_pallas(q, xyz, qb, mesh, bm=16,
+                                              bn=256, interpret=True))
+    relp = np.abs(outp - ref) / np.maximum(np.abs(ref), 1e-1)
+    assert relp.max() < 0.05, relp.max()

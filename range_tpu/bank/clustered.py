@@ -105,6 +105,9 @@ def cluster_bank(bank: GeoBank, bn: int = 1024, n_clusters: Optional[int] = None
         values=take(bank.values),
         n_valid=bank.n_valid,
         valid_mask=jnp.asarray((order >= 0).astype(np.float32)),
+        # int8 dequant scales are [1, Np]: reorder along the row axis
+        value_scale=(take(bank.value_scale.T).T
+                     if bank.value_scale is not None else None),
     )
     stats = tile_stats(reordered, bn)
     return reordered, stats

@@ -149,3 +149,23 @@ def test_hybrid_matches_dense():
                                      bm=16, bn=128, margin=20.0, interpret=True))
     err = np.abs(got - expect) / np.maximum(np.abs(expect), 1e-1)
     assert err.max() < 5e-3, err.max()
+
+
+def test_cluster_bank_preserves_value_scale():
+    from range_tpu.bank.bank import GeoBank, dequantize_values, quantize_values
+    from range_tpu.bank.clustered import cluster_bank
+
+    bank = GeoBank.synthetic(5, 500, key_dim=16, value_dim=32, pad_to=256)
+    qb = quantize_values(bank)
+    clustered, _ = cluster_bank(qb, n_clusters=4, bn=128, seed=0)
+    assert clustered.value_scale is not None
+    assert clustered.value_scale.shape == (1, clustered.num_rows)
+    # dequantized rows must match the original rows (reordered)
+    deq = np.asarray(dequantize_values(clustered))
+    orig = np.asarray(bank.values)
+    sel = np.asarray(clustered.valid_mask) > 0
+    # every valid clustered row appears in the original bank
+    locs_c = np.asarray(clustered.locs_lonlat)[sel]
+    locs_o = np.asarray(bank.locs_lonlat)[:500]
+    idx = np.argmin(np.abs(locs_o[None, :, 0] - locs_c[:, 0:1]), axis=1)
+    np.testing.assert_allclose(deq[sel], orig[idx], atol=0.02)

@@ -543,7 +543,7 @@ def retrieve_pruned(q_sem, q_xyz, bank, stats, *, sem_temp=12.0, geo_temp=40.0,
             f"bn={bn} gives {bank.num_rows // bn}; rebuild via cluster_bank "
             f"with matching bn")
 
-    values = _serving_values(bank.values, interpret)
+    values = _bank_serving_values(bank, interpret)
     idx_s, cnt_s = compute_tile_plan(
         q_sem, stats.sem_centroid, stats.sem_radius, temp=sem_temp, bm=bm,
         margin=margin)
@@ -562,6 +562,16 @@ def retrieve_pruned(q_sem, q_xyz, bank, stats, *, sem_temp=12.0, geo_temp=40.0,
     if inv is not None:
         out = out[inv]
     return out
+
+
+def _bank_serving_values(bank, interpret: bool) -> jnp.ndarray:
+    """_serving_values over a GeoBank: int8-quantized banks are dequantized
+    to bf16 here (the pruned/hybrid kernels have no scale input; only the
+    dense fused kernel streams int8 natively)."""
+    if getattr(bank, "value_scale", None) is not None:
+        return (bank.values.astype(jnp.float32)
+                * bank.value_scale.T).astype(jnp.bfloat16)
+    return _serving_values(bank.values, interpret)
 
 
 def _serving_values(values: jnp.ndarray, interpret: bool) -> jnp.ndarray:
@@ -735,7 +745,7 @@ def retrieve_hybrid(q_sem, q_xyz, bank, stats, *, sem_temp=12.0, geo_temp=40.0,
                               temp=geo_temp, bm=bm, margin=margin
                               ).astype(jnp.int32)
     out = retrieve_fused_hybrid(q_cat, k_cat,
-                                _serving_values(bank.values, interpret),
+                                _bank_serving_values(bank, interpret),
                                 mask_neg, jnp.float32(beta), flags,
                                 sem_d=sem_d, bm=bm, bn=bn, interpret=interpret)
     if inv is not None:

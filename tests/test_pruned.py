@@ -169,3 +169,26 @@ def test_cluster_bank_preserves_value_scale():
     locs_o = np.asarray(bank.locs_lonlat)[:500]
     idx = np.argmin(np.abs(locs_o[None, :, 0] - locs_c[:, 0:1]), axis=1)
     np.testing.assert_allclose(deq[sel], orig[idx], atol=0.02)
+
+
+def test_pruned_retrieval_quantized_bank():
+    """retrieve_pruned on an int8 bank dequantizes (no silent raw-int8 read)."""
+    from range_tpu.bank.bank import GeoBank, quantize_values
+    from range_tpu.bank.clustered import cluster_bank, tile_stats
+    from range_tpu.ops.retrieval import retrieve
+    from range_tpu.ops.retrieval_pallas import retrieve_pruned
+
+    bank = GeoBank.synthetic(9, 700, key_dim=16, value_dim=32, pad_to=256)
+    clustered, stats = cluster_bank(quantize_values(bank), n_clusters=4,
+                                    bn=128, seed=1)
+    rng = np.random.default_rng(10)
+    q = jnp.asarray(rng.standard_normal((8, 16)), jnp.float32)
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    xyz = jnp.asarray(rng.standard_normal((8, 3)), jnp.float32)
+    xyz = xyz / jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    out = np.asarray(retrieve_pruned(q, xyz, clustered, stats, tier="exact",
+                                     bm=8, bn=128, interpret=True))
+    fc, _ = cluster_bank(bank, n_clusters=4, bn=128, seed=1)
+    ref = np.asarray(retrieve(q, xyz, fc))
+    rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-1)
+    assert rel.max() < 0.05, rel.max()

@@ -39,10 +39,11 @@ DEFAULT_CANDIDATES: Sequence[Tuple[int, int]] = (
 
 def _geometry_key(q_sem, bank, tier: str, mode: str) -> Tuple:
     # bucket query count to the kernel's bm granularity ceiling so nearby
-    # batch sizes share an entry
+    # batch sizes share an entry; value dtype matters (int8 banks stream
+    # half the bytes and tune differently from bf16)
     qb = 1 << max(8, (q_sem.shape[0] - 1).bit_length())
     return (qb, bank.num_rows, bank.keys_sem.shape[1], bank.value_dim,
-            tier, mode)
+            str(bank.values.dtype), tier, mode)
 
 
 def _is_oom(err: Exception) -> bool:

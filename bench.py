@@ -69,15 +69,17 @@ def main():
     t1 = time.perf_counter()
     log(f"first call (compile+run): {t1 - t0:.1f}s; out {out.shape} {out.dtype}")
 
-    # steady state: K dispatches, fenced by one scalar fetch at the end
+    # steady state: K dispatches, fenced by one scalar fetch at the end;
+    # best of 3 rounds (the shared tunneled chip shows ~10% run-to-run noise)
     iters = 10
     _ = float(jnp.sum(fn(enc.params, coords, enc.extra)))  # warm
-    t0 = time.perf_counter()
-    for _i in range(iters):
-        out = fn(enc.params, coords, enc.extra)
-    _ = float(jnp.sum(out))
-    t1 = time.perf_counter()
-    per_call = (t1 - t0) / iters
+    per_call = float("inf")
+    for _round in range(3):
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            out = fn(enc.params, coords, enc.extra)
+        _ = float(jnp.sum(out))
+        per_call = min(per_call, (time.perf_counter() - t0) / iters)
     throughput = BATCH / per_call
     log(f"steady-state: {per_call*1e3:.2f} ms/call -> {throughput:,.0f} queries/s")
 

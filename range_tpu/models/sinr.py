@@ -67,8 +67,14 @@ def sinr_params_from_state_dict(sd: Dict[str, Any], dtype=jnp.float32):
     def _v(x):
         return jnp.asarray(np.asarray(x), dtype)
 
+    def _block_index(key):
+        # numeric sort: 'feats.10' must come after 'feats.2'
+        digits = [s for s in key.split(".") if s.isdigit()]
+        return int(digits[-1]) if digits else 0
+
     res = []
-    for key in sorted(sd):
+    for key in sorted((k for k in sd if k.endswith(".w1.weight")),
+                      key=_block_index):
         if key.endswith(".w1.weight"):
             base = key[: -len(".w1.weight")]
             res.append({

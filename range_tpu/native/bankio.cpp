@@ -9,6 +9,7 @@
 //
 // C ABI only (ctypes-friendly; no pybind11 in the image).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -274,11 +275,30 @@ int bankio_member_read(void* h, const char* name, void* dst) {
   std::vector<uint8_t> out(m->uncomp_size);
   z_stream zs{};
   if (inflateInit2(&zs, -15) != Z_OK) return -2;
-  zs.next_in = const_cast<uint8_t*>(src);
-  zs.avail_in = (uInt)m->comp_size;
-  zs.next_out = out.data();
-  zs.avail_out = (uInt)out.size();
-  int rc = inflate(&zs, Z_FINISH);
+  // Feed input/output in <4GiB slices: zlib's avail_in/avail_out are 32-bit,
+  // but zip64 members may exceed 4GiB on either side.
+  const uint64_t kChunk = 1u << 30;
+  uint64_t in_done = 0, out_done = 0;
+  int rc = Z_OK;
+  while (rc == Z_OK || rc == Z_BUF_ERROR) {
+    if (zs.avail_in == 0 && in_done < m->comp_size) {
+      uint64_t n = std::min<uint64_t>(kChunk, m->comp_size - in_done);
+      zs.next_in = const_cast<uint8_t*>(src + in_done);
+      zs.avail_in = (uInt)n;
+      in_done += n;
+    }
+    if (zs.avail_out == 0 && out_done < out.size()) {
+      uint64_t n = std::min<uint64_t>(kChunk, out.size() - out_done);
+      zs.next_out = out.data() + out_done;
+      zs.avail_out = (uInt)n;
+      out_done += n;
+    }
+    if (rc == Z_BUF_ERROR && zs.avail_in == 0 && in_done >= m->comp_size)
+      break;  // input exhausted without reaching stream end: corrupt
+    bool final = in_done >= m->comp_size;
+    rc = inflate(&zs, final ? Z_FINISH : Z_NO_FLUSH);
+    if (rc == Z_STREAM_END) break;
+  }
   inflateEnd(&zs);
   if (rc != Z_STREAM_END) return -3;
   memcpy(dst, out.data() + m->npy_header_len, m->uncomp_size - m->npy_header_len);

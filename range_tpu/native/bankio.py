@@ -105,11 +105,22 @@ def load_npz_native(path: str, names=None, parallel: bool = True
                 raise RuntimeError(f"bankio read failed for {name} (rc={rc})")
 
         if parallel and len(names) > 1:
-            threads = [threading.Thread(target=read_one, args=(n,)) for n in names]
+            errors = []
+
+            def read_guarded(name):
+                try:
+                    read_one(name)
+                except Exception as e:  # re-raised on the main thread below
+                    errors.append(e)
+
+            threads = [threading.Thread(target=read_guarded, args=(n,))
+                       for n in names]
             for t in threads:
                 t.start()
             for t in threads:
                 t.join()
+            if errors:
+                raise errors[0]
         else:
             for n in names:
                 read_one(n)

@@ -229,7 +229,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     from .api import load_model
 
     ap = argparse.ArgumentParser(description="Serve a geo-embedding encoder")
-    ap.add_argument("--model", default="direct")
+    ap.add_argument("--model", default="Direct")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--max-batch", type=int, default=4096)

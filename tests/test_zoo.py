@@ -176,6 +176,23 @@ def test_sinr_shapes():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_sinr_state_dict_block_order_numeric():
+    """feats.10 must sort after feats.2 (numeric, not lexicographic)."""
+    from range_tpu.models.sinr import sinr_params_from_state_dict
+
+    depth = 12
+    sd = {"feats.0.weight": np.zeros((4, 2)), "feats.0.bias": np.zeros(4)}
+    for i in range(depth):
+        k = 2 + i  # reference layout: blocks live at feats.2..feats.(depth+1)
+        sd[f"feats.{k}.w1.weight"] = np.full((4, 4), float(i))
+        sd[f"feats.{k}.w1.bias"] = np.zeros(4)
+        sd[f"feats.{k}.w2.weight"] = np.full((4, 4), float(i))
+        sd[f"feats.{k}.w2.bias"] = np.zeros(4)
+    params = sinr_params_from_state_dict(sd)
+    got = [float(np.asarray(b["w1"]["w"])[0, 0]) for b in params["res"]]
+    assert got == [float(i) for i in range(depth)], got
+
+
 def test_full_reference_name_coverage():
     """Every encoder family the reference dispatcher supports
     (range.py:76-197) resolves in our registry."""

@@ -86,6 +86,11 @@ def _as_bank(db: Union[str, GeoBank, None], chunk: int) -> GeoBank:
         return db
     if isinstance(db, str) and db.startswith("synthetic:"):
         return GeoBank.synthetic_device(0, int(db.split(":")[1]), pad_to=chunk)
+    if isinstance(db, str) and db.startswith("informative:"):
+        # spatially autocorrelated synthetic bank (keys = SatCLIP-tower
+        # embeddings of the bank locations) — see GeoBank.synthetic_informative
+        return GeoBank.synthetic_informative(0, int(db.split(":")[1]),
+                                             pad_to=chunk)
     return GeoBank.from_npz(db, pad_to=chunk)
 
 

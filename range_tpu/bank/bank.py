@@ -188,6 +188,60 @@ class GeoBank:
             n_valid=jnp.asarray(n, jnp.int32),
         )
 
+    @classmethod
+    def synthetic_informative(cls, seed: int, n: int, key_dim: int = 256,
+                              value_dim: int = 1024, pad_to: int = 4096,
+                              key_dtype=jnp.float32, value_dtype=jnp.float32,
+                              ) -> "GeoBank":
+        """Spatially autocorrelated synthetic bank, generated on device.
+
+        Keys are the (seeded random-init) SatCLIP location tower's embeddings
+        of the bank locations — a smooth function of position, standing in
+        for the real bank's SatCLIP *image* embeddings, which correlate with
+        location because nearby places look alike (the property that makes
+        the semantic softmax local and retrieval meaningful,
+        range/range.py:209-217).  Values are a fixed random projection of the
+        same tower features plus noise — location-correlated like SatMAE
+        features.  This is the generator RESULTS.md's probe experiments use;
+        i.i.d. gaussian keys (`synthetic_device`) make the softmax maximally
+        diffuse and are the WORST case for any locality-exploiting path.
+        """
+        from ..models.satclip import SatClipLocationConfig, SatClipLocationEncoder
+
+        n_rows = _round_up(n, pad_to)
+        k = jax.random.PRNGKey(seed)
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        lons = jax.random.uniform(k1, (n_rows,), jnp.float32, -180.0, 180.0)
+        lats = jnp.degrees(jnp.arcsin(
+            jax.random.uniform(k2, (n_rows,), jnp.float32, -1.0, 1.0)))
+        locs = jnp.stack([lons, lats], 1)
+        row_ok = (jnp.arange(n_rows) < n)[:, None]
+
+        tower = SatClipLocationEncoder(SatClipLocationConfig(embed_dim=key_dim))
+        tower_params = tower.init(k3, dtype=jnp.float32)
+
+        @jax.jit
+        def feats(params, locs):
+            return tower.apply(params, locs)
+
+        f = feats(tower_params, locs)  # [n_rows, key_dim]
+        keys = f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+        keys = jnp.where(row_ok, keys, 0.0).astype(key_dtype)
+        kv, kn = jax.random.split(k4)
+        w = jax.random.normal(kv, (key_dim, value_dim), jnp.float32)
+        w = w / jnp.sqrt(float(key_dim))
+        vals = jnp.tanh(f @ w) + 0.1 * jax.random.normal(
+            kn, (n_rows, value_dim), jnp.float32)
+        vals = jnp.where(row_ok, vals, 0.0).astype(value_dtype)
+        locs = jnp.where(row_ok, locs, 0.0)
+        return cls(
+            locs_lonlat=locs,
+            xyz=jnp.where(row_ok, lonlat_deg_to_xyz(locs), 0.0),
+            keys_sem=keys,
+            values=vals,
+            n_valid=jnp.asarray(n, jnp.int32),
+        )
+
     def row_mask(self) -> jnp.ndarray:
         """[Np] float32 {0,1} validity mask."""
         if self.valid_mask is not None:

@@ -209,11 +209,16 @@ def partial_states(
     return sem_state, geo_state
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def exact_nn(q_sem: jnp.ndarray, bank: GeoBank, chunk: int = 8192) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("chunk", "precision"))
+def exact_nn(q_sem: jnp.ndarray, bank: GeoBank, chunk: int = 8192,
+             precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Exact argmax over semantic similarity — ground truth for recall@k.
 
-    Streaming over bank chunks (no [B, N] materialization).
+    Streaming over bank chunks (no [B, N] materialization).  The similarity
+    matmul defaults to HIGHEST precision: the TPU default routes f32 operands
+    through one bf16 pass, which is exactly the serving-tier rounding this
+    ground truth must NOT share (a same-precision comparison makes recall@1
+    vacuously 1.0).
     Returns [B] int32 bank row indices.
     """
     n_rows = bank.num_rows
@@ -226,7 +231,8 @@ def exact_nn(q_sem: jnp.ndarray, bank: GeoBank, chunk: int = 8192) -> jnp.ndarra
     def body(carry, blk):
         best, best_idx, offset = carry
         k, mneg = blk
-        sims = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + mneg[None, :]
+        sims = jnp.dot(q, k.T, preferred_element_type=jnp.float32,
+                       precision=precision) + mneg[None, :]
         blk_best = jnp.max(sims, axis=-1)
         blk_idx = jnp.argmax(sims, axis=-1).astype(jnp.int32) + offset
         take = blk_best > best

@@ -108,7 +108,11 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                  dtype=jnp.float32, seed: int = 0, chunk: int = 4096,
                  compute_dtype=jnp.float32, tier: str = "fast",
                  use_pallas: Optional[bool] = None,
-                 value_quant: Optional[str] = None, **kw) -> GeoEncoder:
+                 value_quant: Optional[str] = None,
+                 retrieval: str = "dense", k_tiles: int = 32,
+                 j_sem: int = 3, j_geo: int = 2, hier_bm: int = 256,
+                 hier_bn: int = 256, gsz_sem: int = 8, gsz_geo: int = 64,
+                 **kw) -> GeoEncoder:
     tower, params = _satclip_tower(pretrained_path, dtype, seed)
     bank = _as_bank(db_path, chunk)
     if value_quant == "int8":
@@ -119,9 +123,20 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
         bank = quantize_values(bank)
     elif value_quant is not None:
         raise ValueError(f"value_quant must be None or 'int8', got {value_quant!r}")
+    if retrieval == "hier":
+        # two-stage approximate serving (ops/retrieval_hier.py): cluster +
+        # prepack the bank once at load
+        from .ops.retrieval_hier import build_hier_bank
+
+        bank = build_hier_bank(bank, bn=hier_bn, gsz_sem=gsz_sem,
+                               gsz_geo=gsz_geo, tier=tier, seed=seed)
+    elif retrieval != "dense":
+        raise ValueError(f"retrieval must be 'dense' or 'hier', got {retrieval!r}")
     cfg = RangeConfig(mode=mode, beta=beta, chunk=chunk,
                       compute_dtype=compute_dtype, tier=tier,
-                      use_pallas=use_pallas)
+                      use_pallas=use_pallas, retrieval=retrieval,
+                      k_tiles=k_tiles, j_sem=j_sem, j_geo=j_geo,
+                      hier_bm=hier_bm)
     enc = RangeEncoder(tower, bank, cfg)
 
     def apply_fn(p, c, extra):

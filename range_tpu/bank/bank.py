@@ -192,25 +192,30 @@ class GeoBank:
     def synthetic_informative(cls, seed: int, n: int, key_dim: int = 256,
                               value_dim: int = 1024, pad_to: int = 4096,
                               key_dtype=jnp.float32, value_dtype=jnp.float32,
+                              key_noise: float = 0.25, tower_seed: int = 0,
                               ) -> "GeoBank":
         """Spatially autocorrelated synthetic bank, generated on device.
 
-        Keys are the (seeded random-init) SatCLIP location tower's embeddings
-        of the bank locations — a smooth function of position, standing in
-        for the real bank's SatCLIP *image* embeddings, which correlate with
-        location because nearby places look alike (the property that makes
-        the semantic softmax local and retrieval meaningful,
-        range/range.py:209-217).  Values are a fixed random projection of the
-        same tower features plus noise — location-correlated like SatMAE
-        features.  This is the generator RESULTS.md's probe experiments use;
-        i.i.d. gaussian keys (`synthetic_device`) make the softmax maximally
-        diffuse and are the WORST case for any locality-exploiting path.
+        Keys model the real bank's SatCLIP *image* embeddings: the (seeded
+        random-init) SatCLIP location tower's embeddings of the bank
+        locations plus `key_noise` gaussian perturbation, re-normalized.
+        The tower is initialized with ``PRNGKey(tower_seed)`` — the SAME key
+        `load_model(..., seed=tower_seed)` uses for its query tower — so
+        query and bank embeddings are ALIGNED the way contrastive training
+        aligns SatCLIP's location and image towers: a query's best key is
+        usually (not always — that's what key_noise injects) geographically
+        near it, with visually-similar far rows competing.  Values are a
+        fixed random projection of the tower features plus noise —
+        location-correlated like SatMAE features.  This is the generator
+        RESULTS.md's probe experiments use; i.i.d. gaussian keys
+        (`synthetic_device`) make the softmax maximally diffuse and are the
+        WORST case for any locality-exploiting path.
         """
         from ..models.satclip import SatClipLocationConfig, SatClipLocationEncoder
 
         n_rows = _round_up(n, pad_to)
-        k = jax.random.PRNGKey(seed)
-        k1, k2, k3, k4 = jax.random.split(k, 4)
+        k = jax.random.PRNGKey(seed + 7919)
+        k1, k2, k4, k5 = jax.random.split(k, 4)
         lons = jax.random.uniform(k1, (n_rows,), jnp.float32, -180.0, 180.0)
         lats = jnp.degrees(jnp.arcsin(
             jax.random.uniform(k2, (n_rows,), jnp.float32, -1.0, 1.0)))
@@ -218,7 +223,8 @@ class GeoBank:
         row_ok = (jnp.arange(n_rows) < n)[:, None]
 
         tower = SatClipLocationEncoder(SatClipLocationConfig(embed_dim=key_dim))
-        tower_params = tower.init(k3, dtype=jnp.float32)
+        tower_params = tower.init(jax.random.PRNGKey(tower_seed),
+                                  dtype=jnp.float32)
 
         @jax.jit
         def feats(params, locs):
@@ -226,6 +232,10 @@ class GeoBank:
 
         f = feats(tower_params, locs)  # [n_rows, key_dim]
         keys = f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+        keys = keys + key_noise * jax.random.normal(
+            k5, (n_rows, key_dim), jnp.float32) / jnp.sqrt(float(key_dim))
+        keys = keys / jnp.maximum(jnp.linalg.norm(keys, axis=1, keepdims=True),
+                                  1e-12)
         keys = jnp.where(row_ok, keys, 0.0).astype(key_dtype)
         kv, kn = jax.random.split(k4)
         w = jax.random.normal(kv, (key_dim, value_dim), jnp.float32)

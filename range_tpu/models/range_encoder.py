@@ -53,6 +53,17 @@ class RangeConfig:
     # Pallas kernel logit precision: 'fast' (bf16 sem + hi/lo geo, default),
     # 'high' (hi/lo both), 'exact' (true f32) — see ops/retrieval_pallas.py.
     tier: str = "fast"
+    # Retrieval algorithm: 'dense' (exact, every bank row — the default) or
+    # 'hier' (two-stage approximate, ops/retrieval_hier.py: exact dual
+    # softmax over selected bank tiles + group-centroid tail; ~10x less work
+    # at measured recall@1 >= 0.999 on autocorrelated banks).  'hier'
+    # requires the bank prepared with build_hier_bank (the API layer does
+    # this when retrieval='hier').
+    retrieval: str = "dense"
+    k_tiles: int = 32      # hier: exact tiles per query tile (recall knob)
+    j_sem: int = 3         # hier: per-query sem groups scattered
+    j_geo: int = 2         # hier: per-query geo groups scattered
+    hier_bm: int = 256     # hier: query-tile size
 
     def resolved_sem_temp(self) -> float:
         if self.sem_temp is not None:
@@ -84,6 +95,19 @@ class RangeEncoder:
         q_xyz = None
         if cfg.mode == "range+":
             q_xyz = lonlat_deg_to_xyz(lonlat_deg.astype(jnp.float32))
+        if cfg.retrieval == "hier":
+            from ..ops.retrieval_hier import HierBank, retrieve_hier
+
+            assert isinstance(bank, HierBank), (
+                "retrieval='hier' needs a build_hier_bank-prepared bank")
+            retrieved = retrieve_hier(
+                q_sem, q_xyz, bank,
+                sem_temp=cfg.resolved_sem_temp(), geo_temp=cfg.geo_temp,
+                beta=cfg.beta, mode=cfg.mode, k_tiles=cfg.k_tiles,
+                bm=cfg.hier_bm, j_sem=cfg.j_sem, j_geo=cfg.j_geo,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return jnp.concatenate([retrieved, q_sem], axis=-1)
         use_pallas = cfg.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"

@@ -1,0 +1,168 @@
+"""Hierarchical retrieval (ops/retrieval_hier.py) vs the exact path.
+
+The reference has no approximate retrieval (single-GPU brute force,
+range/range.py:209-240); these tests pin the hier path's contract instead:
+same output semantics as ops.retrieval.retrieve, fidelity degrading
+gracefully with the knobs, exactness when every tile is selected, and the
+serving recall harness (`hier_nn`) agreeing with exact NN.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import range_tpu
+from range_tpu.bank.bank import GeoBank, quantize_values
+from range_tpu.geometry import lonlat_deg_to_xyz
+from range_tpu.models.satclip import SatClipLocationConfig, SatClipLocationEncoder
+from range_tpu.ops.retrieval import exact_nn, retrieve
+from range_tpu.ops.retrieval_hier import (build_hier_bank, hier_nn,
+                                          retrieve_hier)
+from range_tpu.ops.topk import recall_at_k
+
+N = 6000
+PAD = 512
+BN = 128
+
+
+@pytest.fixture(scope="module")
+def bank():
+    return GeoBank.synthetic_informative(0, N, pad_to=PAD)
+
+
+@pytest.fixture(scope="module")
+def hb(bank):
+    return build_hier_bank(bank, bn=BN, gsz_sem=8, gsz_geo=32, tier="exact",
+                           value_dtype=jnp.float32)
+
+
+def _make_queries(bank, regional: bool, B: int = 512, seed: int = 3):
+    """Query batch from the bank's own tower.  `regional=True` draws the
+    batch from 8 geographic clusters — the spatially-coherent serving regime
+    hier is built for (large batches / regional sweeps); `regional=False` is
+    a fully global scatter (worst case for shared per-query-tile selection)."""
+    rng = np.random.default_rng(seed)
+    if regional:
+        centers = rng.integers(0, N, 8)
+        qi = np.repeat(centers, B // 8)
+        jitter = rng.normal(0, 3.0, (B, 2))
+    else:
+        qi = rng.integers(0, N, B)
+        jitter = rng.normal(0, 0.5, (B, 2))
+    q_locs = np.asarray(bank.locs_lonlat)[qi] + jitter
+    q_locs[:, 0] = (q_locs[:, 0] + 180) % 360 - 180
+    q_locs[:, 1] = np.clip(q_locs[:, 1], -89.9, 89.9)
+    tower = SatClipLocationEncoder(SatClipLocationConfig())
+    tp = tower.init(jax.random.PRNGKey(0), dtype=jnp.float32)  # = bank tower
+    q = tower.apply(tp, jnp.asarray(q_locs, jnp.float32))
+    q = (q / jnp.linalg.norm(q, axis=1, keepdims=True)).astype(jnp.float32)
+    return q, lonlat_deg_to_xyz(jnp.asarray(q_locs, jnp.float32))
+
+
+@pytest.fixture(scope="module")
+def queries(bank):
+    return _make_queries(bank, regional=True)
+
+
+def _relerr(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.abs(a - b) / np.maximum(np.abs(b), 1e-1)
+
+
+def test_hier_all_tiles_matches_exact(bank, hb, queries):
+    """With every tile selected the kernel path IS the exact dense path."""
+    q, qx = queries
+    ref = retrieve(q, qx, bank, sem_temp=12.0, geo_temp=40.0, beta=0.5,
+                   chunk=PAD)
+    out = retrieve_hier(q, qx, hb, k_tiles=hb.n_tiles, bm=128,
+                        interpret=True)
+    assert _relerr(out, ref).max() < 5e-3
+
+
+def test_hier_close_to_exact(bank, hb, queries):
+    q, qx = queries
+    ref = retrieve(q, qx, bank, sem_temp=12.0, geo_temp=40.0, beta=0.5,
+                   chunk=PAD)
+    out = retrieve_hier(q, qx, hb, k_tiles=24, bm=128, interpret=True)
+    rel = _relerr(out, ref)
+    assert rel.mean() < 0.05, rel.mean()
+
+
+def test_hier_more_tiles_is_closer(bank, hb, queries):
+    q, qx = queries
+    ref = retrieve(q, qx, bank, sem_temp=12.0, geo_temp=40.0, beta=0.5,
+                   chunk=PAD)
+    errs = []
+    for K in (8, hb.n_tiles):
+        out = retrieve_hier(q, qx, hb, k_tiles=K, bm=128, interpret=True)
+        errs.append(_relerr(out, ref).mean())
+    assert errs[-1] < errs[0]
+
+
+def test_hier_recall(hb, queries):
+    """The serving path's reachable argmax vs HIGHEST-precision exact NN.
+
+    The toy bank (6k rows, 47 tiles) is the hard regime for tile selection
+    — fractions don't transfer from the 100k serving bank (bench.py is the
+    real quality gate); here we pin a floor at moderate K and the 0.999 bar
+    at generous K."""
+    q, qx = queries
+    true = exact_nn(q, hb.bank)
+    nn = hier_nn(q, qx, hb, k_tiles=24, bm=128, j_sem=3)
+    assert recall_at_k(np.asarray(nn)[:, None], true) >= 0.95
+    nn = hier_nn(q, qx, hb, k_tiles=40, bm=128, j_sem=6)
+    assert recall_at_k(np.asarray(nn)[:, None], true) >= 0.999
+
+
+def test_hier_global_batch_degrades_gracefully(bank, hb):
+    """Fully-global scattered batches (worst case for per-query-tile
+    sharing) stay usable at moderate K."""
+    q, qx = _make_queries(bank, regional=False)
+    ref = retrieve(q, qx, bank, sem_temp=12.0, geo_temp=40.0, beta=0.5,
+                   chunk=PAD)
+    out = retrieve_hier(q, qx, hb, k_tiles=32, bm=128, interpret=True)
+    assert _relerr(out, ref).mean() < 0.10
+
+
+def test_hier_range_mode(bank, hb, queries):
+    """mode='range' (sem only, no locations): queries are grouped by home
+    sem tile instead of geography; sem-only features are the hardest case
+    (no geo blend dilutes the approximation)."""
+    q, qx = queries
+    ref = retrieve(q, None, bank, sem_temp=15.0, mode="range", chunk=PAD)
+    out = retrieve_hier(q, None, hb, sem_temp=15.0, mode="range",
+                        k_tiles=32, bm=128, interpret=True)
+    assert _relerr(out, ref).mean() < 0.10
+
+
+def test_hier_int8_values(bank, queries):
+    """int8-quantized banks stream raw int8 through the hier kernel (scale
+    folded into the probability tile) and match the f32 path closely."""
+    q, qx = queries
+    hb8 = build_hier_bank(quantize_values(bank), bn=BN, gsz_sem=8,
+                          gsz_geo=32, tier="exact")
+    assert hb8.value_scale is not None and hb8.values.dtype == jnp.int8
+    hb32 = build_hier_bank(bank, bn=BN, gsz_sem=8, gsz_geo=32, tier="exact")
+    out8 = retrieve_hier(q, qx, hb8, k_tiles=24, bm=128, interpret=True)
+    out32 = retrieve_hier(q, qx, hb32, k_tiles=24, bm=128, interpret=True)
+    assert _relerr(out8, out32).mean() < 0.01
+
+
+def test_hier_through_api(bank):
+    enc = range_tpu.load_model("RANGE+", db_path=bank, beta=0.5,
+                               retrieval="hier", hier_bn=BN, k_tiles=32,
+                               hier_bm=128, chunk=PAD, seed=0)
+    rng = np.random.default_rng(5)
+    coords = np.stack([rng.uniform(-180, 180, 256),
+                       rng.uniform(-90, 90, 256)], 1)
+    out = np.asarray(enc(coords))
+    assert out.shape == (256, 1280)
+    assert np.isfinite(out).all()
+    # hier output agrees with the dense encoder on the same bank/tower
+    dense = range_tpu.load_model("RANGE+", db_path=bank, beta=0.5,
+                                 chunk=PAD, seed=0)
+    ref = np.asarray(dense(coords))
+    rel = _relerr(out[:, :1024], ref[:, :1024])
+    assert rel.mean() < 0.12, rel.mean()
+    np.testing.assert_allclose(out[:, 1024:], ref[:, 1024:], atol=1e-5)

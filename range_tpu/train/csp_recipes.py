@@ -79,6 +79,22 @@ class CspRecipe:
     weight_decay: float
     epochs: int = 30
     batch_size: int = 512
+    # per-epoch multiplicative lr decay, lr * lr_decay**epoch
+    # (csp/main/trainer.py:193 default 0.98, applied at :730,759)
+    lr_decay: float = 0.98
+    grad_clip: float = 1.0
+
+
+def recipe_optimizer(recipe: CspRecipe, steps_per_epoch: int):
+    """AdamW with the recipe's lr schedule (per-epoch decay) + grad clip,
+    ready for `make_train_step` / `fit`."""
+    from .fit import epoch_decay_schedule
+    from .satclip import make_optimizer
+
+    sched = (epoch_decay_schedule(recipe.lr, recipe.lr_decay, steps_per_epoch)
+             if recipe.lr_decay != 1.0 else recipe.lr)
+    return make_optimizer(sched, weight_decay=recipe.weight_decay,
+                          grad_clip=recipe.grad_clip)
 
 
 # Flag sets from the reference run scripts (run-fmow-contsoftmax.sh /

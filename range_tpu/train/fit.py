@@ -28,6 +28,20 @@ class FitConfig:
     save_best: bool = True  # monitor val loss (ModelCheckpoint semantics)
     save_last: bool = True
     seed: int = 0
+    # scalar-history file (JSONL, one object per event) so training curves
+    # survive the process — the reference's TensorBoard `self.log` analog
+    # (satclip/main_old.py:69-77)
+    metrics_file: Optional[str] = None
+
+
+def epoch_decay_schedule(lr: float, lr_decay: float, steps_per_epoch: int):
+    """The CSP trainer's per-epoch exponential lr decay,
+    ``lr * lr_decay**epoch`` (csp/main/trainer.py:193,730-759; default decay
+    0.98), as an optax schedule — pass to `make_optimizer(learning_rate=...)`."""
+    import optax
+
+    return optax.exponential_decay(lr, transition_steps=steps_per_epoch,
+                                   decay_rate=lr_decay, staircase=True)
 
 
 def fit(step_fn: Callable, params, opt_state,
@@ -43,9 +57,12 @@ def fit(step_fn: Callable, params, opt_state,
 
     Returns (params, opt_state, history dict).
     """
+    from ..utils.metrics import MetricsWriter
+
     logger = logger or setup_logger("range_tpu.fit")
     if config.ckpt_dir:
         os.makedirs(config.ckpt_dir, exist_ok=True)
+    writer = MetricsWriter(config.metrics_file) if config.metrics_file else None
     key = jax.random.PRNGKey(config.seed)
     history = {"train_loss": [], "val_loss": []}
     best_val = float("inf")
@@ -61,6 +78,9 @@ def fit(step_fn: Callable, params, opt_state,
             if step % config.log_every == 0:
                 logger.info(f"epoch {epoch} step {step} loss {meter.val:.4f} "
                             f"(avg {meter.avg:.4f})")
+                if writer:
+                    writer.log(step, epoch=epoch, train_loss=meter.val,
+                               train_loss_avg=meter.avg)
         history["train_loss"].append(meter.avg if meter.count else float("nan"))
         if not meter.count:
             logger.warning(f"epoch {epoch}: no training batches")
@@ -72,6 +92,8 @@ def fit(step_fn: Callable, params, opt_state,
                 vmeter.update(float(eval_loss_fn(params, batch)))
             history["val_loss"].append(vmeter.avg)
             logger.info(f"epoch {epoch} val_loss {vmeter.avg:.4f}")
+            if writer:
+                writer.log(step, epoch=epoch, val_loss=vmeter.avg)
             if config.ckpt_dir and config.save_best and vmeter.avg < best_val:
                 best_val = vmeter.avg
                 save_msgpack(os.path.join(config.ckpt_dir, "best.msgpack"), params)
@@ -79,4 +101,6 @@ def fit(step_fn: Callable, params, opt_state,
         if config.ckpt_dir and config.save_last:
             os.makedirs(config.ckpt_dir, exist_ok=True)
             save_msgpack(os.path.join(config.ckpt_dir, "last.msgpack"), params)
+    if writer:
+        writer.close()
     return params, opt_state, history

@@ -105,12 +105,19 @@ def _decay_mask(params: Params) -> Params:
     return jax.tree.map(lambda p: jnp.ndim(p) >= 2, params)
 
 
-def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 0.01
-                   ) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.clip_by_global_norm(1.0),
-        optax.adamw(learning_rate, weight_decay=weight_decay, mask=_decay_mask),
-    )
+def make_optimizer(learning_rate=1e-4, weight_decay: float = 0.01,
+                   grad_clip: float = 1.0) -> optax.GradientTransformation:
+    """AdamW with the reference's weight-decay exclusion mask.
+
+    `learning_rate` may be a float or any optax schedule (e.g.
+    `train.fit.epoch_decay_schedule` for the CSP per-epoch decay);
+    `grad_clip` is a global-norm bound (None disables clipping)."""
+    steps = []
+    if grad_clip is not None:
+        steps.append(optax.clip_by_global_norm(grad_clip))
+    steps.append(optax.adamw(learning_rate, weight_decay=weight_decay,
+                             mask=_decay_mask))
+    return optax.chain(*steps)
 
 
 def make_train_step(model: SatClipModel, optimizer: optax.GradientTransformation,

@@ -53,6 +53,45 @@ def setup_logger(name: str = "range_tpu", log_file: Optional[str] = None,
     return logger
 
 
+class MetricsWriter:
+    """Append-only JSONL scalar history: one ``{"step": .., "ts": ..,
+    <name>: <value>, ...}`` object per line — a dashboard-readable record of
+    training curves (the reference's TensorBoardLogger/`self.log` analog,
+    satclip/main_old.py:69-77 + configs/default.yaml:4-9)."""
+
+    def __init__(self, path: str):
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self.path = path
+        self._fh = open(path, "a")
+
+    def log(self, step: int, **scalars):
+        import json
+
+        rec = {"step": int(step), "ts": time.time()}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_metrics(path: str):
+    """Load a MetricsWriter file back as a list of dicts (for plots/tests)."""
+    import json
+
+    with open(path) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
 class StepTimer:
     """Wall-clock timer for jitted steps with a device fence."""
 

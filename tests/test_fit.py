@@ -53,6 +53,55 @@ def test_fit_loop_with_checkpoints(tmp_path):
     assert hist["val_loss"][-1] <= hist["val_loss"][0] + 0.5
 
 
+def test_epoch_decay_schedule_matches_reference_rule():
+    """lr * lr_decay**epoch with staircase epoch boundaries
+    (csp/main/trainer.py:730,759)."""
+    from range_tpu.train.fit import epoch_decay_schedule
+
+    sched = epoch_decay_schedule(0.01, 0.98, steps_per_epoch=5)
+    assert float(sched(0)) == pytest.approx(0.01)
+    assert float(sched(4)) == pytest.approx(0.01)  # still epoch 0
+    assert float(sched(5)) == pytest.approx(0.01 * 0.98)
+    assert float(sched(12)) == pytest.approx(0.01 * 0.98 ** 2)
+
+
+def test_recipe_optimizer_decays_and_clips():
+    from range_tpu.train.csp_recipes import RECIPES, recipe_optimizer
+
+    recipe = RECIPES["fmow-contsoftmax"]
+    opt = recipe_optimizer(recipe, steps_per_epoch=2)
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    state = opt.init(params)
+    # a huge gradient must be clipped to global norm <= grad_clip before Adam
+    grads = {"w": 1e6 * jnp.ones((4, 4)), "b": 1e6 * jnp.ones((4,))}
+    updates, state = opt.update(grads, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+    # lr schedule advances with the optimizer step count
+    for _ in range(4):
+        updates, state = opt.update(grads, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_fit_writes_metrics_file(tmp_path):
+    from range_tpu.utils.metrics import read_metrics
+
+    def step(params, opt_state, batch, rng):
+        return params, opt_state, jnp.float32(1.25)
+
+    mf = str(tmp_path / "metrics.jsonl")
+    _, _, hist = fit(
+        step, {}, None,
+        lambda epoch: iter([{"x": np.zeros(1)}] * 4),
+        val_batches=lambda: iter([{"x": np.zeros(1)}]),
+        eval_loss_fn=lambda p, b: jnp.float32(2.5),
+        config=FitConfig(epochs=1, log_every=2, metrics_file=mf))
+    recs = read_metrics(mf)
+    assert any("train_loss" in r for r in recs)
+    vals = [r for r in recs if "val_loss" in r]
+    assert vals and vals[-1]["val_loss"] == pytest.approx(2.5)
+    assert all("step" in r and "ts" in r for r in recs)
+
+
 def test_load_satclip_full_roundtrip(tmp_path):
     """Write a Lightning-style ckpt (hyper_parameters + state_dict with
     model.visual/location/logit_scale names) and load the FULL dual tower."""

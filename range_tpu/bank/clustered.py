@@ -47,18 +47,27 @@ class TileStats:
 
 def cluster_bank(bank: GeoBank, bn: int = 1024, n_clusters: Optional[int] = None,
                  iters: int = 8, seed: int = 0,
-                 rows_per_cluster: int = 256) -> Tuple[GeoBank, TileStats]:
+                 rows_per_cluster: int = 256,
+                 pack: str = "pad") -> Tuple[GeoBank, TileStats]:
     """Reorder bank rows cluster-contiguously and pack clusters into
     bn-aligned tiles so that no kernel tile mixes geographically distant
     clusters (mixing blows up the tile bounding radii and kills pruning).
 
     Host-side (bank prep is offline): geographic k-means, clusters relabeled
     along latitude bands, then greedy packing — whole clusters are appended
-    in order with zero-padding inserted whenever the next cluster would
-    straddle a tile boundary.  The result carries an explicit scattered
-    validity mask.  Row count grows by the padding (typically 10-30%).
+    in order.  ``pack``:
+      'pad'   — zero-padding inserted whenever the next cluster would
+                straddle a tile boundary, so no tile mixes distant clusters
+                (best bounding radii; row count grows 10-30%; the pruned
+                path's choice).
+      'dense' — clusters packed back-to-back with padding only on the final
+                tile (a tile may span two ADJACENT clusters — still spatial
+                neighbors by the latitude-band relabeling); ~25% less kernel
+                work, the hierarchical path's choice.
+    The result carries an explicit scattered validity mask.
     """
     assert bank.num_rows % bn == 0, (bank.num_rows, bn)
+    assert pack in ("pad", "dense"), pack
     if n_clusters is None:
         n_clusters = max(8, min(8192, bank.num_rows // rows_per_cluster))
     valid = bank.row_mask()
@@ -80,7 +89,8 @@ def cluster_bank(bank: GeoBank, bn: int = 1024, n_clusters: Optional[int] = None
         rows = np.nonzero((assign_np == c) & valid_np)[0]
         if rows.size == 0:
             continue
-        if cur > 0 and cur + rows.size > bn and rows.size < bn:
+        if (pack == "pad" and cur > 0 and cur + rows.size > bn
+                and rows.size < bn):
             chunks.append(np.full(bn - cur, -1, np.int64))  # pad out the tile
             cur = 0
         chunks.append(rows)

@@ -10,37 +10,43 @@ softmax families (informative autocorrelated bank, PERF.md round 2):
   * sem (temp 12) is DIFFUSE by design (the paper's multi-resolution blend):
     ~25% of rows hold 50% of the mass.  Dropping bank tiles can never
     approximate it — but a fine-grained centroid expansion can: for a group
-    g of rows with similar KEYS,  sum_{r in g} e^{l_r} v_r ~= e^{l_{c_g}} VS_g
-    with error second-order in the group's key spread.  Grouping rows by
-    k-means in KEY space (not geography) minimizes exactly that spread;
-    running the key-k-means WITHIN each geographic tile keeps groups
-    tile-aligned, so the per-query-tile selection mask applies to groups.
+    g of rows with similar KEYS,  sum_{r in g} e^{l_r} v_r ~= e^{l_{c_g}} V_g
+    (V_g = sum of the group's values) with error second-order in the group's
+    key spread.  Grouping rows by k-means in KEY space (not geography)
+    minimizes exactly that spread; running the key-k-means WITHIN each
+    geographic tile keeps groups tile-aligned, so per-query-tile tile
+    selection masks apply to groups.
 
 Pipeline (semantics preserved from `range/range.py:209-240`):
-  offline  `build_hier_bank`: geographic k-means reorder (bank/clustered.py)
-           so kernel tiles are spatially coherent; then key-space k-means
-           WITHIN each bn-row tile reorders rows so each gsz-row window is a
-           key-coherent group; prepack serving operands; per-TILE bounding
-           balls (selection) and per-GROUP centroids / mean values / counts
-           (tail), at independent granularity per family (fine for the
-           diffuse sem family, coarse for the local geo family).
+  offline  `build_hier_bank`: geographic k-means reorder with DENSE packing
+           (bank/clustered.py pack='dense' — no inter-cluster padding, ~25%
+           fewer tiles than the pruned path's padded layout); key-space
+           k-means WITHIN each bn-row tile so each gsz-row window is a
+           key-coherent group; prepacked serving operands; per-group packed
+           centroids + value sums at independent granularity per family
+           (fine for the diffuse sem family, coarse for the local geo one).
   online   1. sort the query batch geographically (bm-query tiles become
               spatially coherent so a shared per-tile candidate list works);
-           2. coarse-score tiles, take top-K per query-tile by upper-bound
-              mass deficit across BOTH families (a query's true-argmax tile
-              always has deficit >= 0, so recall survives selection);
-           3. Pallas kernel: EXACT dual-softmax over the K selected tiles
+           2. SCAN kernel: one group-granularity pass over the bank per
+              family emitting per-(query, tile) stats — max group logit and
+              exp-mass — with no [B, G] HBM materialization;
+           3. selection (XLA over [B, T] stats, T ~ 200): per-query top-j
+              tiles by max-logit (the argmax guarantee: a query's true-
+              argmax tile carries its hottest group) unioned over the bm
+              queries of a query tile + mass-rank fill, capped to static K;
+           4. PARTS kernel: EXACT dual-softmax over the K selected tiles
               (grid walks a scalar-prefetched tile list), emitting
-              unnormalized partials (bounded logits - plain sums);
-           4. tail: group-centroid contributions of all NON-selected tiles,
-              two [B,G]x[G,.] XLA matmuls per family;
-           5. combine partials + tail, normalize, blend, restore order.
+              unnormalized partials (bounded logits -> plain sums);
+           5. TAIL kernel: group-centroid contributions of all NON-selected
+              tiles, one streaming pass per query tile (flash-attention
+              structure, keep-mask folded in);
+           6. combine partials + tail, normalize, blend, restore order.
 
 Work per query: K*bn exact rows + N/gsz tail groups, vs N dense.  Fidelity
 is MEASURED, not assumed: bench.py reports recall@1 of this path against
 HIGHEST-precision exact NN (target >= 0.999) and feature error vs the exact
-dense path; `k_tiles` trades throughput vs recall, `gsz_sem` tail cost vs
-feature error.
+dense path; `k_tiles`/`j_sem` trade throughput vs recall, `gsz_sem` tail
+cost vs feature error.
 """
 
 from __future__ import annotations
@@ -59,23 +65,33 @@ from ..bank.bank import GeoBank, dequantize_values
 from .retrieval_pallas import (CLAMP2, LOG2E, NEG, _round_up, _serving_values,
                                pack_bank, pack_queries, packed_dims)
 
+# the scan/tail grids step `TC` tiles at a time; group operands are padded to
+# a TC-divisible tile count at build so any tc <= TC dividing t_pad works
+TC = 32
+
 
 @dataclasses.dataclass
 class HierBank:
     """Clustered + prepacked serving bank for `retrieve_hier`.
 
-    Data (jnp arrays; N = padded rows, T = N/bn tiles, G* = N/gsz_* groups):
-      bank:        the clustered GeoBank (row-reordered, scattered validity)
+    Data (jnp arrays; N = padded rows, T = N/bn real tiles, padded to
+    t_pad = round_up(T, 32) in the group-granularity operands;
+    G* = t_pad * bn/gsz_*; Dvp = round_up(Dv+1, 128)):
+      bank:        the clustered GeoBank (row-reordered, dense-packed)
       k_cat:       [N, cat_d]  packed serving keys (pack_bank, `tier`)
       values:      [N, Dv]     serving values (bf16, or int8 with scale)
       value_scale: [1, N] f32  int8 dequant scales or None
       mask_neg:    [1, N] f32  additive row-validity mask (0 / -1e30)
       sem_centroid/geo_centroid/sem_radius/geo_radius: tile bounding balls
-        ([T, Dk], [T, 3], [T], [T] f32) — selection operands
-      g_sem / g_geo:            [G*_pad, Dk|3] bf16 group centroids
-      g_sem_vmean / g_geo_vmean: [G*_pad, Dv] bf16 group mean values
-      g_sem_count / g_geo_count: [1, G*_pad] f32 group valid-row counts
-    Meta (static): tier, bn, gsz_sem, gsz_geo, sem_d, cat_d.
+        ([T, Dk], [T, 3], [T], [T] f32) — kept for range-mode home grouping
+        and introspection
+      g_sem_cat:   [G_s, cat_d] packed sem group centroids (geo cols zero,
+                   so a full-width dot against packed queries yields the
+                   UNTEMPERED sem group logit in exp2 units)
+      g_geo_cat:   [G_g, cat_d] packed geo group centroids (sem cols zero)
+      g_sem_vw / g_geo_vw: [G*, Dvp] group VALUE SUMS with the valid-row
+                   count in column Dv (denominator rides the same matmul)
+    Meta (static): tier, bn, gsz_sem, gsz_geo, sem_d, cat_d, t_real, t_pad.
     """
 
     bank: GeoBank
@@ -87,22 +103,22 @@ class HierBank:
     geo_centroid: jnp.ndarray
     sem_radius: jnp.ndarray
     geo_radius: jnp.ndarray
-    g_sem: jnp.ndarray
-    g_sem_vmean: jnp.ndarray
-    g_sem_count: jnp.ndarray
-    g_geo: jnp.ndarray
-    g_geo_vmean: jnp.ndarray
-    g_geo_count: jnp.ndarray
+    g_sem_cat: jnp.ndarray
+    g_geo_cat: jnp.ndarray
+    g_sem_vw: jnp.ndarray
+    g_geo_vw: jnp.ndarray
     tier: str = "fast"
     bn: int = 512
     gsz_sem: int = 8
     gsz_geo: int = 64
     sem_d: int = 256
     cat_d: int = 384
+    t_real: int = 0
+    t_pad: int = 0
 
     @property
     def n_tiles(self) -> int:
-        return self.sem_radius.shape[0]
+        return self.t_real
 
     @property
     def value_dim(self) -> int:
@@ -113,9 +129,9 @@ jax.tree_util.register_dataclass(
     HierBank,
     data_fields=["bank", "k_cat", "values", "value_scale", "mask_neg",
                  "sem_centroid", "geo_centroid", "sem_radius", "geo_radius",
-                 "g_sem", "g_sem_vmean", "g_sem_count",
-                 "g_geo", "g_geo_vmean", "g_geo_count"],
-    meta_fields=["tier", "bn", "gsz_sem", "gsz_geo", "sem_d", "cat_d"],
+                 "g_sem_cat", "g_geo_cat", "g_sem_vw", "g_geo_vw"],
+    meta_fields=["tier", "bn", "gsz_sem", "gsz_geo", "sem_d", "cat_d",
+                 "t_real", "t_pad"],
 )
 
 
@@ -150,14 +166,14 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
     """Offline serving prep: cluster + reorder the bank, prepack operands.
 
     Bank prep is offline (like building the npz itself): geographic k-means
-    reorder (bank/clustered.py), within-tile key-space k-means reorder, then
-    packed/derived operands computed on device in one jit.
+    reorder with dense packing (bank/clustered.py), within-tile key-space
+    k-means reorder, then packed/derived operands computed on device.
     """
     from ..bank.clustered import cluster_bank, tile_stats
 
     assert bn % gsz_sem == 0 and bn % gsz_geo == 0, (bn, gsz_sem, gsz_geo)
     cbank, _ = cluster_bank(bank, bn=bn, n_clusters=n_clusters, iters=iters,
-                            seed=seed)
+                            seed=seed, pack="dense")
     # reorder rows within each tile so gsz_sem-row windows are key-coherent
     perm = _order_rows_within_tiles(cbank.keys_sem, cbank.row_mask(), bn,
                                     bn // gsz_sem, seed + 1)
@@ -177,23 +193,38 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
     )
     stats = tile_stats(cbank, bn)
     N = cbank.num_rows
+    T = N // bn
+    t_pad = _round_up(T, TC)
     sem_d, cat_d = packed_dims(cbank.key_dim, tier)
+    Dv = cbank.values.shape[1]
+    Dvp = _round_up(Dv + 1, 128)
+    vw_dtype = jnp.float32 if tier == "exact" else jnp.bfloat16
 
-    def group_stats(feats, vals_f32, mask, gsz):
+    def group_ops(feats, vals_f32, mask, gsz, geo: bool):
+        """Packed centroids [G_pad, cat_d] + value-sum/count [G_pad, Dvp]."""
         G = N // gsz
-        G_pad = _round_up(G, 128)
+        G_pad = t_pad * (bn // gsz)
         mg = mask.reshape(G, gsz)
         cnt = mg.sum(axis=1)  # [G]
         w = mg / jnp.maximum(cnt, 1.0)[:, None]
         cg = jnp.einsum("gi,gid->gd", w,
                         feats.astype(jnp.float32).reshape(G, gsz, -1))
-        vmean = jnp.einsum("gi,gid->gd", w, vals_f32.reshape(G, gsz, -1))
+        vsum = jnp.einsum("gi,gid->gd", mg, vals_f32.reshape(G, gsz, -1))
 
-        def padg(x, dtype):
-            return jnp.pad(x, ((0, G_pad - G), (0, 0))).astype(dtype)
+        def padg(x):
+            return jnp.pad(x, ((0, G_pad - G), (0, 0)))
 
-        return (padg(cg, jnp.bfloat16), padg(vmean, jnp.bfloat16),
-                jnp.pad(cnt, (0, G_pad - G))[None, :].astype(jnp.float32))
+        Dk = cbank.key_dim
+        if geo:
+            cat = pack_bank(jnp.zeros((G_pad, Dk), jnp.float32), padg(cg),
+                            tier=tier)
+        else:
+            cat = pack_bank(padg(cg), jnp.zeros((G_pad, 3), jnp.float32),
+                            tier=tier)
+        vw = jnp.concatenate(
+            [padg(vsum), jnp.pad(cnt, (0, G_pad - G))[:, None],
+             jnp.zeros((G_pad, Dvp - Dv - 1), jnp.float32)], axis=1)
+        return cat, vw.astype(vw_dtype)
 
     @jax.jit
     def prep(cbank):
@@ -201,12 +232,11 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         mask = cbank.row_mask()
         mask_neg = (NEG * (1.0 - mask))[None, :].astype(jnp.float32)
         vals_f32 = dequantize_values(cbank) * mask[:, None]
-        g_s = group_stats(cbank.keys_sem, vals_f32, mask, gsz_sem)
-        g_g = group_stats(cbank.xyz, vals_f32, mask, gsz_geo)
+        g_s = group_ops(cbank.keys_sem, vals_f32, mask, gsz_sem, geo=False)
+        g_g = group_ops(cbank.xyz, vals_f32, mask, gsz_geo, geo=True)
         return k_cat, mask_neg, g_s, g_g
 
-    k_cat, mask_neg, (g_sem, g_sem_vmean, g_sem_count), \
-        (g_geo, g_geo_vmean, g_geo_count) = prep(cbank)
+    k_cat, mask_neg, (g_sem_cat, g_sem_vw), (g_geo_cat, g_geo_vw) = prep(cbank)
     if cbank.value_scale is not None:
         values, scale = cbank.values, cbank.value_scale.astype(jnp.float32)
     elif value_dtype is not None:
@@ -221,73 +251,140 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         geo_centroid=stats.geo_centroid.astype(jnp.float32),
         sem_radius=stats.sem_radius.astype(jnp.float32),
         geo_radius=stats.geo_radius.astype(jnp.float32),
-        g_sem=g_sem, g_sem_vmean=g_sem_vmean, g_sem_count=g_sem_count,
-        g_geo=g_geo, g_geo_vmean=g_geo_vmean, g_geo_count=g_geo_count,
+        g_sem_cat=g_sem_cat, g_geo_cat=g_geo_cat,
+        g_sem_vw=g_sem_vw, g_geo_vw=g_geo_vw,
         tier=tier, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
-        sem_d=sem_d, cat_d=cat_d,
+        sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
     )
 
 
-def _group_logits(q, cents):
-    """[Bp, G_pad] raw (untempered) centroid similarities, bf16 MXU pass."""
-    return jnp.dot(q.astype(jnp.bfloat16), cents.T,
-                   preferred_element_type=jnp.float32)
+# ---------------------------------------------------------------------------
+# scan kernel: per-(query, tile) stats with no [B, G] HBM materialization
 
 
-def select_tiles_grouped(e_s: jnp.ndarray, e_g: Optional[jnp.ndarray],
-                         hb: HierBank, *, k_tiles: int, bm: int, n_valid: int,
-                         j_sem: int = 2, j_geo: int = 2, mode: str = "range+"
-                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Group-evidence tile selection.
+def _hier_scan_kernel(gpt_s, gpt_g, tc, qt_ref, gs_ref, gg_ref,
+                      ms_ref, ss_ref, mg_ref, sg_ref):
+    """Both families' group logits for `tc` bank tiles; per-tile max logit
+    (exp2 units, for the per-query argmax-tile signal) and exp-mass (for the
+    mass-rank fill).  Group centroids are packed with the OTHER family's
+    columns zeroed, so each family is one full-width matmul.  Computed
+    TRANSPOSED ([groups, queries]) so per-tile segments reduce along
+    sublanes and stats write as (tc, bm) rows — Pallas TPU requires
+    out-block lane dims divisible by 128, which per-query (bm, tc) stat
+    blocks would violate."""
+    qt = qt_ref[:]
+    sl = jnp.dot(gs_ref[:], qt, preferred_element_type=jnp.float32)
+    es = jnp.exp2(jnp.minimum(sl, CLAMP2))
+    gl = jnp.dot(gg_ref[:], qt, preferred_element_type=jnp.float32)
+    eg = jnp.exp2(jnp.minimum(gl, CLAMP2))
+    for c in range(tc):
+        seg = sl[c * gpt_s:(c + 1) * gpt_s, :]
+        ms_ref[c:c + 1, :] = jnp.max(seg, axis=0, keepdims=True)
+        ss_ref[c:c + 1, :] = jnp.sum(es[c * gpt_s:(c + 1) * gpt_s, :],
+                                     axis=0, keepdims=True)
+        gseg = gl[c * gpt_g:(c + 1) * gpt_g, :]
+        mg_ref[c:c + 1, :] = jnp.max(gseg, axis=0, keepdims=True)
+        sg_ref[c:c + 1, :] = jnp.sum(eg[c * gpt_g:(c + 1) * gpt_g, :],
+                                     axis=0, keepdims=True)
 
-    Tile-centroid bounds cannot rank reliably (a 256-d key ball's radius
-    slack dwarfs the logit spread) — but the GROUP exp-logits computed for
-    the tail are an 8-64-row-granularity scan of the whole bank.  Two
-    signals per family, both from `e_* = exp2(temp*log2e*L)` [Bp, G_pad]:
 
-      1. per-query top-`j` groups -> their OWNING tiles, unioned over the
-         bm queries of a query tile (the per-query argmax guarantee;
-         measured 0.996+ argmax-tile hit at j_sem=2-3 vs <=0.66 for every
-         bound-based rule);
-      2. estimated tile mass: per-query max-normalized exp-logits summed
-         over (queries in the tile, groups in the tile) — ranks the
-         cap/fill so the least-mass tiles are dropped first (a plain
-         deficit rank ties at 0 for every home tile and drops arbitrarily).
-
-    Returns (idx [nB, K] int32 — distinct; sel [nB, T] f32)."""
-    Bp = e_s.shape[0]
+@functools.partial(jax.jit, static_argnames=("bm", "tc", "gpt_s", "gpt_g",
+                                             "interpret"))
+def _hier_scan_call(q_cat, g_sem_cat, g_geo_cat, *, bm: int, tc: int,
+                    gpt_s: int, gpt_g: int, interpret: bool = False):
+    Bp, cat_d = q_cat.shape
+    t_pad = g_sem_cat.shape[0] // gpt_s
+    assert t_pad % tc == 0, (t_pad, tc)
     nB = Bp // bm
-    T = hb.n_tiles
-    k_tiles = min(k_tiles, T)
+    grid = (nB, t_pad // tc)
+    q_t = q_cat.T  # [cat_d, Bp]
+
+    out = pl.pallas_call(
+        functools.partial(_hier_scan_kernel, gpt_s, gpt_g, tc),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((cat_d, bm), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc * gpt_s, cat_d), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc * gpt_g, cat_d), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((tc, bm), lambda i, c: (c, i),
+                                memory_space=pltpu.VMEM)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((t_pad, Bp), jnp.float32)] * 4,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * t_pad * (gpt_s + gpt_g) * cat_d,
+            bytes_accessed=(nB * t_pad * (gpt_s + gpt_g) * cat_d * 2
+                            + Bp * cat_d * 2 + 4 * Bp * t_pad * 4),
+            transcendentals=Bp * t_pad * (gpt_s + gpt_g),
+        ),
+        interpret=interpret,
+    )(q_t, g_sem_cat, g_geo_cat)
+    # back to [Bp, t_pad] for the per-query top-k in select_tiles
+    return tuple(o.T for o in out)
+
+
+def select_tiles(m_s, s_s, m_g, s_g, *, t_real: int, k_tiles: int, bm: int,
+                 n_valid: int, j_sem: int = 2, j_geo: int = 2,
+                 mode: str = "range+") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tile selection from the scan stats ([Bp, t_pad] f32).
+
+    Two signals per family:
+      1. per-query top-`j` tiles by MAX group logit -> unioned over the bm
+         queries of a query tile (the per-query argmax guarantee: the true
+         argmax row's tile carries its hottest group);
+      2. estimated tile mass: per-query sum-normalized exp-mass summed over
+         the tile's queries — ranks the cap/fill so the least-mass tiles
+         are dropped first.
+
+    Returns (idx [nB, K] int32 — distinct; sel [nB, t_pad] f32 one-hot)."""
+    Bp, t_pad = m_s.shape
+    nB = Bp // bm
+    k_tiles = min(k_tiles, t_real)
     row_valid = jnp.arange(Bp) < n_valid
+    col_real = jnp.arange(t_pad) < t_real
 
-    def scatter_family(sel, e, gpt, j):
-        _, gidx = jax.lax.top_k(e, j)  # [Bp, j] group ids
-        tiles = (gidx // gpt).astype(jnp.int32)
-        # invalid (padded) query rows scatter into the dumped extra column T
-        tiles = jnp.where(row_valid[:, None], tiles, T)
-        rows = jnp.broadcast_to((jnp.arange(Bp) // bm)[:, None], tiles.shape)
-        return sel.at[rows, tiles].set(1.0)
+    def scatter_family(sel, m, j):
+        m = jnp.where(col_real[None, :], m, -jnp.inf)
+        _, tid = jax.lax.top_k(m, j)  # [Bp, j]
+        # invalid (padded) query rows scatter into the dumped extra column
+        tid = jnp.where(row_valid[:, None], tid, t_pad)
+        rows = jnp.broadcast_to((jnp.arange(Bp) // bm)[:, None], tid.shape)
+        # rank-weighted: when the scattered union oversubscribes k_tiles,
+        # every query's rank-0 (argmax-guarantee) tile must outrank any
+        # rank-1+ tile, which in turn outranks mass-only fill
+        w = jnp.arange(j, 0, -1, dtype=jnp.float32)
+        return sel.at[rows, tid].max(jnp.broadcast_to(w[None, :], tid.shape))
 
-    def tile_mass(e, gpt):
-        p_n = e / jnp.max(e, axis=1, keepdims=True)  # [Bp, G_pad], <= 1
-        p_n = jnp.where(row_valid[:, None], p_n, 0.0)
-        return p_n[:, :T * gpt].reshape(nB, bm, T, gpt).sum(axis=(1, 3))
+    def tile_mass(s):
+        s = jnp.where(col_real[None, :], s, 0.0)
+        p = s / jnp.maximum(jnp.sum(s, axis=1, keepdims=True), 1e-30)
+        p = jnp.where(row_valid[:, None], p, 0.0)
+        return p.reshape(nB, bm, t_pad).sum(axis=1)
 
-    sel = jnp.zeros((nB, T + 1), jnp.float32)
-    sel = scatter_family(sel, e_s, hb.bn // hb.gsz_sem, j_sem)
-    pri_tile = tile_mass(e_s, hb.bn // hb.gsz_sem)
-    if mode == "range+" and e_g is not None:
-        sel = scatter_family(sel, e_g, hb.bn // hb.gsz_geo, j_geo)
-        pri_tile = pri_tile + tile_mass(e_g, hb.bn // hb.gsz_geo)
-    sel = sel[:, :T]
+    sel = jnp.zeros((nB, t_pad + 1), jnp.float32)
+    sel = scatter_family(sel, m_s, j_sem)
+    pri = tile_mass(s_s)
+    if mode == "range+":
+        sel = scatter_family(sel, m_g, j_geo)
+        pri = pri + tile_mass(s_g)
+    sel = sel[:, :t_pad]
 
     big = 1e9
-    _, idx = jax.lax.top_k(sel * big + pri_tile, k_tiles)
+    score = jnp.where(col_real[None, :], sel * big + pri, -jnp.inf)
+    _, idx = jax.lax.top_k(score, k_tiles)
     idx = idx.astype(jnp.int32)
-    sel = jnp.zeros((nB, T), jnp.float32)
+    sel = jnp.zeros((nB, t_pad), jnp.float32)
     sel = sel.at[jnp.arange(nB)[:, None], idx].set(1.0)
     return idx, sel
+
+
+# ---------------------------------------------------------------------------
+# parts kernel: exact dual softmax over each query tile's selected bank tiles
 
 
 def _hier_parts_kernel(sem_d, has_scale, idx_ref, q_ref, k_ref, v_ref, *rest):
@@ -353,11 +450,8 @@ def _hier_parts_kernel(sem_d, has_scale, idx_ref, q_ref, k_ref, v_ref, *rest):
 def _hier_parts_call(q_cat, k_cat, values, scale, mask_neg, idx, *,
                      sem_d: int, bm: int, bn: int,
                      interpret: bool = False) -> jnp.ndarray:
-    B, cat_d = q_cat.shape
+    Bp, cat_d = q_cat.shape
     N, Dv = values.shape
-    Bp = _round_up(B, bm)
-    if Bp != B:
-        q_cat = jnp.pad(q_cat, ((0, Bp - B), (0, 0)))
     nB = Bp // bm
     K = idx.shape[1]
     assert idx.shape == (nB, K), (idx.shape, nB)
@@ -411,87 +505,169 @@ def _hier_parts_call(q_cat, k_cat, values, scale, mask_neg, idx, *,
         ),
         interpret=interpret,
     )(idx, *operands)
-    return out[:B]
+    return out
 
 
-def hier_nn(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
-            *, sem_temp: float = 12.0, geo_temp: float = 40.0,
-            k_tiles: int = 24, bm: int = 256, j_sem: int = 2, j_geo: int = 2,
-            mode: str = "range+") -> jnp.ndarray:
-    """Fidelity harness: the semantic argmax row the hier path can see —
-    serving-tier packed logits restricted to the SELECTED tiles (rows in
-    dropped tiles can never win).  recall@1 of this against exact_nn on
-    `hb.bank` measures the served path's retrieval fidelity.  Harness-only
-    (materializes [B, N] masked logits); not a serving code path."""
-    B = q_sem.shape[0]
-    if mode == "range":
-        q_xyz = None
-    from ..geometry import geo_sort_order
-
-    if q_xyz is not None:
-        order = geo_sort_order(q_xyz)
-        inv = jnp.argsort(order)
-        q_sem_s = q_sem[order]
-        q_xyz_s = q_xyz[order]
-    else:
-        inv = None
-        q_sem_s, q_xyz_s = q_sem, None
-    Bp = _round_up(B, bm)
-    q_s = jnp.pad(q_sem_s.astype(jnp.float32), ((0, Bp - B), (0, 0)))
-    q_x = (jnp.pad(q_xyz_s.astype(jnp.float32), ((0, Bp - B), (0, 0)))
-           if q_xyz_s is not None else None)
-    e_s = jnp.exp2(jnp.minimum(sem_temp * LOG2E * _group_logits(q_s, hb.g_sem),
-                               CLAMP2))
-    e_g = (jnp.exp2(jnp.minimum(geo_temp * LOG2E * _group_logits(q_x, hb.g_geo),
-                                CLAMP2))
-           if q_x is not None else None)
-    _, sel = select_tiles_grouped(e_s, e_g, hb, k_tiles=k_tiles, bm=bm,
-                                  n_valid=B, j_sem=j_sem, j_geo=j_geo,
-                                  mode="range+" if q_x is not None else "range")
-    q_cat = pack_queries(q_sem_s, q_xyz_s, sem_temp, geo_temp, tier=hb.tier)
-    logits = jnp.dot(q_cat[:, :hb.sem_d], hb.k_cat[:, :hb.sem_d].T,
-                     preferred_element_type=jnp.float32)
-    row_keep = jnp.repeat(sel, hb.bn, axis=1)  # [nB, N]
-    row_keep = row_keep[jnp.arange(B) // bm] * (hb.mask_neg[0][None, :] >= 0)
-    best = jnp.argmax(jnp.where(row_keep > 0, logits, -jnp.inf),
-                      axis=1).astype(jnp.int32)
-    if inv is not None:
-        best = best[inv]
-    return best
+# ---------------------------------------------------------------------------
+# tail kernel: group-centroid contributions of the NON-selected tiles
 
 
-def _family_tail(e, vmean, count, sel, *, bm: int,
-                 gpt: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Group-centroid contributions of all rows in NON-selected tiles for
-    one family, from the precomputed group exp-logits `e` [Bp, G_pad] (the
-    same array selection ranked): one [Bp, G] x [G, Dv] XLA matmul — full
-    MXU rate, no [B, N] anything.  `gpt` = groups per tile (expands the
-    tile-level selection mask to groups).  Returns (acc [Bp, Dv],
-    d [Bp, 1]) f32 in the kernel's unnormalized units (exp2 of
-    log2e-folded logits)."""
-    Bp, G_pad = e.shape
+def _hier_tail_kernel(gpt_s, gpt_g, tc, has_geo, keep_ref, q_ref, gs_ref,
+                      gg_ref, vs_ref, vg_ref, out_ref, accs_ref, accg_ref):
+    """One streaming pass per query tile over ALL bank tiles at group
+    granularity: recompute group logits (cheaper than storing [B, G] exp
+    logits in HBM — ~70 GFLOP vs ~700 MB of traffic), zero the selected
+    tiles via the scalar-prefetched keep mask, and accumulate
+    e_group @ [value_sum | count] on the MXU.  Emits [bm, 2*Dvp]
+    unnormalized partials in the same exp2 units as the parts kernel."""
+    i = pl.program_id(0)
+    c0 = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(c0 == 0)
+    def _():
+        accs_ref[:] = jnp.zeros_like(accs_ref)
+        if has_geo:
+            accg_ref[:] = jnp.zeros_like(accg_ref)
+
+    q = q_ref[:]
+    # keep vector over this step's tc tiles, expanded to group lanes
+    ks = [keep_ref[i, c0 * tc + c] for c in range(tc)]
+
+    def kvec(gpt):
+        return jnp.concatenate(
+            [jnp.full((1, gpt), k, jnp.float32) for k in ks], axis=1)
+
+    sl = jnp.dot(q, gs_ref[:].T, preferred_element_type=jnp.float32)
+    es = jnp.exp2(jnp.minimum(sl, CLAMP2)) * kvec(gpt_s)
+    vs = vs_ref[:]
+    accs_ref[:] += jnp.dot(es.astype(vs.dtype), vs,
+                           preferred_element_type=jnp.float32)
+    if has_geo:
+        gl = jnp.dot(q, gg_ref[:].T, preferred_element_type=jnp.float32)
+        eg = jnp.exp2(jnp.minimum(gl, CLAMP2)) * kvec(gpt_g)
+        vg = vg_ref[:]
+        accg_ref[:] += jnp.dot(eg.astype(vg.dtype), vg,
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(c0 == nc - 1)
+    def _():
+        Dvp = accs_ref.shape[1]
+        out_ref[:, :Dvp] = accs_ref[:]
+        if has_geo:
+            out_ref[:, Dvp:] = accg_ref[:]
+        else:
+            out_ref[:, Dvp:] = jnp.zeros_like(out_ref[:, Dvp:])
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "tc", "gpt_s", "gpt_g",
+                                             "has_geo", "interpret"))
+def _hier_tail_call(q_cat, g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw, keep, *,
+                    bm: int, tc: int, gpt_s: int, gpt_g: int,
+                    has_geo: bool = True,
+                    interpret: bool = False) -> jnp.ndarray:
+    Bp, cat_d = q_cat.shape
+    t_pad = g_sem_cat.shape[0] // gpt_s
+    assert t_pad % tc == 0, (t_pad, tc)
+    Dvp = g_sem_vw.shape[1]
     nB = Bp // bm
-    T = sel.shape[1]
-    keep_t = 1.0 - sel  # [nB, T]
-    keep_g = jnp.repeat(keep_t, gpt, axis=1)  # [nB, T*gpt]
-    keep_g = jnp.pad(keep_g, ((0, 0), (0, G_pad - T * gpt)))
-    keep_g = keep_g * count  # fold counts; padded groups have count 0
+    grid = (nB, t_pad // tc)
 
-    p = (e.reshape(nB, bm, G_pad) * keep_g[:, None, :]).reshape(Bp, G_pad)
-    d = jnp.sum(p, axis=1, keepdims=True)
-    acc = jnp.dot(p.astype(jnp.bfloat16), vmean,
-                  preferred_element_type=jnp.float32)
-    return acc, d
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, cat_d), lambda i, c, k_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc * gpt_s, cat_d), lambda i, c, k_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc * gpt_g, cat_d), lambda i, c, k_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc * gpt_s, Dvp), lambda i, c, k_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc * gpt_g, Dvp), lambda i, c, k_: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, 2 * Dvp), lambda i, c, k_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bm, Dvp), jnp.float32),
+            pltpu.VMEM((bm, Dvp), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_hier_tail_kernel, gpt_s, gpt_g, tc, has_geo),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, 2 * Dvp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * t_pad * (gpt_s + gpt_g) * (cat_d + Dvp),
+            bytes_accessed=(nB * t_pad * (gpt_s + gpt_g) * (cat_d + Dvp) * 2
+                            + Bp * (cat_d + 2 * Dvp) * 4),
+            transcendentals=Bp * t_pad * (gpt_s + gpt_g),
+        ),
+        interpret=interpret,
+    )(keep, q_cat, g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the public entry points
+
+
+def _pad_queries(q_sem, q_xyz, hb: HierBank, bm: int):
+    B = q_sem.shape[0]
+    Bp = _round_up(B, bm)
+    q_s = jnp.pad(q_sem.astype(jnp.float32), ((0, Bp - B), (0, 0)))
+    q_x = (jnp.pad(q_xyz.astype(jnp.float32), ((0, Bp - B), (0, 0)))
+           if q_xyz is not None else None)
+    return q_s, q_x
+
+
+def _hybrid_order(q_xyz, home_s, n_valid: int, t_pad: int,
+                  sort: str = "hybrid"):
+    """Query ordering so bm-query tiles are coherent and share candidate
+    tiles.  'geo': latitude band then longitude (the geo family's candidate
+    tiles are literally the nearby bank tiles; the sem argmax is usually
+    ALSO local on autocorrelated banks).  'hybrid': coarse geographic cell
+    first, then each cell's queries grouped by their hottest sem tile from
+    the scan stats (compresses the sem long tail's scatter union at the
+    cost of slightly coarser geo coherence).  No locations -> home-sem-tile
+    grouping.  Padded query rows sort last."""
+    Bp = home_s.shape[0]
+    if q_xyz is None:
+        key = home_s
+    else:
+        lat = jnp.arcsin(jnp.clip(q_xyz[:, 2], -1, 1))
+        lon = jnp.arctan2(q_xyz[:, 1], q_xyz[:, 0])
+        if sort == "geo":
+            nb = 12
+            band = jnp.clip(((lat / jnp.pi + 0.5) * nb).astype(jnp.int32),
+                            0, nb - 1)
+            key = band * 4096 + jnp.clip(
+                ((lon / (2 * jnp.pi) + 0.5) * 4096).astype(jnp.int32), 0, 4095)
+        else:
+            nb, nl = 8, 6
+            band = jnp.clip(((lat / jnp.pi + 0.5) * nb).astype(jnp.int32),
+                            0, nb - 1)
+            cell = band * nl + jnp.clip(
+                ((lon / (2 * jnp.pi) + 0.5) * nl).astype(jnp.int32), 0, nl - 1)
+            key = cell * (t_pad + 1) + home_s
+    key = jnp.where(jnp.arange(Bp) < n_valid, key, jnp.iinfo(jnp.int32).max)
+    return jnp.argsort(key, stable=True)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sem_temp", "geo_temp", "beta", "mode", "k_tiles", "bm", "j_sem",
-    "j_geo", "sort_queries", "tail", "interpret"))
+    "sem_temp", "geo_temp", "beta", "mode", "k_tiles", "bm", "tc", "j_sem",
+    "j_geo", "sort_queries", "sort", "tail", "interpret"))
 def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
                   hb: HierBank, *, sem_temp: float = 12.0,
                   geo_temp: float = 40.0, beta: float = 0.5,
-                  mode: str = "range+", k_tiles: int = 24, bm: int = 256,
-                  j_sem: int = 2, j_geo: int = 2, sort_queries: bool = True,
+                  mode: str = "range+", k_tiles: int = 16, bm: int = 256,
+                  tc: int = 8, j_sem: int = 2, j_geo: int = 2,
+                  sort_queries: bool = True, sort: str = "geo",
                   tail: bool = True, interpret: bool = False) -> jnp.ndarray:
     """Two-stage retrieval over a prepared HierBank (see module docstring).
 
@@ -506,38 +682,27 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
         beta = 1.0
         q_xyz = None
     B = q_sem.shape[0]
+    q_s, q_x = _pad_queries(q_sem, q_xyz, hb, bm)
+    q_cat = pack_queries(q_s, q_x, sem_temp, geo_temp, tier=hb.tier)
+    gpt_s, gpt_g = hb.bn // hb.gsz_sem, hb.bn // hb.gsz_geo
+
+    # scan is per-query independent — run it BEFORE sorting so the ordering
+    # can use the stats (each query's hottest sem tile)
+    m_s, s_s, m_g, s_g = _hier_scan_call(
+        q_cat, hb.g_sem_cat, hb.g_geo_cat, bm=bm, tc=tc, gpt_s=gpt_s,
+        gpt_g=gpt_g, interpret=interpret)
     inv = None
     if sort_queries:
-        if q_xyz is not None:
-            from ..geometry import geo_sort_order
-
-            order = geo_sort_order(q_xyz)
-        else:
-            # mode='range' has no locations: group queries by their nearest
-            # sem tile centroid so query tiles share candidate tiles
-            home = jnp.argmax(q_sem.astype(jnp.float32) @ hb.sem_centroid.T,
-                              axis=1)
-            order = jnp.argsort(home, stable=True)
+        home = (jnp.argmax(m_s, axis=1) if (sort == "hybrid" or q_x is None)
+                else jnp.zeros(m_s.shape[0], jnp.int32))
+        order = _hybrid_order(q_x, home, B, hb.t_pad, sort=sort)
         inv = jnp.argsort(order)
-        q_sem = q_sem[order]
-        if q_xyz is not None:
-            q_xyz = q_xyz[order]
-    Bp = _round_up(B, bm)
-    q_s = jnp.pad(q_sem.astype(jnp.float32), ((0, Bp - B), (0, 0)))
-    q_x = (jnp.pad(q_xyz.astype(jnp.float32), ((0, Bp - B), (0, 0)))
-           if q_xyz is not None else None)
-
-    # ONE group-granularity scan of the bank per family: the exp'd logits
-    # rank the selection AND price the tail
-    e_s = jnp.exp2(jnp.minimum(sem_temp * LOG2E * _group_logits(q_s, hb.g_sem),
-                               CLAMP2))
-    e_g = (jnp.exp2(jnp.minimum(geo_temp * LOG2E * _group_logits(q_x, hb.g_geo),
-                                CLAMP2))
-           if mode == "range+" else None)
-    idx, sel = select_tiles_grouped(e_s, e_g, hb, k_tiles=k_tiles, bm=bm,
-                                    n_valid=B, j_sem=j_sem, j_geo=j_geo,
-                                    mode=mode)
-    q_cat = pack_queries(q_sem, q_xyz, sem_temp, geo_temp, tier=hb.tier)
+        q_cat = q_cat[order]
+        m_s, s_s = m_s[order], s_s[order]
+        m_g, s_g = m_g[order], s_g[order]
+    idx, sel = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
+                            k_tiles=k_tiles, bm=bm, n_valid=B, j_sem=j_sem,
+                            j_geo=j_geo, mode=mode)
     parts = _hier_parts_call(q_cat, hb.k_cat, hb.values, hb.value_scale,
                              hb.mask_neg, idx, sem_d=hb.sem_d, bm=bm,
                              bn=hb.bn, interpret=interpret)
@@ -547,21 +712,78 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
     d_s = parts[:, 2 * Dv:2 * Dv + 1]
     d_g = parts[:, 2 * Dv + 1:2 * Dv + 2]
     if tail:
-        t_acc, t_d = _family_tail(e_s, hb.g_sem_vmean, hb.g_sem_count, sel,
-                                  bm=bm, gpt=hb.bn // hb.gsz_sem)
-        acc_s = acc_s + t_acc[:B]
-        d_s = d_s + t_d[:B]
+        # [nB, t_pad] int32 (SMEM scalar prefetch); padded tiles keep=1 but
+        # their vw rows are zero so they contribute nothing
+        keep = (1.0 - sel).astype(jnp.int32)
+        tails = _hier_tail_call(q_cat, hb.g_sem_cat, hb.g_geo_cat,
+                                hb.g_sem_vw, hb.g_geo_vw, keep, bm=bm, tc=tc,
+                                gpt_s=gpt_s, gpt_g=gpt_g,
+                                has_geo=mode == "range+",
+                                interpret=interpret)
+        Dvp = hb.g_sem_vw.shape[1]
+        acc_s = acc_s + tails[:, :Dv]
+        d_s = d_s + tails[:, Dv:Dv + 1]
         if mode == "range+":
-            t_acc, t_d = _family_tail(e_g, hb.g_geo_vmean, hb.g_geo_count,
-                                      sel, bm=bm, gpt=hb.bn // hb.gsz_geo)
-            acc_g = acc_g + t_acc[:B]
-            d_g = d_g + t_d[:B]
+            acc_g = acc_g + tails[:, Dvp:Dvp + Dv]
+            d_g = d_g + tails[:, Dvp + Dv:Dvp + Dv + 1]
     sem = acc_s / jnp.maximum(d_s, 1e-30)
     if mode == "range":
         out = sem
     else:
         geo = acc_g / jnp.maximum(d_g, 1e-30)
         out = beta * sem + (1.0 - beta) * geo
-    if inv is not None:
-        out = out[inv]
-    return out
+    # un-sort: inv[:B] holds each original query's sorted position (padded
+    # rows sort last, so these all point at valid rows)
+    return out[inv[:B]] if inv is not None else out[:B]
+
+
+def hier_nn(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
+            *, sem_temp: float = 12.0, geo_temp: float = 40.0,
+            k_tiles: int = 16, bm: int = 256, tc: int = 8, j_sem: int = 2,
+            j_geo: int = 2, sort: str = "geo",
+            mode: str = "range+") -> jnp.ndarray:
+    """Fidelity harness: the semantic argmax row the hier path can see —
+    serving-tier packed logits restricted to the SELECTED tiles (rows in
+    dropped tiles can never win).  recall@1 of this against exact_nn on
+    `hb.bank` measures the served path's retrieval fidelity.  Harness-only
+    (materializes [B, N] masked logits); not a serving code path."""
+    B = q_sem.shape[0]
+    if mode == "range":
+        q_xyz = None
+    q_s, q_x = _pad_queries(q_sem, q_xyz, hb, bm)
+    q_cat = pack_queries(q_s, q_x, sem_temp, geo_temp, tier=hb.tier)
+    gpt_s, gpt_g = hb.bn // hb.gsz_sem, hb.bn // hb.gsz_geo
+    m_s, s_s, m_g, s_g = _hier_scan_call(
+        q_cat, hb.g_sem_cat, hb.g_geo_cat, bm=bm, tc=tc, gpt_s=gpt_s,
+        gpt_g=gpt_g, interpret=jax.default_backend() == "cpu")
+    home = (jnp.argmax(m_s, axis=1) if (sort == "hybrid" or q_x is None)
+            else jnp.zeros(m_s.shape[0], jnp.int32))
+    order = _hybrid_order(q_x, home, B, hb.t_pad, sort=sort)
+    inv = jnp.argsort(order)
+    q_cat = q_cat[order]
+    m_s, s_s = m_s[order], s_s[order]
+    m_g, s_g = m_g[order], s_g[order]
+    _, sel = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
+                          k_tiles=k_tiles, bm=bm, n_valid=B, j_sem=j_sem,
+                          j_geo=j_geo,
+                          mode="range+" if q_x is not None else "range")
+
+    # chunked masked argmax (the [B, N] logits would not fit at serving B)
+    @jax.jit
+    def score_chunk(qc, keep):
+        logits = jnp.dot(qc, hb.k_cat[:, :hb.sem_d].T,
+                         preferred_element_type=jnp.float32)
+        row_keep = keep * (hb.mask_neg[0][None, :] >= 0)
+        return jnp.argmax(jnp.where(row_keep > 0, logits, -jnp.inf),
+                          axis=1).astype(jnp.int32)
+
+    row_keep_t = jnp.repeat(sel[:, :hb.t_real], hb.bn, axis=1)  # [nB, N]
+    bests = []
+    cs = 1024
+    for lo in range(0, B, cs):
+        hi = min(lo + cs, B)
+        bests.append(score_chunk(
+            q_cat[lo:hi, :hb.sem_d],
+            row_keep_t[jnp.arange(lo, hi) // bm]))
+    best = jnp.concatenate(bests)
+    return best[inv[:B]]

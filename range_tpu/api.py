@@ -109,9 +109,9 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                  compute_dtype=jnp.float32, tier: str = "fast",
                  use_pallas: Optional[bool] = None,
                  value_quant: Optional[str] = None,
-                 retrieval: str = "dense", k_tiles: int = 32,
-                 j_sem: int = 3, j_geo: int = 2, hier_bm: int = 256,
-                 hier_bn: int = 256, gsz_sem: int = 8, gsz_geo: int = 64,
+                 retrieval: str = "dense", k_tiles: int = 16,
+                 j_sem: int = 2, j_geo: int = 2, hier_bm: int = 256,
+                 hier_bn: int = 512, gsz_sem: int = 8, gsz_geo: int = 64,
                  **kw) -> GeoEncoder:
     tower, params = _satclip_tower(pretrained_path, dtype, seed)
     bank = _as_bank(db_path, chunk)

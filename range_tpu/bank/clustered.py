@@ -101,12 +101,21 @@ def cluster_bank(bank: GeoBank, bn: int = 1024, n_clusters: Optional[int] = None
     n_rows = len(order)
     assert n_rows % bn == 0
 
+    # gather ON DEVICE: pulling the bank to host numpy and back costs a
+    # full round-trip of the value matrix over the (slow, tunneled)
+    # host<->device link — orders of magnitude slower than a device gather
+    sel_np = order >= 0
+    safe_idx = jnp.asarray(np.where(sel_np, order, 0).astype(np.int32))
+    sel_dev = jnp.asarray(sel_np)
+
+    @jax.jit
+    def _gather(x):
+        g = jnp.take(x, safe_idx, axis=0)
+        return jnp.where(sel_dev.reshape((-1,) + (1,) * (g.ndim - 1)), g,
+                         jnp.zeros((), g.dtype))
+
     def take(x):
-        arr = np.asarray(x)
-        out = np.zeros((n_rows, *arr.shape[1:]), arr.dtype)
-        sel = order >= 0
-        out[sel] = arr[order[sel]]
-        return jnp.asarray(out)
+        return _gather(x)
 
     reordered = GeoBank(
         locs_lonlat=take(bank.locs_lonlat),

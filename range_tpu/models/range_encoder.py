@@ -55,13 +55,15 @@ class RangeConfig:
     tier: str = "fast"
     # Retrieval algorithm: 'dense' (exact, every bank row — the default) or
     # 'hier' (two-stage approximate, ops/retrieval_hier.py: exact dual
-    # softmax over selected bank tiles + group-centroid tail; ~10x less work
-    # at measured recall@1 >= 0.999 on autocorrelated banks).  'hier'
+    # softmax over selected bank tiles + group-centroid tail for the rest;
+    # ~3x the dense throughput at feature relerr ~2% on autocorrelated
+    # banks — measured in PERF.md; top-k serving for recall-critical uses
+    # goes through ops/topk.topk_packed(tier='high') instead).  'hier'
     # requires the bank prepared with build_hier_bank (the API layer does
     # this when retrieval='hier').
     retrieval: str = "dense"
-    k_tiles: int = 32      # hier: exact tiles per query tile (recall knob)
-    j_sem: int = 3         # hier: per-query sem groups scattered
+    k_tiles: int = 16      # hier: exact tiles per query tile (recall knob)
+    j_sem: int = 2         # hier: per-query sem groups scattered
     j_geo: int = 2         # hier: per-query geo groups scattered
     hier_bm: int = 256     # hier: query-tile size
 

@@ -172,6 +172,9 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
     from ..bank.clustered import cluster_bank, tile_stats
 
     assert bn % gsz_sem == 0 and bn % gsz_geo == 0, (bn, gsz_sem, gsz_geo)
+    # group blocks enter Pallas kernels as (bn/gsz, cat_d) tiles whose
+    # sublane dim must be >= 8 (Mosaic block-shape rule)
+    assert bn // gsz_sem >= 8 and bn // gsz_geo >= 8, (bn, gsz_sem, gsz_geo)
     cbank, _ = cluster_bank(bank, bn=bn, n_clusters=n_clusters, iters=iters,
                             seed=seed, pack="dense")
     # reorder rows within each tile so gsz_sem-row windows are key-coherent
@@ -262,16 +265,30 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
 # scan kernel: per-(query, tile) stats with no [B, G] HBM materialization
 
 
-def _hier_scan_kernel(gpt_s, gpt_g, tc, qt_ref, gs_ref, gg_ref,
-                      ms_ref, ss_ref, mg_ref, sg_ref):
+def _hier_scan_kernel(gpt_s, gpt_g, tc, has_geo, qt_ref, gs_ref, gg_ref,
+                      vs_ref, vg_ref, ms_ref, ss_ref, mg_ref, sg_ref,
+                      tail_ref, accs_ref, accg_ref):
     """Both families' group logits for `tc` bank tiles; per-tile max logit
     (exp2 units, for the per-query argmax-tile signal) and exp-mass (for the
-    mass-rank fill).  Group centroids are packed with the OTHER family's
-    columns zeroed, so each family is one full-width matmul.  Computed
-    TRANSPOSED ([groups, queries]) so per-tile segments reduce along
-    sublanes and stats write as (tc, bm) rows — Pallas TPU requires
-    out-block lane dims divisible by 128, which per-query (bm, tc) stat
-    blocks would violate."""
+    mass-rank fill), PLUS the all-tiles group-centroid tail accumulation
+    (e_group @ [value_sum | count]) — the tail does not depend on tile
+    selection (the parts kernel later SUBTRACTS the selected tiles' group
+    approximation), so it fuses here and the group logits are computed once.
+    Group centroids are packed with the OTHER family's columns zeroed, so
+    each family is one full-width matmul.  Logits are computed TRANSPOSED
+    ([groups, queries]) so per-tile segments reduce along sublanes and stats
+    write as (tc, bm) rows — Pallas TPU requires out-block lane dims
+    divisible by 128, which per-query (bm, tc) stat blocks would violate;
+    the tail matmul contracts the group dim of both operands directly."""
+    c0 = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(c0 == 0)
+    def _():
+        accs_ref[:] = jnp.zeros_like(accs_ref)
+        if has_geo:
+            accg_ref[:] = jnp.zeros_like(accg_ref)
+
     qt = qt_ref[:]
     sl = jnp.dot(gs_ref[:], qt, preferred_element_type=jnp.float32)
     es = jnp.exp2(jnp.minimum(sl, CLAMP2))
@@ -286,21 +303,42 @@ def _hier_scan_kernel(gpt_s, gpt_g, tc, qt_ref, gs_ref, gg_ref,
         mg_ref[c:c + 1, :] = jnp.max(gseg, axis=0, keepdims=True)
         sg_ref[c:c + 1, :] = jnp.sum(eg[c * gpt_g:(c + 1) * gpt_g, :],
                                      axis=0, keepdims=True)
+    # tail: contract the group dim of es [G_tc, bm] with vw [G_tc, Dvp]
+    vs = vs_ref[:]
+    accs_ref[:] += jax.lax.dot_general(
+        es.astype(vs.dtype), vs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if has_geo:
+        vg = vg_ref[:]
+        accg_ref[:] += jax.lax.dot_general(
+            eg.astype(vg.dtype), vg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(c0 == nc - 1)
+    def _():
+        Dvp = accs_ref.shape[1]
+        tail_ref[:, :Dvp] = accs_ref[:]
+        if has_geo:
+            tail_ref[:, Dvp:] = accg_ref[:]
+        else:
+            tail_ref[:, Dvp:] = jnp.zeros_like(tail_ref[:, Dvp:])
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "tc", "gpt_s", "gpt_g",
-                                             "interpret"))
-def _hier_scan_call(q_cat, g_sem_cat, g_geo_cat, *, bm: int, tc: int,
-                    gpt_s: int, gpt_g: int, interpret: bool = False):
+                                             "has_geo", "interpret"))
+def _hier_scan_call(q_cat, g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw, *,
+                    bm: int, tc: int, gpt_s: int, gpt_g: int,
+                    has_geo: bool = True, interpret: bool = False):
     Bp, cat_d = q_cat.shape
     t_pad = g_sem_cat.shape[0] // gpt_s
     assert t_pad % tc == 0, (t_pad, tc)
+    Dvp = g_sem_vw.shape[1]
     nB = Bp // bm
     grid = (nB, t_pad // tc)
     q_t = q_cat.T  # [cat_d, Bp]
 
     out = pl.pallas_call(
-        functools.partial(_hier_scan_kernel, gpt_s, gpt_g, tc),
+        functools.partial(_hier_scan_kernel, gpt_s, gpt_g, tc, has_geo),
         grid=grid,
         in_specs=[
             pl.BlockSpec((cat_d, bm), lambda i, c: (0, i),
@@ -309,23 +347,35 @@ def _hier_scan_call(q_cat, g_sem_cat, g_geo_cat, *, bm: int, tc: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tc * gpt_g, cat_d), lambda i, c: (c, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc * gpt_s, Dvp), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc * gpt_g, Dvp), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((tc, bm), lambda i, c: (c, i),
-                                memory_space=pltpu.VMEM)] * 4,
-        out_shape=[jax.ShapeDtypeStruct((t_pad, Bp), jnp.float32)] * 4,
+                                memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec((bm, 2 * Dvp), lambda i, c: (i, 0),
+                        memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((t_pad, Bp), jnp.float32)] * 4
+        + [jax.ShapeDtypeStruct((Bp, 2 * Dvp), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((bm, Dvp), jnp.float32),
+            pltpu.VMEM((bm, Dvp), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * t_pad * (gpt_s + gpt_g) * cat_d,
-            bytes_accessed=(nB * t_pad * (gpt_s + gpt_g) * cat_d * 2
-                            + Bp * cat_d * 2 + 4 * Bp * t_pad * 4),
+            flops=2 * Bp * t_pad * (gpt_s + gpt_g) * (cat_d + Dvp),
+            bytes_accessed=(nB * t_pad * (gpt_s + gpt_g) * (cat_d + Dvp) * 2
+                            + Bp * cat_d * 2 + 4 * Bp * t_pad * 4
+                            + Bp * 2 * Dvp * 4),
             transcendentals=Bp * t_pad * (gpt_s + gpt_g),
         ),
         interpret=interpret,
-    )(q_t, g_sem_cat, g_geo_cat)
-    # back to [Bp, t_pad] for the per-query top-k in select_tiles
-    return tuple(o.T for o in out)
+    )(q_t, g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw)
+    # stats back to [Bp, t_pad] for the per-query top-k in select_tiles
+    return tuple(o.T for o in out[:4]) + (out[4],)
 
 
 def select_tiles(m_s, s_s, m_g, s_g, *, t_real: int, k_tiles: int, bm: int,
@@ -348,17 +398,23 @@ def select_tiles(m_s, s_s, m_g, s_g, *, t_real: int, k_tiles: int, bm: int,
     row_valid = jnp.arange(Bp) < n_valid
     col_real = jnp.arange(t_pad) < t_real
 
-    def scatter_family(sel, m, j):
+    def rank_weights(m, j):
+        # scatter-free top-j rank weights: counting met thresholds gives
+        # weight (j - rank) for a query's top-j tiles, 0 elsewhere — so when
+        # the union over the tile's bm queries oversubscribes k_tiles, every
+        # query's rank-0 (argmax-guarantee) tile outranks any rank-1+ tile,
+        # which in turn outranks mass-only fill.  Thresholds come from j
+        # successive masked max reductions (lax.top_k is a sort on TPU —
+        # measurably slower for j <= 4; value ties only widen the selection)
         m = jnp.where(col_real[None, :], m, -jnp.inf)
-        _, tid = jax.lax.top_k(m, j)  # [Bp, j]
-        # invalid (padded) query rows scatter into the dumped extra column
-        tid = jnp.where(row_valid[:, None], tid, t_pad)
-        rows = jnp.broadcast_to((jnp.arange(Bp) // bm)[:, None], tid.shape)
-        # rank-weighted: when the scattered union oversubscribes k_tiles,
-        # every query's rank-0 (argmax-guarantee) tile must outrank any
-        # rank-1+ tile, which in turn outranks mass-only fill
-        w = jnp.arange(j, 0, -1, dtype=jnp.float32)
-        return sel.at[rows, tid].max(jnp.broadcast_to(w[None, :], tid.shape))
+        w = jnp.zeros_like(m)
+        rem = m
+        for _ in range(j):
+            thr = jnp.max(rem, axis=1, keepdims=True)
+            w = w + (m >= thr).astype(jnp.float32)
+            rem = jnp.where(rem >= thr, -jnp.inf, rem)
+        w = jnp.where(row_valid[:, None], w, 0.0)
+        return w.reshape(nB, bm, t_pad).max(axis=1)
 
     def tile_mass(s):
         s = jnp.where(col_real[None, :], s, 0.0)
@@ -366,13 +422,11 @@ def select_tiles(m_s, s_s, m_g, s_g, *, t_real: int, k_tiles: int, bm: int,
         p = jnp.where(row_valid[:, None], p, 0.0)
         return p.reshape(nB, bm, t_pad).sum(axis=1)
 
-    sel = jnp.zeros((nB, t_pad + 1), jnp.float32)
-    sel = scatter_family(sel, m_s, j_sem)
+    sel = rank_weights(m_s, j_sem)
     pri = tile_mass(s_s)
     if mode == "range+":
-        sel = scatter_family(sel, m_g, j_geo)
+        sel = jnp.maximum(sel, rank_weights(m_g, j_geo))
         pri = pri + tile_mass(s_g)
-    sel = sel[:, :t_pad]
 
     big = 1e9
     score = jnp.where(col_real[None, :], sel * big + pri, -jnp.inf)
@@ -387,13 +441,17 @@ def select_tiles(m_s, s_s, m_g, s_g, *, t_real: int, k_tiles: int, bm: int,
 # parts kernel: exact dual softmax over each query tile's selected bank tiles
 
 
-def _hier_parts_kernel(sem_d, has_scale, idx_ref, q_ref, k_ref, v_ref, *rest):
-    """Exact dual-softmax partials over each query-tile's selected bank
-    tiles.  Grid (iB, K); the bank-side block index maps follow the
-    scalar-prefetched idx list.  Emits UNNORMALIZED [bm, 2*Dv + 128]
-    partials ([sem_acc | geo_acc | d_sem | d_geo | pad]) — bounded logits
-    make plain sums safe (see retrieval_pallas.py), so the group tail adds
-    linearly outside the kernel."""
+def _hier_parts_kernel(sem_d, has_scale, idx_ref, q_ref, k_ref, v_ref,
+                       gs_ref, gg_ref, vs_ref, vg_ref, *rest):
+    """Per selected bank tile: EXACT dual-softmax partials MINUS the tile's
+    group-centroid approximation (the same formula the fused scan's tail
+    accumulated for ALL tiles) — so `scan_tail + sum_sel(exact - approx)`
+    replaces the selected tiles' approximation with the exact computation
+    with no keep-mask pass over the full bank.  Grid (iB, K); the bank-side
+    block index maps follow the scalar-prefetched idx list.  Emits
+    UNNORMALIZED [bm, 2*Dv + 128] partials ([sem_acc | geo_acc | d_sem |
+    d_geo | pad]) — bounded logits make plain sums safe (see
+    retrieval_pallas.py), so everything combines linearly outside."""
     if has_scale:
         s_ref, mask_ref, out_ref, acc_ref, ds_ref, dg_ref = rest
     else:
@@ -437,6 +495,24 @@ def _hier_parts_kernel(sem_d, has_scale, idx_ref, q_ref, k_ref, v_ref, *rest):
                                    preferred_element_type=jnp.float32,
                                    precision=vprec)
 
+    # subtract this tile's group-centroid approximation (counted once in the
+    # scan's all-tiles tail); the count column (Dv of vw) carries the
+    # denominator correction
+    es = jnp.exp2(jnp.minimum(
+        jnp.dot(q, gs_ref[:].T, preferred_element_type=jnp.float32), CLAMP2))
+    vs = vs_ref[:]
+    appr_s = jnp.dot(es.astype(vs.dtype), vs,
+                     preferred_element_type=jnp.float32)
+    acc_ref[:, :Dv] -= appr_s[:, :Dv]
+    ds_ref[:] -= appr_s[:, Dv:Dv + 1]
+    eg = jnp.exp2(jnp.minimum(
+        jnp.dot(q, gg_ref[:].T, preferred_element_type=jnp.float32), CLAMP2))
+    vg = vg_ref[:]
+    appr_g = jnp.dot(eg.astype(vg.dtype), vg,
+                     preferred_element_type=jnp.float32)
+    acc_ref[:, Dv:] -= appr_g[:, :Dv]
+    dg_ref[:] -= appr_g[:, Dv:Dv + 1]
+
     @pl.when(j == nj - 1)
     def _():
         Dv2 = 2 * Dv
@@ -446,12 +522,15 @@ def _hier_parts_kernel(sem_d, has_scale, idx_ref, q_ref, k_ref, v_ref, *rest):
         out_ref[:, Dv2 + 2:] = jnp.zeros_like(out_ref[:, Dv2 + 2:])
 
 
-@functools.partial(jax.jit, static_argnames=("sem_d", "bm", "bn", "interpret"))
-def _hier_parts_call(q_cat, k_cat, values, scale, mask_neg, idx, *,
-                     sem_d: int, bm: int, bn: int,
+@functools.partial(jax.jit, static_argnames=("sem_d", "bm", "bn", "gpt_s",
+                                             "gpt_g", "interpret"))
+def _hier_parts_call(q_cat, k_cat, values, scale, mask_neg, idx,
+                     g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw, *,
+                     sem_d: int, bm: int, bn: int, gpt_s: int, gpt_g: int,
                      interpret: bool = False) -> jnp.ndarray:
     Bp, cat_d = q_cat.shape
     N, Dv = values.shape
+    Dvp = g_sem_vw.shape[1]
     nB = Bp // bm
     K = idx.shape[1]
     assert idx.shape == (nB, K), (idx.shape, nB)
@@ -465,8 +544,12 @@ def _hier_parts_call(q_cat, k_cat, values, scale, mask_neg, idx, *,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((bn, cat_d), kidx, memory_space=pltpu.VMEM),
         pl.BlockSpec((bn, Dv), kidx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((gpt_s, cat_d), kidx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((gpt_g, cat_d), kidx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((gpt_s, Dvp), kidx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((gpt_g, Dvp), kidx, memory_space=pltpu.VMEM),
     ]
-    operands = [q_cat, k_cat, values]
+    operands = [q_cat, k_cat, values, g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw]
     has_scale = scale is not None
     if has_scale:
         in_specs.append(pl.BlockSpec((1, bn),
@@ -498,118 +581,14 @@ def _hier_parts_call(q_cat, k_cat, values, scale, mask_neg, idx, *,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * K * bn * (cat_d + 2 * Dv),
-            bytes_accessed=nB * K * bn * (cat_d + Dv) * 2
+            flops=2 * Bp * K * (bn * (cat_d + 2 * Dv)
+                                + (gpt_s + gpt_g) * (cat_d + Dvp)),
+            bytes_accessed=nB * K * (bn + gpt_s + gpt_g) * (cat_d + Dv) * 2
             + Bp * (cat_d + Dv) * 4,
-            transcendentals=2 * Bp * K * bn,
+            transcendentals=Bp * K * (2 * bn + gpt_s + gpt_g),
         ),
         interpret=interpret,
     )(idx, *operands)
-    return out
-
-
-# ---------------------------------------------------------------------------
-# tail kernel: group-centroid contributions of the NON-selected tiles
-
-
-def _hier_tail_kernel(gpt_s, gpt_g, tc, has_geo, keep_ref, q_ref, gs_ref,
-                      gg_ref, vs_ref, vg_ref, out_ref, accs_ref, accg_ref):
-    """One streaming pass per query tile over ALL bank tiles at group
-    granularity: recompute group logits (cheaper than storing [B, G] exp
-    logits in HBM — ~70 GFLOP vs ~700 MB of traffic), zero the selected
-    tiles via the scalar-prefetched keep mask, and accumulate
-    e_group @ [value_sum | count] on the MXU.  Emits [bm, 2*Dvp]
-    unnormalized partials in the same exp2 units as the parts kernel."""
-    i = pl.program_id(0)
-    c0 = pl.program_id(1)
-    nc = pl.num_programs(1)
-
-    @pl.when(c0 == 0)
-    def _():
-        accs_ref[:] = jnp.zeros_like(accs_ref)
-        if has_geo:
-            accg_ref[:] = jnp.zeros_like(accg_ref)
-
-    q = q_ref[:]
-    # keep vector over this step's tc tiles, expanded to group lanes
-    ks = [keep_ref[i, c0 * tc + c] for c in range(tc)]
-
-    def kvec(gpt):
-        return jnp.concatenate(
-            [jnp.full((1, gpt), k, jnp.float32) for k in ks], axis=1)
-
-    sl = jnp.dot(q, gs_ref[:].T, preferred_element_type=jnp.float32)
-    es = jnp.exp2(jnp.minimum(sl, CLAMP2)) * kvec(gpt_s)
-    vs = vs_ref[:]
-    accs_ref[:] += jnp.dot(es.astype(vs.dtype), vs,
-                           preferred_element_type=jnp.float32)
-    if has_geo:
-        gl = jnp.dot(q, gg_ref[:].T, preferred_element_type=jnp.float32)
-        eg = jnp.exp2(jnp.minimum(gl, CLAMP2)) * kvec(gpt_g)
-        vg = vg_ref[:]
-        accg_ref[:] += jnp.dot(eg.astype(vg.dtype), vg,
-                               preferred_element_type=jnp.float32)
-
-    @pl.when(c0 == nc - 1)
-    def _():
-        Dvp = accs_ref.shape[1]
-        out_ref[:, :Dvp] = accs_ref[:]
-        if has_geo:
-            out_ref[:, Dvp:] = accg_ref[:]
-        else:
-            out_ref[:, Dvp:] = jnp.zeros_like(out_ref[:, Dvp:])
-
-
-@functools.partial(jax.jit, static_argnames=("bm", "tc", "gpt_s", "gpt_g",
-                                             "has_geo", "interpret"))
-def _hier_tail_call(q_cat, g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw, keep, *,
-                    bm: int, tc: int, gpt_s: int, gpt_g: int,
-                    has_geo: bool = True,
-                    interpret: bool = False) -> jnp.ndarray:
-    Bp, cat_d = q_cat.shape
-    t_pad = g_sem_cat.shape[0] // gpt_s
-    assert t_pad % tc == 0, (t_pad, tc)
-    Dvp = g_sem_vw.shape[1]
-    nB = Bp // bm
-    grid = (nB, t_pad // tc)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, cat_d), lambda i, c, k_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc * gpt_s, cat_d), lambda i, c, k_: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc * gpt_g, cat_d), lambda i, c, k_: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc * gpt_s, Dvp), lambda i, c, k_: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc * gpt_g, Dvp), lambda i, c, k_: (c, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, 2 * Dvp), lambda i, c, k_: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((bm, Dvp), jnp.float32),
-            pltpu.VMEM((bm, Dvp), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_hier_tail_kernel, gpt_s, gpt_g, tc, has_geo),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Bp, 2 * Dvp), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * t_pad * (gpt_s + gpt_g) * (cat_d + Dvp),
-            bytes_accessed=(nB * t_pad * (gpt_s + gpt_g) * (cat_d + Dvp) * 2
-                            + Bp * (cat_d + 2 * Dvp) * 4),
-            transcendentals=Bp * t_pad * (gpt_s + gpt_g),
-        ),
-        interpret=interpret,
-    )(keep, q_cat, g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw)
     return out
 
 
@@ -661,14 +640,14 @@ def _hybrid_order(q_xyz, home_s, n_valid: int, t_pad: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "sem_temp", "geo_temp", "beta", "mode", "k_tiles", "bm", "tc", "j_sem",
-    "j_geo", "sort_queries", "sort", "tail", "interpret"))
+    "j_geo", "sort_queries", "sort", "interpret"))
 def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
                   hb: HierBank, *, sem_temp: float = 12.0,
                   geo_temp: float = 40.0, beta: float = 0.5,
                   mode: str = "range+", k_tiles: int = 16, bm: int = 256,
                   tc: int = 8, j_sem: int = 2, j_geo: int = 2,
                   sort_queries: bool = True, sort: str = "geo",
-                  tail: bool = True, interpret: bool = False) -> jnp.ndarray:
+                  interpret: bool = False) -> jnp.ndarray:
     """Two-stage retrieval over a prepared HierBank (see module docstring).
 
     Drop-in approximate counterpart of `ops.retrieval.retrieve` /
@@ -676,8 +655,7 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
     ~(K*bn + N/gsz_sem)/N of the dense exact work.  Fidelity knobs:
     `k_tiles` + `j_sem`/`j_geo` (exact coverage — the recall knobs),
     `hb.gsz_sem` (tail granularity — the feature-error knob), `bm`
-    (query-tile coherence); `tail=False` drops the correction (pure
-    pruning; only sound when BOTH families are local)."""
+    (query-tile coherence)."""
     if mode == "range":
         beta = 1.0
         q_xyz = None
@@ -686,46 +664,54 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
     q_cat = pack_queries(q_s, q_x, sem_temp, geo_temp, tier=hb.tier)
     gpt_s, gpt_g = hb.bn // hb.gsz_sem, hb.bn // hb.gsz_geo
 
-    # scan is per-query independent — run it BEFORE sorting so the ordering
-    # can use the stats (each query's hottest sem tile)
-    m_s, s_s, m_g, s_g = _hier_scan_call(
-        q_cat, hb.g_sem_cat, hb.g_geo_cat, bm=bm, tc=tc, gpt_s=gpt_s,
-        gpt_g=gpt_g, interpret=interpret)
     inv = None
-    if sort_queries:
-        home = (jnp.argmax(m_s, axis=1) if (sort == "hybrid" or q_x is None)
-                else jnp.zeros(m_s.shape[0], jnp.int32))
+    hybrid = sort == "hybrid" or q_x is None
+    if sort_queries and not hybrid:
+        # geographic ordering depends only on the query locations — sort
+        # BEFORE the scan so the scan's stats and tail come out already in
+        # sorted order (the alternative permutes ~45 MB of per-query stats
+        # + tail rows per 10k batch)
+        order = _hybrid_order(q_x, jnp.zeros(q_cat.shape[0], jnp.int32), B,
+                              hb.t_pad, sort=sort)
+        inv = jnp.argsort(order)
+        q_cat = q_cat[order]
+
+    # the fused scan emits selection stats AND the all-tiles group-centroid
+    # tail in one group-granularity pass
+    m_s, s_s, m_g, s_g, tails = _hier_scan_call(
+        q_cat, hb.g_sem_cat, hb.g_geo_cat, hb.g_sem_vw, hb.g_geo_vw,
+        bm=bm, tc=tc, gpt_s=gpt_s, gpt_g=gpt_g,
+        has_geo=mode == "range+", interpret=interpret)
+    if sort_queries and hybrid:
+        # hybrid ordering groups each coarse geo cell's queries by their
+        # hottest sem tile, which needs the scan stats — permute them
+        home = jnp.argmax(m_s, axis=1)
         order = _hybrid_order(q_x, home, B, hb.t_pad, sort=sort)
         inv = jnp.argsort(order)
         q_cat = q_cat[order]
         m_s, s_s = m_s[order], s_s[order]
         m_g, s_g = m_g[order], s_g[order]
+        tails = tails[order]
     idx, sel = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
                             k_tiles=k_tiles, bm=bm, n_valid=B, j_sem=j_sem,
                             j_geo=j_geo, mode=mode)
+    # parts = sum over selected tiles of (exact - group approximation)
     parts = _hier_parts_call(q_cat, hb.k_cat, hb.values, hb.value_scale,
-                             hb.mask_neg, idx, sem_d=hb.sem_d, bm=bm,
-                             bn=hb.bn, interpret=interpret)
+                             hb.mask_neg, idx, hb.g_sem_cat, hb.g_geo_cat,
+                             hb.g_sem_vw, hb.g_geo_vw, sem_d=hb.sem_d, bm=bm,
+                             bn=hb.bn, gpt_s=gpt_s, gpt_g=gpt_g,
+                             interpret=interpret)
     Dv = hb.value_dim
     acc_s = parts[:, :Dv]
     acc_g = parts[:, Dv:2 * Dv]
     d_s = parts[:, 2 * Dv:2 * Dv + 1]
     d_g = parts[:, 2 * Dv + 1:2 * Dv + 2]
-    if tail:
-        # [nB, t_pad] int32 (SMEM scalar prefetch); padded tiles keep=1 but
-        # their vw rows are zero so they contribute nothing
-        keep = (1.0 - sel).astype(jnp.int32)
-        tails = _hier_tail_call(q_cat, hb.g_sem_cat, hb.g_geo_cat,
-                                hb.g_sem_vw, hb.g_geo_vw, keep, bm=bm, tc=tc,
-                                gpt_s=gpt_s, gpt_g=gpt_g,
-                                has_geo=mode == "range+",
-                                interpret=interpret)
-        Dvp = hb.g_sem_vw.shape[1]
-        acc_s = acc_s + tails[:, :Dv]
-        d_s = d_s + tails[:, Dv:Dv + 1]
-        if mode == "range+":
-            acc_g = acc_g + tails[:, Dvp:Dvp + Dv]
-            d_g = d_g + tails[:, Dvp + Dv:Dvp + Dv + 1]
+    Dvp = hb.g_sem_vw.shape[1]
+    acc_s = acc_s + tails[:, :Dv]
+    d_s = d_s + tails[:, Dv:Dv + 1]
+    if mode == "range+":
+        acc_g = acc_g + tails[:, Dvp:Dvp + Dv]
+        d_g = d_g + tails[:, Dvp + Dv:Dvp + Dv + 1]
     sem = acc_s / jnp.maximum(d_s, 1e-30)
     if mode == "range":
         out = sem
@@ -753,9 +739,10 @@ def hier_nn(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
     q_s, q_x = _pad_queries(q_sem, q_xyz, hb, bm)
     q_cat = pack_queries(q_s, q_x, sem_temp, geo_temp, tier=hb.tier)
     gpt_s, gpt_g = hb.bn // hb.gsz_sem, hb.bn // hb.gsz_geo
-    m_s, s_s, m_g, s_g = _hier_scan_call(
-        q_cat, hb.g_sem_cat, hb.g_geo_cat, bm=bm, tc=tc, gpt_s=gpt_s,
-        gpt_g=gpt_g, interpret=jax.default_backend() == "cpu")
+    m_s, s_s, m_g, s_g, _ = _hier_scan_call(
+        q_cat, hb.g_sem_cat, hb.g_geo_cat, hb.g_sem_vw, hb.g_geo_vw,
+        bm=bm, tc=tc, gpt_s=gpt_s, gpt_g=gpt_g,
+        interpret=jax.default_backend() == "cpu")
     home = (jnp.argmax(m_s, axis=1) if (sort == "hybrid" or q_x is None)
             else jnp.zeros(m_s.shape[0], jnp.int32))
     order = _hybrid_order(q_x, home, B, hb.t_pad, sort=sort)

@@ -33,7 +33,7 @@ def bank():
 
 @pytest.fixture(scope="module")
 def hb(bank):
-    return build_hier_bank(bank, bn=BN, gsz_sem=8, gsz_geo=32, tier="exact",
+    return build_hier_bank(bank, bn=BN, gsz_sem=8, gsz_geo=16, tier="exact",
                            value_dtype=jnp.float32)
 
 
@@ -141,9 +141,9 @@ def test_hier_int8_values(bank, queries):
     folded into the probability tile) and match the f32 path closely."""
     q, qx = queries
     hb8 = build_hier_bank(quantize_values(bank), bn=BN, gsz_sem=8,
-                          gsz_geo=32, tier="exact")
+                          gsz_geo=16, tier="exact")
     assert hb8.value_scale is not None and hb8.values.dtype == jnp.int8
-    hb32 = build_hier_bank(bank, bn=BN, gsz_sem=8, gsz_geo=32, tier="exact")
+    hb32 = build_hier_bank(bank, bn=BN, gsz_sem=8, gsz_geo=16, tier="exact")
     out8 = retrieve_hier(q, qx, hb8, k_tiles=24, bm=128, interpret=True)
     out32 = retrieve_hier(q, qx, hb32, k_tiles=24, bm=128, interpret=True)
     assert _relerr(out8, out32).mean() < 0.01
@@ -151,8 +151,8 @@ def test_hier_int8_values(bank, queries):
 
 def test_hier_through_api(bank):
     enc = range_tpu.load_model("RANGE+", db_path=bank, beta=0.5,
-                               retrieval="hier", hier_bn=BN, k_tiles=32,
-                               hier_bm=128, chunk=PAD, seed=0)
+                               retrieval="hier", hier_bn=BN, gsz_geo=16,
+                               k_tiles=32, hier_bm=128, chunk=PAD, seed=0)
     rng = np.random.default_rng(5)
     coords = np.stack([rng.uniform(-180, 180, 256),
                        rng.uniform(-90, 90, 256)], 1)

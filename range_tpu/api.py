@@ -112,6 +112,9 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                  retrieval: str = "dense", k_tiles: int = 16,
                  j_sem: int = 2, j_geo: int = 2, hier_bm: int = 256,
                  hier_bn: int = 512, gsz_sem: int = 8, gsz_geo: int = 64,
+                 mesh=None, bank_axis: Optional[str] = None,
+                 data_axis: Optional[str] = None, shard_bm: int = 512,
+                 shard_bn: int = 1024,
                  **kw) -> GeoEncoder:
     tower, params = _satclip_tower(pretrained_path, dtype, seed)
     bank = _as_bank(db_path, chunk)
@@ -126,17 +129,36 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
     if retrieval == "hier":
         # two-stage approximate serving (ops/retrieval_hier.py): cluster +
         # prepack the bank once at load
+        if mesh is not None:
+            raise NotImplementedError(
+                "retrieval='hier' + mesh is not supported yet; shard the "
+                "dense path (retrieval='dense', mesh=...) or serve hier "
+                "single-chip")
         from .ops.retrieval_hier import build_hier_bank
 
         bank = build_hier_bank(bank, bn=hier_bn, gsz_sem=gsz_sem,
                                gsz_geo=gsz_geo, tier=tier, seed=seed)
     elif retrieval != "dense":
         raise ValueError(f"retrieval must be 'dense' or 'hier', got {retrieval!r}")
+    if mesh is not None:
+        # one-line multi-chip serving: rows spread over the mesh's bank
+        # axis; apply() routes to parallel/sharded.py (exact psum combine)
+        from .parallel.sharded import shard_bank
+
+        bank_axis = bank_axis or mesh.axis_names[-1]
+        if mesh.shape[bank_axis] > 1:
+            assert bank.num_rows % (mesh.shape[bank_axis] * shard_bn) == 0, (
+                f"bank rows {bank.num_rows} must divide evenly into "
+                f"{mesh.shape[bank_axis]} shards of {shard_bn}-row tiles; "
+                f"re-pad with chunk/pad_to accordingly")
+        bank = shard_bank(bank, mesh, axis=bank_axis)
     cfg = RangeConfig(mode=mode, beta=beta, chunk=chunk,
                       compute_dtype=compute_dtype, tier=tier,
                       use_pallas=use_pallas, retrieval=retrieval,
                       k_tiles=k_tiles, j_sem=j_sem, j_geo=j_geo,
-                      hier_bm=hier_bm)
+                      hier_bm=hier_bm, mesh=mesh,
+                      bank_axis=bank_axis or "bank", data_axis=data_axis,
+                      shard_bm=shard_bm, shard_bn=shard_bn)
     enc = RangeEncoder(tower, bank, cfg)
 
     def apply_fn(p, c, extra):

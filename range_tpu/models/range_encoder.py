@@ -66,6 +66,16 @@ class RangeConfig:
     j_sem: int = 2         # hier: per-query sem groups scattered
     j_geo: int = 2         # hier: per-query geo groups scattered
     hier_bm: int = 256     # hier: query-tile size
+    # Multi-chip serving: a jax.sharding.Mesh whose `bank_axis` shards the
+    # bank rows (parallel/sharded.py).  The API layer shards the bank at
+    # load; apply() routes to the sharded kernels (psum partial combine —
+    # exact, not approximate).  `data_axis` optionally shards the query
+    # batch on a 2-D mesh.
+    mesh: Any = None
+    bank_axis: str = "bank"
+    data_axis: Optional[str] = None
+    shard_bm: int = 512    # sharded pallas kernel query-tile rows
+    shard_bn: int = 1024   # sharded pallas kernel bank-tile rows
 
     def resolved_sem_temp(self) -> float:
         if self.sem_temp is not None:
@@ -113,6 +123,25 @@ class RangeEncoder:
         use_pallas = cfg.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        if cfg.mesh is not None:
+            from ..parallel.sharded import (sharded_retrieve,
+                                            sharded_retrieve_pallas)
+
+            if use_pallas or jax.default_backend() == "tpu":
+                retrieved = sharded_retrieve_pallas(
+                    q_sem, q_xyz, bank, cfg.mesh,
+                    sem_temp=cfg.resolved_sem_temp(), geo_temp=cfg.geo_temp,
+                    beta=cfg.beta, mode=cfg.mode, tier=cfg.tier,
+                    bm=cfg.shard_bm, bn=cfg.shard_bn,
+                    bank_axis=cfg.bank_axis, data_axis=cfg.data_axis,
+                    interpret=jax.default_backend() != "tpu")
+            else:
+                retrieved = sharded_retrieve(
+                    q_sem, q_xyz, bank, cfg.mesh,
+                    sem_temp=cfg.resolved_sem_temp(), geo_temp=cfg.geo_temp,
+                    beta=cfg.beta, mode=cfg.mode, chunk=cfg.chunk,
+                    bank_axis=cfg.bank_axis, data_axis=cfg.data_axis)
+            return jnp.concatenate([retrieved, q_sem], axis=-1)
         if use_pallas:
             from ..ops.retrieval_pallas import retrieve_pallas
 

@@ -1,6 +1,7 @@
 """Public API: registry coverage, shapes, and RANGE end-to-end vs a torch
 transcription of the reference forward."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -146,3 +147,27 @@ def test_load_model_value_quant():
     assert rel.max() < 0.05
     with pytest.raises(ValueError):
         range_tpu.load_model("RANGE+", db_path=bank, value_quant="int4")
+
+
+def test_load_model_mesh_sharded_serving():
+    """VERDICT r1 #5: one-line user path from load_model to sharded serving —
+    `mesh=` shards the bank and routes apply() through parallel/sharded.py."""
+    import range_tpu
+    from range_tpu.bank.bank import GeoBank
+    from range_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) == 8
+    bank = GeoBank.synthetic(0, 2000, key_dim=256, value_dim=64, pad_to=1024)
+    mesh = make_mesh((8,), ("bank",))
+    enc = range_tpu.load_model("RANGE+", db_path=bank, mesh=mesh,
+                               shard_bn=128, chunk=256, seed=0)
+    ref = range_tpu.load_model("RANGE+", db_path=bank, chunk=256, seed=0)
+    coords = np.stack([np.linspace(-170, 170, 16), np.linspace(-80, 80, 16)], 1)
+    got = np.asarray(enc(coords))
+    expect = np.asarray(ref(coords))
+    assert got.shape == (16, 64 + 256)
+    np.testing.assert_allclose(got, expect, rtol=5e-2, atol=5e-4)
+    # hier + mesh is an explicit unsupported combination
+    with pytest.raises(NotImplementedError):
+        range_tpu.load_model("RANGE+", db_path=bank, mesh=mesh,
+                             retrieval="hier")

@@ -26,20 +26,34 @@ def test_weighted_sh_matches_manual_contraction():
         jnp.float64)
     out = np.asarray(wsh.apply(params, lonlat))
     assert out.shape == (16, E)
-    # manual: sum over (l, m) of basis * coeff with the reference's
-    # get_coeffs indexing (weight[l, m] for m>=0, weight[-l, m] negative idx)
+    # torch transcription of the reference forward + get_coeffs
+    # (spherical_harmonics_weighted.py:26-48: Y += SH(m,l) * get_coeffs(l,m),
+    # where get_coeffs uses PyTorch NEGATIVE indexing weight[-l, m] for
+    # m < 0) — the reference module itself imports the stripped ylm blob and
+    # cannot be imported, so the under-test coefficient mapping is replayed
+    # here with real torch negative indexing on the same weights
+    import torch
+
     from range_tpu.ops.sh import spherical_harmonics_basis
 
-    basis = np.asarray(spherical_harmonics_basis(lonlat, L, "closed-form"))
-    w = np.asarray(params["weight"])
-    expect = np.zeros((16, E))
+    basis = torch.from_numpy(
+        np.asarray(spherical_harmonics_basis(lonlat, L, "closed-form")))
+    weight = torch.from_numpy(np.asarray(params["weight"]))
+
+    def get_coeffs(l, m):
+        if m == 0:
+            return weight[l, 0]
+        if m > 0:
+            return weight[l, m]
+        return weight[-l, m]  # the reference's double negative indexing
+
+    Y = torch.zeros(E, 16, dtype=torch.float64)
     j = 0
     for l in range(L):
         for m in range(-l, l + 1):
-            c = w[l, m] if m >= 0 else w[-l % L, m % L]
-            expect += basis[:, j:j + 1] * c[None, :]
+            Y = Y + basis[:, j] * get_coeffs(l, m).unsqueeze(1)
             j += 1
-    np.testing.assert_allclose(out, expect, rtol=1e-10)
+    np.testing.assert_allclose(out, Y.T.numpy(), rtol=1e-10)
 
 
 def test_sample_gaussian_tensors():

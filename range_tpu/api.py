@@ -300,21 +300,28 @@ def sphere2vec_hparams(dataset: str = "inat2018", encoder: str = "spherec",
     """Tuned sphere2vec hyperparameters.
 
     The reference ships a per-dataset yaml database
-    (`sphere2vec/hparams.yaml`, read by `get_sphere2vec`, sphere2vec.py:255).
-    Pass `yaml_path` to read such a file; otherwise the embedded inat2018
-    presets above (the only rows the reference factory actually consumes)
-    are returned."""
-    if yaml_path is not None:
-        import yaml
+    (`sphere2vec/hparams.yaml`, read by `get_sphere2vec`, sphere2vec.py:255);
+    the full table (4 datasets x encoder x head: frequency_num/min_radius +
+    tuned lr/wd) is vendored as config data at
+    `range_tpu/data/sphere2vec_hparams.yaml` and read by default.  Pass
+    `yaml_path` to read a different file."""
+    import yaml
 
-        with open(yaml_path) as f:
-            db = yaml.safe_load(f)
+    if yaml_path is None:
+        import os
+
+        yaml_path = os.path.join(os.path.dirname(__file__), "data",
+                                 "sphere2vec_hparams.yaml")
+    with open(yaml_path) as f:
+        db = yaml.safe_load(f)
+    try:
         return dict(db[dataset][f"{encoder}-{head}"])
-    if dataset != "inat2018" or head != "linear":
+    except KeyError:
+        avail = {k: sorted(x for x in v if x != "dataset")
+                 for k, v in db.items()}
         raise KeyError(
-            f"embedded presets cover inat2018/*-linear only; pass yaml_path "
-            f"for {dataset}/{encoder}-{head}")
-    return dict(_S2VEC_PRESETS[encoder])
+            f"no tuned hparams for {dataset}/{encoder}-{head}; available: "
+            f"{avail}") from None
 
 
 def _make_s2vec(variant: str):

@@ -105,3 +105,56 @@ def plot_gt_locations(train_locs: np.ndarray, train_classes: np.ndarray,
     plt.savefig(out_path, dpi=300, bbox_inches="tight", pad_inches=0)
     plt.close()
     return len(inds)
+
+
+def save_prediction_map(grid_pred: np.ndarray, path: str) -> None:
+    """Render a dense class-probability map the reference's way
+    (`csp/main/analysis.py:605-625` plot_prediction): `1 - pred` on the
+    afmhot colormap, fixed [0, 1] range, saved as an image."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.imsave(path, 1.0 - grid_pred, cmap="afmhot", vmin=0, vmax=1)
+
+
+def save_cluster_map(cluster_map: np.ndarray, path: str,
+                     extent=(-180, 180, -90, 90)) -> None:
+    """Render an embedding-space cluster-id map (analysis.py:386-501's
+    embedding clustering figures) as a categorical-colormap image."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(12, 6))
+    ax.imshow(cluster_map, extent=extent, origin="upper", cmap="tab20",
+              interpolation="nearest")
+    ax.set_xlabel("longitude")
+    ax.set_ylabel("latitude")
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+
+
+def save_mrr_by_latitude(bands, path: str, title: str = "MRR by latitude"
+                         ) -> None:
+    """Render `eval.analysis.mrr_by_latitude`'s numbers as the reference's
+    per-latitude-band bar figure (analysis.py:322-385)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    labels = list(bands.keys())
+    vals = [bands[k] for k in labels]
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.bar(range(len(vals)), vals)
+    ax.set_xticks(range(len(vals)))
+    ax.set_xticklabels(labels, rotation=30, ha="right")
+    ax.set_ylabel("MRR")
+    ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)

@@ -311,13 +311,19 @@ def retrieve_fused(
     return out[:B]
 
 
-def _fused_parts_kernel(sem_d, q_ref, k_ref, v_ref, mask_ref, out_ref,
-                        acc_ref, ds_ref, dg_ref):
+def _fused_parts_kernel(sem_d, has_scale, q_ref, k_ref, v_ref, *rest):
     """Like _fused_kernel but emits UNNORMALIZED partials for cross-shard
     combination: out[:, :2*Dv] = [sem_acc | geo_acc], out[:, 2*Dv] = d_sem,
     out[:, 2*Dv + 1] = d_geo.  Because the exp sums are unnormalized (bounded
     logits — see module docstring), per-shard partials combine with a plain
-    psum, no logsumexp algebra needed (parallel/sharded.py)."""
+    psum, no logsumexp algebra needed (parallel/sharded.py).  With
+    `has_scale` the values are raw int8 blocks and s [1, bn] f32 dequant
+    scales fold into the probabilities (the _fused_kernel_i8 trick), so
+    sharded serving streams int8 natively at half the value bytes."""
+    if has_scale:
+        s_ref, mask_ref, out_ref, acc_ref, ds_ref, dg_ref = rest
+    else:
+        mask_ref, out_ref, acc_ref, ds_ref, dg_ref = rest
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -346,14 +352,22 @@ def _fused_parts_kernel(sem_d, q_ref, k_ref, v_ref, mask_ref, out_ref,
     ds_ref[:] += jnp.sum(p_s, axis=-1, keepdims=True)
     dg_ref[:] += jnp.sum(p_g, axis=-1, keepdims=True)
     Dv = v_ref.shape[1]
-    v = v_ref[:]
-    vprec = jax.lax.Precision.HIGHEST if v.dtype == jnp.float32 else None
-    acc_ref[:, :Dv] += jnp.dot(p_s.astype(v.dtype), v,
-                               preferred_element_type=jnp.float32,
-                               precision=vprec)
-    acc_ref[:, Dv:] += jnp.dot(p_g.astype(v.dtype), v,
-                               preferred_element_type=jnp.float32,
-                               precision=vprec)
+    if has_scale:
+        s = s_ref[:]  # [1, bn] f32; normalizers stay UNscaled
+        v = v_ref[:].astype(jnp.bfloat16)
+        acc_ref[:, :Dv] += jnp.dot((p_s * s).astype(jnp.bfloat16), v,
+                                   preferred_element_type=jnp.float32)
+        acc_ref[:, Dv:] += jnp.dot((p_g * s).astype(jnp.bfloat16), v,
+                                   preferred_element_type=jnp.float32)
+    else:
+        v = v_ref[:]
+        vprec = jax.lax.Precision.HIGHEST if v.dtype == jnp.float32 else None
+        acc_ref[:, :Dv] += jnp.dot(p_s.astype(v.dtype), v,
+                                   preferred_element_type=jnp.float32,
+                                   precision=vprec)
+        acc_ref[:, Dv:] += jnp.dot(p_g.astype(v.dtype), v,
+                                   preferred_element_type=jnp.float32,
+                                   precision=vprec)
 
     @pl.when(j == nj - 1)
     def _():
@@ -370,6 +384,7 @@ def retrieve_fused_parts(
     k_cat: jnp.ndarray,
     values: jnp.ndarray,
     mask_neg: jnp.ndarray,
+    scale: jnp.ndarray = None,
     *,
     sem_d: int,
     bm: int = 256,
@@ -378,7 +393,9 @@ def retrieve_fused_parts(
 ) -> jnp.ndarray:
     """Unnormalized fused retrieval partials: [B, 2*Dv + 128] with
     [sem_acc | geo_acc | d_sem | d_geo | pad].  Sums linearly across bank
-    shards — the multi-chip building block."""
+    shards — the multi-chip building block.  Pass int8 `values` + f32
+    `scale` [1, N] to stream the quantized bank natively (half the value
+    bytes; the scale folds into the probabilities in-kernel)."""
     B, cat_d = q_cat.shape
     N, Dv = values.shape
     Bp = _round_up(B, bm)
@@ -389,14 +406,22 @@ def retrieve_fused_parts(
     q_spec = pl.BlockSpec((bm, cat_d), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     k_spec = pl.BlockSpec((bn, cat_d), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
     m_spec = pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    has_scale = scale is not None
+    in_specs = [q_spec, k_spec,
+                pl.BlockSpec((bn, Dv), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM)]
+    operands = [q_cat, k_cat, values]
+    if has_scale:
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(scale.astype(jnp.float32))
+    in_specs.append(m_spec)
+    operands.append(mask_neg)
     out_w = 2 * Dv + 128
     out = pl.pallas_call(
-        functools.partial(_fused_parts_kernel, sem_d),
+        functools.partial(_fused_parts_kernel, sem_d, has_scale),
         grid=grid,
-        in_specs=[q_spec, k_spec,
-                  pl.BlockSpec((bn, Dv), lambda i, j: (j, 0),
-                               memory_space=pltpu.VMEM),
-                  m_spec],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, out_w), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, out_w), jnp.float32),
@@ -409,17 +434,23 @@ def retrieve_fused_parts(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_cat, k_cat, values, mask_neg)
+    )(*operands)
     return out[:B]
 
 
-def _family_pruned_kernel(idx_ref, cnt_ref, q_ref, k_ref, v_ref, mask_ref,
-                          out_ref, acc_ref, d_ref):
+def _family_pruned_kernel(has_scale, idx_ref, cnt_ref, q_ref, k_ref, v_ref,
+                          *rest):
     """One-family pruned softmax-weighted sum.  Grid (iB, g) where g walks
     the query-tile's *active-first* bank-tile list (scalar-prefetched
     idx/counts from bank/clustered.compute_tile_plan).  For g >= count the
     index map repeats the last active tile — the pipeline serves it without
-    a new DMA and the body skips all compute."""
+    a new DMA and the body skips all compute.  With `has_scale` the values
+    stream as raw int8 + per-row f32 scales folded into the probabilities
+    (the _fused_kernel_i8 trick)."""
+    if has_scale:
+        s_ref, mask_ref, out_ref, acc_ref, d_ref = rest
+    else:
+        mask_ref, out_ref, acc_ref, d_ref = rest
     i = pl.program_id(0)
     g = pl.program_id(1)
     ng = pl.num_programs(1)
@@ -441,11 +472,17 @@ def _family_pruned_kernel(idx_ref, cnt_ref, q_ref, k_ref, v_ref, mask_ref,
         )
         p = jnp.exp2(jnp.minimum(logits, CLAMP2))
         d_ref[:] += jnp.sum(p, axis=-1, keepdims=True)
-        v = v_ref[:]
-        vprec = jax.lax.Precision.HIGHEST if v.dtype == jnp.float32 else None
-        acc_ref[:] += jnp.dot(p.astype(v.dtype), v,
-                              preferred_element_type=jnp.float32,
-                              precision=vprec)
+        if has_scale:
+            v = v_ref[:].astype(jnp.bfloat16)
+            acc_ref[:] += jnp.dot((p * s_ref[:]).astype(jnp.bfloat16), v,
+                                  preferred_element_type=jnp.float32)
+        else:
+            v = v_ref[:]
+            vprec = (jax.lax.Precision.HIGHEST if v.dtype == jnp.float32
+                     else None)
+            acc_ref[:] += jnp.dot(p.astype(v.dtype), v,
+                                  preferred_element_type=jnp.float32,
+                                  precision=vprec)
 
     @pl.when(g == ng - 1)
     def _():
@@ -454,9 +491,11 @@ def _family_pruned_kernel(idx_ref, cnt_ref, q_ref, k_ref, v_ref, mask_ref,
 
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "interpret"))
 def _family_pruned_call(q_fam, k_fam, values, mask_neg, tile_idx, tile_counts,
-                        *, bm: int, bn: int, interpret: bool = False):
+                        scale=None, *, bm: int, bn: int,
+                        interpret: bool = False):
     """q_fam [B, C] x k_fam [N, C] -> softmax-weighted values [B, Dv], visiting
-    only the active tiles of each query tile."""
+    only the active tiles of each query tile.  int8 `values` + f32 `scale`
+    [1, N] stream the quantized bank natively."""
     B, C = q_fam.shape
     N, Dv = values.shape
     Bp = _round_up(B, bm)
@@ -465,19 +504,28 @@ def _family_pruned_call(q_fam, k_fam, values, mask_neg, tile_idx, tile_counts,
     T = N // bn
     assert tile_idx.shape == (Bp // bm, T), (tile_idx.shape, (Bp // bm, T))
 
+    has_scale = scale is not None
+    in_specs = [
+        pl.BlockSpec((bm, C), lambda i, g, idx, cnt: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, C), lambda i, g, idx, cnt: (idx[i, g], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, Dv), lambda i, g, idx, cnt: (idx[i, g], 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [q_fam, k_fam, values]
+    if has_scale:
+        in_specs.append(pl.BlockSpec((1, bn),
+                                     lambda i, g, idx, cnt: (0, idx[i, g]),
+                                     memory_space=pltpu.VMEM))
+        operands.append(scale.astype(jnp.float32))
+    in_specs.append(pl.BlockSpec((1, bn), lambda i, g, idx, cnt: (0, idx[i, g]),
+                                 memory_space=pltpu.VMEM))
+    operands.append(mask_neg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(Bp // bm, T),
-        in_specs=[
-            pl.BlockSpec((bm, C), lambda i, g, idx, cnt: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, C), lambda i, g, idx, cnt: (idx[i, g], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, Dv), lambda i, g, idx, cnt: (idx[i, g], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, g, idx, cnt: (0, idx[i, g]),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, Dv), lambda i, g, idx, cnt: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -486,14 +534,14 @@ def _family_pruned_call(q_fam, k_fam, values, mask_neg, tile_idx, tile_counts,
         ],
     )
     out = pl.pallas_call(
-        _family_pruned_kernel,
+        functools.partial(_family_pruned_kernel, has_scale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, Dv), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(tile_idx, tile_counts, q_fam, k_fam, values, mask_neg)
+    )(tile_idx, tile_counts, *operands)
     return out[:B]
 
 
@@ -543,12 +591,16 @@ def retrieve_pruned(q_sem, q_xyz, bank, stats, *, sem_temp=12.0, geo_temp=40.0,
             f"bn={bn} gives {bank.num_rows // bn}; rebuild via cluster_bank "
             f"with matching bn")
 
-    values = _bank_serving_values(bank, interpret)
+    if getattr(bank, "value_scale", None) is not None:
+        # int8 banks stream natively (scale folds into the probabilities)
+        values, scale = bank.values, bank.value_scale
+    else:
+        values, scale = _serving_values(bank.values, interpret), None
     idx_s, cnt_s = compute_tile_plan(
         q_sem, stats.sem_centroid, stats.sem_radius, temp=sem_temp, bm=bm,
         margin=margin)
     sem = _family_pruned_call(q_cat[:, :sem_d], k_cat[:, :sem_d], values,
-                              mask_neg, idx_s, cnt_s, bm=bm, bn=bn,
+                              mask_neg, idx_s, cnt_s, scale, bm=bm, bn=bn,
                               interpret=interpret)
     if mode == "range":
         return sem
@@ -556,7 +608,7 @@ def retrieve_pruned(q_sem, q_xyz, bank, stats, *, sem_temp=12.0, geo_temp=40.0,
         q_xyz, stats.geo_centroid, stats.geo_radius, temp=geo_temp, bm=bm,
         margin=margin)
     geo = _family_pruned_call(q_cat[:, sem_d:], k_cat[:, sem_d:], values,
-                              mask_neg, idx_g, cnt_g, bm=bm, bn=bn,
+                              mask_neg, idx_g, cnt_g, scale, bm=bm, bn=bn,
                               interpret=interpret)
     out = beta * sem + (1.0 - beta) * geo
     if inv is not None:
@@ -566,8 +618,8 @@ def retrieve_pruned(q_sem, q_xyz, bank, stats, *, sem_temp=12.0, geo_temp=40.0,
 
 def _bank_serving_values(bank, interpret: bool) -> jnp.ndarray:
     """_serving_values over a GeoBank: int8-quantized banks are dequantized
-    to bf16 here (the pruned/hybrid kernels have no scale input; only the
-    dense fused kernel streams int8 natively)."""
+    to bf16 here (only the hybrid kernel still lacks a scale input; the
+    fused/parts/pruned kernels stream int8 natively)."""
     if getattr(bank, "value_scale", None) is not None:
         return (bank.values.astype(jnp.float32)
                 * bank.value_scale.T).astype(jnp.bfloat16)

@@ -200,9 +200,6 @@ def sharded_retrieve_pallas(
     )
 
     def local(q_cat_l, bank_l):
-        # the parts kernel has no scale input: dequantize the shard to bf16
-        # (same VMEM/stream class as the default serving values)
-        bank_l = _local_dequant(bank_l, dtype=jnp.bfloat16)
         shard_idx = jax.lax.axis_index(bank_axis)
         if bank_l.valid_mask is not None:
             mask = bank_l.valid_mask.astype(jnp.float32)
@@ -214,10 +211,15 @@ def sharded_retrieve_pallas(
         k_cat = pack_bank(bank_l.keys_sem, bank_l.xyz, tier=tier)
         from ..ops.retrieval_pallas import _serving_values
 
-        parts = retrieve_fused_parts(q_cat_l, k_cat,
-                                     _serving_values(bank_l.values, interpret),
-                                     mask_neg, sem_d=sem_d, bm=bm, bn=bn,
-                                     interpret=interpret)
+        if bank_l.value_scale is not None:
+            # int8 shard streams natively: the kernel folds the dequant
+            # scale into the probabilities (half the value HBM bytes)
+            values, scale = bank_l.values, bank_l.value_scale
+        else:
+            values, scale = _serving_values(bank_l.values, interpret), None
+        parts = retrieve_fused_parts(q_cat_l, k_cat, values,
+                                     mask_neg, scale, sem_d=sem_d, bm=bm,
+                                     bn=bn, interpret=interpret)
         total = jax.lax.psum(parts, bank_axis)
         sem = total[:, :Dv] / jnp.maximum(total[:, 2 * Dv:2 * Dv + 1], 1e-30)
         geo = total[:, Dv:2 * Dv] / jnp.maximum(total[:, 2 * Dv + 1:2 * Dv + 2],

@@ -172,7 +172,7 @@ def test_cluster_bank_preserves_value_scale():
 
 
 def test_pruned_retrieval_quantized_bank():
-    """retrieve_pruned on an int8 bank dequantizes (no silent raw-int8 read)."""
+    """retrieve_pruned streams int8 banks natively (scale folded in-kernel)."""
     from range_tpu.bank.bank import GeoBank, quantize_values
     from range_tpu.bank.clustered import cluster_bank, tile_stats
     from range_tpu.ops.retrieval import retrieve

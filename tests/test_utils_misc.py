@@ -201,3 +201,30 @@ def test_native_npz_reader_odd_dtypes(tmp_path):
     ref = dict(np.load(path))
     for k in ref:
         np.testing.assert_array_equal(out[k], ref[k])
+
+
+def test_map_renderers(tmp_path):
+    """The matplotlib rendering half of the analysis suite (prediction maps,
+    cluster maps, MRR-by-latitude figure) writes real image files."""
+    from range_tpu.eval.analysis import mrr_by_latitude
+    from range_tpu.eval.visualize import (save_cluster_map,
+                                          save_mrr_by_latitude,
+                                          save_prediction_map)
+
+    rng = np.random.default_rng(0)
+    pred = rng.uniform(0, 1, (50, 100))
+    p1 = tmp_path / "pred.jpg"
+    save_prediction_map(pred, str(p1))
+    assert p1.stat().st_size > 1000
+
+    cm = rng.integers(0, 12, (90, 180))
+    p2 = tmp_path / "clusters.png"
+    save_cluster_map(cm, str(p2))
+    assert p2.stat().st_size > 1000
+
+    scores = np.eye(5)[rng.integers(0, 5, 64)] + rng.uniform(0, .1, (64, 5))
+    bands = mrr_by_latitude(scores, np.argmax(scores, 1),
+                            rng.uniform(-90, 90, 64))
+    p3 = tmp_path / "mrr.png"
+    save_mrr_by_latitude(bands, str(p3))
+    assert p3.stat().st_size > 1000

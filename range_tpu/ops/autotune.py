@@ -61,10 +61,12 @@ def autotune_retrieve(q_sem, q_xyz, bank, *,
                       cache: Optional[Dict] = None,
                       interpret: bool = False) -> Tuple[int, int]:
     """Returns the fastest (bm, bn) for this problem geometry, probing on
-    device the first time and reading the cache afterwards.  Candidates that
-    fail to compile/execute (VMEM OOM) are skipped; `_pick_bn` inside
-    `retrieve_pallas` still clamps bn, so a surviving candidate is always
-    runnable.  Any non-OOM error also skips the candidate (logged)."""
+    device the first time and reading the cache afterwards.  Candidates go
+    to Mosaic UNCLAMPED (pick_bn=False): the compiler's own scoped-vmem
+    check — not the conservative analytic `_pick_bn` model — decides
+    feasibility, so shapes the hand model would reject (e.g. bm=512 at
+    small Dv) stay reachable.  OOM candidates are skipped; any non-OOM
+    error also skips the candidate (logged)."""
     from .retrieval_pallas import retrieve_pallas
 
     cache = _CACHE if cache is None else cache
@@ -104,9 +106,12 @@ def _time_candidate(q_sem, q_xyz, bank, sem_temp, geo_temp, beta, mode, tier,
     # the whole bank into the HLO), matching how serving calls the kernel —
     # un-jitted, per-call repacking and dispatch overhead would swamp the
     # differences the tuner is trying to measure.
+    # pick_bn=False: candidates go to Mosaic unclamped — the compiler's own
+    # scoped-vmem check is the feasibility oracle (OOMs are caught and
+    # skipped by the caller), not the conservative analytic model
     fn = jax.jit(functools.partial(retrieve_pallas, sem_temp=sem_temp,
                                    geo_temp=geo_temp, beta=beta, mode=mode,
-                                   tier=tier, bm=bm, bn=bn,
+                                   tier=tier, bm=bm, bn=bn, pick_bn=False,
                                    interpret=interpret))
 
     # measure the PIPELINED regime (dispatch `repeats` times, fence once with
@@ -130,4 +135,6 @@ def retrieve_autotuned(q_sem, q_xyz, bank, **kwargs):
                                         "mode", "tier", "interpret")
                  if k in kwargs}
     bm, bn = autotune_retrieve(q_sem, q_xyz, bank, **tune_keys)
-    return retrieve_pallas(q_sem, q_xyz, bank, bm=bm, bn=bn, **kwargs)
+    # the tuned shape was proven feasible by the compiler — don't re-clamp
+    return retrieve_pallas(q_sem, q_xyz, bank, bm=bm, bn=bn, pick_bn=False,
+                           **kwargs)

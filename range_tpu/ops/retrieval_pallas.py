@@ -807,12 +807,17 @@ def retrieve_hybrid(q_sem, q_xyz, bank, stats, *, sem_temp=12.0, geo_temp=40.0,
 
 def retrieve_pallas(q_sem, q_xyz, bank, *, sem_temp=12.0, geo_temp=40.0,
                     beta=0.5, mode="range+", tier: str = "fast",
-                    bm: int = 256, bn: int = 1024,
+                    bm: int = 256, bn: int = 1024, pick_bn: bool = True,
                     interpret: bool = False) -> jnp.ndarray:
     """Drop-in fused equivalent of `ops.retrieval.retrieve` (same semantics;
     see module docstring for the precision tiers).  Banks prepared with
     `bank.quantize_values` (int8 values + per-row scale) automatically take
-    the half-bandwidth int8-value kernel."""
+    the half-bandwidth int8-value kernel.
+
+    `pick_bn=True` clamps bn with the conservative analytic VMEM model
+    (_pick_bn); `pick_bn=False` hands the requested shape straight to
+    Mosaic — the autotuner uses this so the COMPILER's own scoped-vmem
+    check, not the hand model, is the feasibility oracle."""
     if mode == "range":
         beta = 1.0
         q_xyz = None
@@ -829,8 +834,9 @@ def retrieve_pallas(q_sem, q_xyz, bank, *, sem_temp=12.0, geo_temp=40.0,
     else:
         values = bank.values  # int8, streamed raw
         v_item = 2
-    bn = _pick_bn(bn, bm, cat_d, bank.value_dim, k_cat.dtype.itemsize,
-                  v_item, bank.num_rows)
+    if pick_bn:
+        bn = _pick_bn(bn, bm, cat_d, bank.value_dim, k_cat.dtype.itemsize,
+                      v_item, bank.num_rows)
     return retrieve_fused(q_cat, k_cat, values, mask_neg,
                           jnp.float32(beta), scale, sem_d=sem_d, bm=bm, bn=bn,
                           interpret=interpret)

@@ -91,6 +91,10 @@ class HierBank:
       g_geo_cat:   [G_g, cat_d] packed geo group centroids (sem cols zero)
       g_sem_vw / g_geo_vw: [G*, Dvp] group VALUE SUMS with the valid-row
                    count in column Dv (denominator rides the same matmul)
+      khl_sem:     [N, 2*Dk] bf16 [k_hi | k_lo] hi/lo-split semantic keys —
+                   the ~f32-accurate operand of the top-k/argmax kernel
+                   (logit = qh.kh + qh.kl + ql.kh, retrieval_pallas 'high'
+                   tier semantics without the 3-fold column duplication)
     Meta (static): tier, bn, gsz_sem, gsz_geo, sem_d, cat_d, t_real, t_pad.
     """
 
@@ -107,6 +111,7 @@ class HierBank:
     g_geo_cat: jnp.ndarray
     g_sem_vw: jnp.ndarray
     g_geo_vw: jnp.ndarray
+    khl_sem: Optional[jnp.ndarray] = None
     tier: str = "fast"
     bn: int = 512
     gsz_sem: int = 8
@@ -129,7 +134,7 @@ jax.tree_util.register_dataclass(
     HierBank,
     data_fields=["bank", "k_cat", "values", "value_scale", "mask_neg",
                  "sem_centroid", "geo_centroid", "sem_radius", "geo_radius",
-                 "g_sem_cat", "g_geo_cat", "g_sem_vw", "g_geo_vw"],
+                 "g_sem_cat", "g_geo_cat", "g_sem_vw", "g_geo_vw", "khl_sem"],
     meta_fields=["tier", "bn", "gsz_sem", "gsz_geo", "sem_d", "cat_d",
                  "t_real", "t_pad"],
 )
@@ -231,15 +236,20 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
 
     @jax.jit
     def prep(cbank):
+        from .retrieval_pallas import _split_hilo
+
         k_cat = pack_bank(cbank.keys_sem, cbank.xyz, tier=tier)
         mask = cbank.row_mask()
         mask_neg = (NEG * (1.0 - mask))[None, :].astype(jnp.float32)
         vals_f32 = dequantize_values(cbank) * mask[:, None]
         g_s = group_ops(cbank.keys_sem, vals_f32, mask, gsz_sem, geo=False)
         g_g = group_ops(cbank.xyz, vals_f32, mask, gsz_geo, geo=True)
-        return k_cat, mask_neg, g_s, g_g
+        kh, kl = _split_hilo(cbank.keys_sem.astype(jnp.float32))
+        khl = jnp.concatenate([kh, kl], axis=1)  # [N, 2*Dk] bf16
+        return k_cat, mask_neg, g_s, g_g, khl
 
-    k_cat, mask_neg, (g_sem_cat, g_sem_vw), (g_geo_cat, g_geo_vw) = prep(cbank)
+    (k_cat, mask_neg, (g_sem_cat, g_sem_vw), (g_geo_cat, g_geo_vw),
+     khl_sem) = prep(cbank)
     if cbank.value_scale is not None:
         values, scale = cbank.values, cbank.value_scale.astype(jnp.float32)
     elif value_dtype is not None:
@@ -255,7 +265,7 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         sem_radius=stats.sem_radius.astype(jnp.float32),
         geo_radius=stats.geo_radius.astype(jnp.float32),
         g_sem_cat=g_sem_cat, g_geo_cat=g_geo_cat,
-        g_sem_vw=g_sem_vw, g_geo_vw=g_geo_vw,
+        g_sem_vw=g_sem_vw, g_geo_vw=g_geo_vw, khl_sem=khl_sem,
         tier=tier, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
         sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
     )
@@ -376,6 +386,203 @@ def _hier_scan_call(q_cat, g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw, *,
     )(q_t, g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw)
     # stats back to [Bp, t_pad] for the per-query top-k in select_tiles
     return tuple(o.T for o in out[:4]) + (out[4],)
+
+
+def _hier_scan_stats_kernel(gpt_s, gpt_g, tc, qt_ref, gs_ref, gg_ref,
+                            ms_ref, ss_ref, mg_ref, sg_ref):
+    """Stats-only variant of the fused scan (no tail accumulation): per-tile
+    max group logit + exp-mass for both families.  The top-k path uses this
+    — it never needs the group value sums."""
+    qt = qt_ref[:]
+    sl = jnp.dot(gs_ref[:], qt, preferred_element_type=jnp.float32)
+    es = jnp.exp2(jnp.minimum(sl, CLAMP2))
+    gl = jnp.dot(gg_ref[:], qt, preferred_element_type=jnp.float32)
+    eg = jnp.exp2(jnp.minimum(gl, CLAMP2))
+    for c in range(tc):
+        seg = sl[c * gpt_s:(c + 1) * gpt_s, :]
+        ms_ref[c:c + 1, :] = jnp.max(seg, axis=0, keepdims=True)
+        ss_ref[c:c + 1, :] = jnp.sum(es[c * gpt_s:(c + 1) * gpt_s, :],
+                                     axis=0, keepdims=True)
+        gseg = gl[c * gpt_g:(c + 1) * gpt_g, :]
+        mg_ref[c:c + 1, :] = jnp.max(gseg, axis=0, keepdims=True)
+        sg_ref[c:c + 1, :] = jnp.sum(eg[c * gpt_g:(c + 1) * gpt_g, :],
+                                     axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "tc", "gpt_s", "gpt_g",
+                                             "interpret"))
+def _hier_scan_stats_call(q_cat, g_sem_cat, g_geo_cat, *, bm: int, tc: int,
+                          gpt_s: int, gpt_g: int, interpret: bool = False):
+    Bp, cat_d = q_cat.shape
+    t_pad = g_sem_cat.shape[0] // gpt_s
+    assert t_pad % tc == 0, (t_pad, tc)
+    nB = Bp // bm
+    grid = (nB, t_pad // tc)
+    q_t = q_cat.T
+
+    out = pl.pallas_call(
+        functools.partial(_hier_scan_stats_kernel, gpt_s, gpt_g, tc),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((cat_d, bm), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc * gpt_s, cat_d), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc * gpt_g, cat_d), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((tc, bm), lambda i, c: (c, i),
+                                memory_space=pltpu.VMEM)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((t_pad, Bp), jnp.float32)] * 4,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * t_pad * (gpt_s + gpt_g) * cat_d,
+            bytes_accessed=(nB * t_pad * (gpt_s + gpt_g) * cat_d * 2
+                            + Bp * cat_d * 2 + 4 * Bp * t_pad * 4),
+            transcendentals=Bp * t_pad * (gpt_s + gpt_g),
+        ),
+        interpret=interpret,
+    )(q_t, g_sem_cat, g_geo_cat)
+    return tuple(o.T for o in out)
+
+
+def _hier_argmax_kernel(Dk, idx_ref, q2_ref, ql_ref, khl_ref, mask_ref,
+                        out_ref, best_ref, bidx_ref):
+    """Semantic argmax over each query tile's selected bank tiles at ~f32
+    logit accuracy: logit = qh.kh + qh.kl + ql.kh via ONE [bm, 2Dk] matmul
+    (q2 = [qh|qh] against khl = [kh|kl]) plus a [bm, Dk] matmul (ql against
+    the kh half).  Running (max, arg) carried in scratch; indices are exact
+    in f32 (N < 2^24)."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = jnp.full_like(best_ref, NEG)
+        bidx_ref[:] = jnp.zeros_like(bidx_ref)
+
+    khl = khl_ref[:]
+    bn = khl.shape[0]
+    l = jnp.dot(q2_ref[:], khl.T, preferred_element_type=jnp.float32)
+    l += jnp.dot(ql_ref[:], khl[:, :Dk].T, preferred_element_type=jnp.float32)
+    l += mask_ref[:]
+    m = jnp.max(l, axis=1, keepdims=True)  # [bm, 1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, l.shape, 1)
+    amax = jnp.min(jnp.where(l >= m, iota, bn), axis=1, keepdims=True)
+    i = pl.program_id(0)
+    row0 = idx_ref[i, j] * bn
+    better = m > best_ref[:]
+    bidx_ref[:] = jnp.where(better, (amax + row0).astype(jnp.float32),
+                            bidx_ref[:])
+    best_ref[:] = jnp.maximum(best_ref[:], m)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:, 0:1] = best_ref[:]
+        out_ref[:, 1:2] = bidx_ref[:]
+        out_ref[:, 2:] = jnp.zeros_like(out_ref[:, 2:])
+
+
+@functools.partial(jax.jit, static_argnames=("Dk", "bm", "bn", "interpret"))
+def _hier_argmax_call(q2, ql, khl, mask_neg, idx, *, Dk: int, bm: int,
+                      bn: int, interpret: bool = False) -> jnp.ndarray:
+    Bp = q2.shape[0]
+    nB = Bp // bm
+    K = idx.shape[1]
+    grid = (nB, K)
+
+    def kidx(i, g, idx_):
+        return (idx_[i, g], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, 2 * Dk), lambda i, g, idx_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, Dk), lambda i, g, idx_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 2 * Dk), kidx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, g, idx_: (0, idx_[i, g]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, 128), lambda i, g, idx_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bm, 1), jnp.float32),
+            pltpu.VMEM((bm, 1), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_hier_argmax_kernel, Dk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * K * bn * 3 * Dk,
+            bytes_accessed=nB * K * bn * 2 * Dk * 2 + Bp * 3 * Dk * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx, q2, ql, khl, mask_neg)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k_tiles", "bm", "tc", "j_sem", "j_geo", "mode", "sort", "interpret"))
+def hier_topk(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
+              *, k_tiles: int = 40, bm: int = 256, tc: int = 8,
+              j_sem: int = 4, j_geo: int = 2, mode: str = "range",
+              sort: str = "geo", interpret: bool = False) -> jnp.ndarray:
+    """Serving top-1 retrieval: [B] int32 bank rows (hb.bank order).
+
+    The recall-critical endpoint: big-K hierarchical tile selection (the
+    scan's group stats; no value work) + exact semantic argmax over the
+    selected tiles at hi/lo ~f32 logit accuracy (`khl_sem`).  k_tiles=40
+    buys the selection headroom the feature path spends on value matmuls —
+    recall@1 vs f32-exact NN is MEASURED in bench.py (target >= 0.999).
+    `mode='range'` spends every selected tile on the semantic family (the
+    recall metric's family); q_xyz (when given) only drives the geographic
+    query sort."""
+    B = q_sem.shape[0]
+    q_s, q_x = _pad_queries(q_sem, q_xyz, hb, bm)
+    q_cat = pack_queries(q_s, None if mode == "range" else q_x, 12.0, 40.0,
+                         tier=hb.tier)
+    gpt_s, gpt_g = hb.bn // hb.gsz_sem, hb.bn // hb.gsz_geo
+    Dk = hb.bank.key_dim
+
+    from .retrieval_pallas import _split_hilo
+
+    qh, ql = _split_hilo(q_s)
+    q2 = jnp.concatenate([qh, qh], axis=1)  # [Bp, 2*Dk]
+
+    inv = None
+    if q_x is not None:
+        order = _hybrid_order(q_x, jnp.zeros(q_cat.shape[0], jnp.int32), B,
+                              hb.t_pad, sort="geo")
+        inv = jnp.argsort(order)
+        q_cat, q2, ql = q_cat[order], q2[order], ql[order]
+    m_s, s_s, m_g, s_g = _hier_scan_stats_call(
+        q_cat, hb.g_sem_cat, hb.g_geo_cat, bm=bm, tc=tc, gpt_s=gpt_s,
+        gpt_g=gpt_g, interpret=interpret)
+    if q_x is None:
+        home = jnp.argmax(m_s, axis=1)
+        order = _hybrid_order(None, home, B, hb.t_pad, sort=sort)
+        inv = jnp.argsort(order)
+        q_cat, q2, ql = q_cat[order], q2[order], ql[order]
+        m_s, s_s = m_s[order], s_s[order]
+        m_g, s_g = m_g[order], s_g[order]
+    idx, _ = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
+                          k_tiles=k_tiles, bm=bm, n_valid=B, j_sem=j_sem,
+                          j_geo=j_geo, mode=mode)
+    out = _hier_argmax_call(q2, ql, hb.khl_sem, hb.mask_neg, idx, Dk=Dk,
+                            bm=bm, bn=hb.bn, interpret=interpret)
+    best = out[:, 1].astype(jnp.int32)
+    return best[inv[:B]] if inv is not None else best[:B]
 
 
 def select_tiles(m_s, s_s, m_g, s_g, *, t_real: int, k_tiles: int, bm: int,

@@ -166,3 +166,31 @@ def test_hier_through_api(bank):
     rel = _relerr(out[:, :1024], ref[:, :1024])
     assert rel.mean() < 0.12, rel.mean()
     np.testing.assert_allclose(out[:, 1024:], ref[:, 1024:], atol=1e-5)
+
+
+def test_hier_topk_recall(bank, hb):
+    """hier_topk (big-K tile selection + hi/lo exact argmax over selected
+    tiles) recovers the f32-exact semantic NN on nearly every query; with
+    every tile selected it must match exactly (the hi/lo logit split is
+    ~f32-accurate and ties are resolved first-index like argmax)."""
+    from range_tpu.ops.retrieval import exact_nn
+    from range_tpu.ops.retrieval_hier import hier_topk
+
+    q, q_xyz = _make_queries(bank, regional=False, B=256, seed=7)
+    true = np.asarray(exact_nn(q, hb.bank, chunk=PAD))
+    # all tiles selected -> selection cannot miss (fully-scattered batch)
+    got_all = np.asarray(hier_topk(q, q_xyz, hb, k_tiles=hb.t_real, bm=128,
+                                   interpret=True))
+    assert (got_all == true).mean() >= 0.995, (got_all != true).sum()
+    # serving config (K < T) in the serving regime: spatially coherent
+    # batches (128 scattered queries per 16-of-47-tile budget cannot work
+    # by design — bench.py measures the real 100k-bank serving recall)
+    qr, qr_xyz = _make_queries(bank, regional=True, B=256, seed=8)
+    true_r = np.asarray(exact_nn(qr, hb.bank, chunk=PAD))
+    got = np.asarray(hier_topk(qr, qr_xyz, hb, k_tiles=24, bm=128,
+                               interpret=True))
+    assert (got == true_r).mean() >= 0.95, (got != true_r).sum()
+    # no q_xyz: home-tile sort path
+    got2 = np.asarray(hier_topk(qr, None, hb, k_tiles=24, bm=128,
+                                interpret=True))
+    assert (got2 == true_r).mean() >= 0.92, (got2 != true_r).sum()

@@ -1,17 +1,30 @@
 """Benchmark: RANGE+ end-to-end query throughput on one TPU chip.
 
-Measures the flagship inference path (SatCLIP SH-L40/SIREN query tower +
-exact dual-softmax retrieval over a 100k-row bank, batch 10k — the
-reference's recommended operating point, Readme.md:84-94) steady-state and
-on-device: inputs are device-resident, outputs block_until_ready, no host
-transfers inside the timed region.
+Measures the flagship serving path end-to-end and on-device (inputs device-
+resident, scalar-fetch fence, no host transfers in the timed region):
+SatCLIP SH-L40/SIREN query tower + HIERARCHICAL retrieval
+(ops/retrieval_hier.py: exact dual softmax over selected bank tiles +
+group-centroid tail) over a 100k-row bank at batch 10k — the reference's
+recommended operating point (Readme.md:84-94).
+
+The bank is the INFORMATIVE generator (keys = the seeded SatCLIP tower's
+embeddings of the bank locations — spatially autocorrelated like a real
+range_db, RESULTS.md), not i.i.d. Gaussian: retrieval fidelity numbers on
+white noise are vacuous (round-1 verdict).
+
+Fidelity is measured, not assumed (stderr diagnostics):
+  * recall@1 of the SERVING top-k endpoint (`hier_topk`, hi/lo ~f32 logits
+    over big-K selected tiles) vs HIGHEST-precision f32 exact NN
+    — BASELINE.md's >= 0.999 bar;
+  * recall@1 reachable by the hier FEATURE path (`hier_nn`, serving-tier
+    packed logits restricted to its selected tiles) — a diagnostic that can
+    be (and is) < 1;
+  * feature error of the hier path vs the f32-exact dense computation;
+  * the exact dense fused-kernel path's throughput for comparison.
 
 Prints ONE JSON line:
   {"metric": "range_plus_query_throughput", "value": <locs/sec/chip>,
    "unit": "queries/s", "vs_baseline": <value / 10M target>}
-
-BASELINE.md north-star target: >= 10M query locations/sec/chip on v5e.
-Extra diagnostics go to stderr.
 """
 
 from __future__ import annotations
@@ -31,7 +44,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import range_tpu
+    from range_tpu.bank.bank import GeoBank
 
     dev = jax.devices()[0]
     log(f"device: {dev} backend: {jax.default_backend()}")
@@ -39,23 +56,24 @@ def main():
     BANK_N = 100_000
     BATCH = 10_000
 
-    from range_tpu.bank.bank import GeoBank
-
-    # production serving config: bf16 values (weighted averaging smooths the
-    # value rounding to <1%), f32 bank keys, 'fast' kernel tier
-    bank = GeoBank.synthetic_device(0, BANK_N, pad_to=4096,
-                                    value_dtype=jnp.bfloat16)
+    bank = GeoBank.synthetic_informative(0, BANK_N, pad_to=4096,
+                                         value_dtype=jnp.bfloat16)
+    t_build = time.perf_counter()
     enc = range_tpu.load_model(
         "RANGE+",
         db_path=bank,
         beta=0.5,
+        retrieval="hier",   # flagship serving config (hier_bn=512, K=16)
         chunk=4096,
         compute_dtype=jnp.float32,
         seed=0,
     )
+    log(f"load_model(retrieval='hier'): {time.perf_counter() - t_build:.1f}s")
+    hb = enc.extra
     rng = np.random.default_rng(0)
     coords = jnp.asarray(
-        np.stack([rng.uniform(-180, 180, BATCH), rng.uniform(-90, 90, BATCH)], 1),
+        np.stack([rng.uniform(-180, 180, BATCH),
+                  np.degrees(np.arcsin(rng.uniform(-1, 1, BATCH)))], 1),
         jnp.float32,
     )
     coords = jax.device_put(coords, dev)
@@ -65,45 +83,89 @@ def main():
     out = fn(enc.params, coords, enc.extra)
     # NOTE: on the tunneled device block_until_ready can return before the
     # work is actually done; a scalar fetch is the only reliable fence.
-    _ = float(jnp.sum(out))
+    _ = float(jnp.sum(out[:1, :1]))
     t1 = time.perf_counter()
     log(f"first call (compile+run): {t1 - t0:.1f}s; out {out.shape} {out.dtype}")
 
     # steady state: K dispatches, fenced by one scalar fetch at the end;
     # best of 3 rounds (the shared tunneled chip shows ~10% run-to-run noise)
     iters = 10
-    _ = float(jnp.sum(fn(enc.params, coords, enc.extra)))  # warm
+    _ = float(jnp.sum(fn(enc.params, coords, enc.extra)[:1, :1]))  # warm
     per_call = float("inf")
     for _round in range(3):
         t0 = time.perf_counter()
         for _i in range(iters):
             out = fn(enc.params, coords, enc.extra)
-        _ = float(jnp.sum(out))
+        _ = float(jnp.sum(out[:1, :1]))
         per_call = min(per_call, (time.perf_counter() - t0) / iters)
     throughput = BATCH / per_call
-    log(f"steady-state: {per_call*1e3:.2f} ms/call -> {throughput:,.0f} queries/s")
+    log(f"steady-state e2e (tower + hier retrieval): {per_call*1e3:.2f} ms/call"
+        f" -> {throughput:,.0f} queries/s")
 
-    # fidelity diagnostics (stderr): retrieval quality of the serving config
+    # ---- fidelity (the whole point: these numbers CAN be < 1) ----
     try:
-        from range_tpu.ops.retrieval import retrieve as retrieve_ref
-        from range_tpu.ops.retrieval import exact_nn
-        from range_tpu.ops.topk import recall_at_k, topk_sem
-
-        q_small = enc.model.query_embedding(enc.params, coords[:2048])
         from range_tpu.geometry import lonlat_deg_to_xyz
+        from range_tpu.ops.retrieval import exact_nn, retrieve as retrieve_ref
+        from range_tpu.ops.retrieval_hier import hier_nn, hier_topk
 
-        q_xyz = lonlat_deg_to_xyz(coords[:2048])
-        true = exact_nn(q_small, bank, chunk=8192)
-        _, cand = topk_sem(q_small, bank, k=1, chunk=8192)
-        log(f"recall@1 (f32 top-k vs exact NN): {recall_at_k(cand, true):.4f}")
-        ref = retrieve_ref(q_small, q_xyz, bank, sem_temp=12.0, geo_temp=40.0,
-                           beta=0.5, chunk=4096)
-        fused = out[:2048, :1024]
-        import numpy as _np
+        nq = 10_240
+        qc = jnp.asarray(
+            np.stack([rng.uniform(-180, 180, nq),
+                      np.degrees(np.arcsin(rng.uniform(-1, 1, nq)))], 1),
+            jnp.float32)
+        q = enc.model.query_embedding(enc.params, qc)
+        q_xyz = lonlat_deg_to_xyz(qc)
+        # ground truth: f32 HIGHEST-precision exact NN over the hier bank's
+        # row order (ops/retrieval.exact_nn defaults to HIGHEST)
+        true = np.asarray(exact_nn(q, hb.bank, chunk=4096))
 
-        rel = _np.abs(_np.asarray(fused) - _np.asarray(ref)) / _np.maximum(
-            _np.abs(_np.asarray(ref)), 1e-1)
-        log(f"fused-vs-exact retrieval maxrelerr: {rel.max():.5f}")
+        # serving top-k endpoint (the recall-critical path)
+        got = np.asarray(hier_topk(q, q_xyz, hb))  # serving default K=56
+        rec_serve = float((got == true).mean())
+        log(f"recall@1 hier_topk(K=56) vs HIGHEST exact NN: {rec_serve:.4f}"
+            f"  (bar: >= 0.999)")
+        tfn = jax.jit(lambda a, b, c: hier_topk(a, b, c))
+        _ = int(tfn(q, q_xyz, hb)[0])
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            tk = tfn(q, q_xyz, hb)
+        _ = int(tk[0])
+        tk_ms = (time.perf_counter() - t0) / iters
+        log(f"hier_topk endpoint: {tk_ms*1e3:.2f} ms/call -> "
+            f"{nq/tk_ms:,.0f} queries/s")
+
+        # feature-path reachable argmax (diagnostic; serving-tier logits) —
+        # measured at the FULL serving batch: hier fidelity depends on the
+        # spatial coherence of the bm-query tiles, so small-slice
+        # measurements are unrepresentative of the serving regime
+        nn = np.asarray(hier_nn(q, q_xyz, hb, k_tiles=16))
+        rec_feat = float((nn == true).mean())
+        log(f"recall@1 reachable by hier feature path (K=16, fast tier): "
+            f"{rec_feat:.4f}")
+
+        # feature error vs the f32-exact dense computation
+        ref = retrieve_ref(q, q_xyz, hb.bank, sem_temp=12.0,
+                           geo_temp=40.0, beta=0.5, chunk=4096)
+        from range_tpu.ops.retrieval_hier import retrieve_hier
+
+        hier_out = retrieve_hier(q, q_xyz, hb)
+        rel = np.abs(np.asarray(hier_out) - np.asarray(ref)) / np.maximum(
+            np.abs(np.asarray(ref)), 1e-1)
+        log(f"hier feature relerr vs f32-exact dense: mean {rel.mean():.4f} "
+            f"p99 {np.percentile(rel, 99):.4f}")
+
+        # dense exact path for comparison (same API, retrieval='dense')
+        dense = range_tpu.load_model("RANGE+", db_path=bank, beta=0.5,
+                                     chunk=4096, seed=0)
+        dfn = jax.jit(dense._apply3)
+        _ = float(jnp.sum(dfn(dense.params, coords, dense.extra)[:1, :1]))
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            dout = dfn(dense.params, coords, dense.extra)
+        _ = float(jnp.sum(dout[:1, :1]))
+        d_ms = (time.perf_counter() - t0) / iters
+        log(f"dense exact path: {d_ms*1e3:.2f} ms/call -> "
+            f"{BATCH/d_ms:,.0f} queries/s")
     except Exception as e:  # diagnostics never fail the bench
         log(f"fidelity diagnostics skipped: {e}")
 

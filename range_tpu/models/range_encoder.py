@@ -107,16 +107,30 @@ class RangeEncoder:
         q_xyz = None
         if cfg.mode == "range+":
             q_xyz = lonlat_deg_to_xyz(lonlat_deg.astype(jnp.float32))
-        if cfg.retrieval == "hier":
-            from ..ops.retrieval_hier import HierBank, retrieve_hier
+        from ..ops.retrieval_hier import HierBank
 
-            assert isinstance(bank, HierBank), (
-                "retrieval='hier' needs a build_hier_bank-prepared bank")
+        if isinstance(bank, HierBank) and (cfg.retrieval != "hier"
+                                           or lonlat_deg.shape[0] < 2048):
+            # hier fidelity depends on the SPATIAL COHERENCE of each
+            # bm-query tile (a shared K-tile selection must cover bm
+            # geographically-sorted queries).  Small global batches lack
+            # that coherence (measured: tile coverage 0.98 at B=10k but
+            # 0.25 at B=2k with bm=256), and the dense exact kernel is
+            # plenty fast at small B — route them to it.  B is static
+            # under jit, so this is a compile-time branch.
+            bank = bank.bank
+        if cfg.retrieval == "hier" and isinstance(bank, HierBank):
+            from ..ops.retrieval_hier import retrieve_hier
+
+            # shrink bm with the batch so query tiles stay spatially tight
+            # (>= 128: transposed scan blocks need a 128-lane query dim)
+            B = lonlat_deg.shape[0]
+            bm = min(cfg.hier_bm, max(128, B // 40 // 128 * 128))
             retrieved = retrieve_hier(
                 q_sem, q_xyz, bank,
                 sem_temp=cfg.resolved_sem_temp(), geo_temp=cfg.geo_temp,
                 beta=cfg.beta, mode=cfg.mode, k_tiles=cfg.k_tiles,
-                bm=cfg.hier_bm, j_sem=cfg.j_sem, j_geo=cfg.j_geo,
+                bm=bm, j_sem=cfg.j_sem, j_geo=cfg.j_geo,
                 interpret=jax.default_backend() != "tpu",
             )
             return jnp.concatenate([retrieved, q_sem], axis=-1)

@@ -17,7 +17,9 @@ import jax.numpy as jnp
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
 def kmeans(key, points: jnp.ndarray, n_clusters: int, iters: int = 10,
-           valid: jnp.ndarray | None = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+           valid: jnp.ndarray | None = None,
+           init_points: jnp.ndarray | None = None
+           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Euclidean k-means.
 
     Args:
@@ -25,30 +27,38 @@ def kmeans(key, points: jnp.ndarray, n_clusters: int, iters: int = 10,
       valid: optional [N] {0,1} mask; invalid rows never update centroids and
         get assignment n_clusters-1... no: they get their argmin cluster but
         with zero weight in updates (callers typically sort them last anyway).
+      init_points: optional [n_clusters, D] explicit seed centroids (skips
+        the k-means++ scan — its n_clusters sequential steps dominate
+        compile+run time for large C; callers with domain structure, e.g. a
+        Fibonacci lattice for geographic xyz, seed directly).
     Returns (centroids [C, D], assign [N] int32).
     """
     N, D = points.shape
     if valid is None:
         valid = jnp.ones((N,), jnp.float32)
     valid = valid.astype(jnp.float32)
-    # k-means++ init (random init merges nearby modes): each next seed is
-    # sampled proportional to squared distance from the chosen set.
-    k_first, k_seq = jax.random.split(key)
-    first = jax.random.categorical(k_first, jnp.log(valid + 1e-30))
-    c0 = points[first]
+    if init_points is not None:
+        assert init_points.shape == (n_clusters, D), init_points.shape
+        centroids = init_points.astype(points.dtype)
+    else:
+        # k-means++ init (random init merges nearby modes): each next seed
+        # is sampled proportional to squared distance from the chosen set.
+        k_first, k_seq = jax.random.split(key)
+        first = jax.random.categorical(k_first, jnp.log(valid + 1e-30))
+        c0 = points[first]
 
-    def pp_step(carry, k):
-        d2, prev_c = carry
-        d2 = jnp.minimum(d2, jnp.sum((points - prev_c) ** 2, axis=1))
-        logits = jnp.log(d2 * valid + 1e-30)
-        nxt = jax.random.categorical(k, logits)
-        c = points[nxt]
-        return (d2, c), c
+        def pp_step(carry, k):
+            d2, prev_c = carry
+            d2 = jnp.minimum(d2, jnp.sum((points - prev_c) ** 2, axis=1))
+            logits = jnp.log(d2 * valid + 1e-30)
+            nxt = jax.random.categorical(k, logits)
+            c = points[nxt]
+            return (d2, c), c
 
-    keys = jax.random.split(k_seq, n_clusters - 1)
-    init_d2 = jnp.full((N,), jnp.inf)
-    (_, _), rest = jax.lax.scan(pp_step, (init_d2, c0), keys)
-    centroids = jnp.concatenate([c0[None], rest], axis=0)
+        keys = jax.random.split(k_seq, n_clusters - 1)
+        init_d2 = jnp.full((N,), jnp.inf)
+        (_, _), rest = jax.lax.scan(pp_step, (init_d2, c0), keys)
+        centroids = jnp.concatenate([c0[None], rest], axis=0)
 
     def step(centroids, _):
         # assign by min distance == max (p.c - |c|^2/2)

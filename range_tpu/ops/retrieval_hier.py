@@ -153,8 +153,12 @@ def _order_rows_within_tiles(keys: jnp.ndarray, valid: jnp.ndarray, bn: int,
     ks = keys.astype(jnp.float32).reshape(T, bn, -1)
     vs = valid.reshape(T, bn)
     tile_keys = jax.random.split(jax.random.PRNGKey(seed), T)
+    stride = bn // n_groups
     _, assign = jax.vmap(
-        lambda k, p, v: kmeans(k, p, n_groups, iters=6, valid=v)
+        # strided-row seeding skips the k-means++ sequential scan (rows are
+        # already in geographic-cluster order, so strides are diverse)
+        lambda k, p, v: kmeans(k, p, n_groups, iters=6, valid=v,
+                               init_points=p[::stride])
     )(tile_keys, ks, vs)  # [T, bn]
     assign = np.asarray(assign)
     vn = np.asarray(vs)
@@ -535,16 +539,18 @@ def _hier_argmax_call(q2, ql, khl, mask_neg, idx, *, Dk: int, bm: int,
 @functools.partial(jax.jit, static_argnames=(
     "k_tiles", "bm", "tc", "j_sem", "j_geo", "mode", "sort", "interpret"))
 def hier_topk(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
-              *, k_tiles: int = 40, bm: int = 256, tc: int = 8,
-              j_sem: int = 4, j_geo: int = 2, mode: str = "range",
+              *, k_tiles: int = 56, bm: int = 256, tc: int = 8,
+              j_sem: int = 6, j_geo: int = 2, mode: str = "range",
               sort: str = "geo", interpret: bool = False) -> jnp.ndarray:
     """Serving top-1 retrieval: [B] int32 bank rows (hb.bank order).
 
     The recall-critical endpoint: big-K hierarchical tile selection (the
     scan's group stats; no value work) + exact semantic argmax over the
-    selected tiles at hi/lo ~f32 logit accuracy (`khl_sem`).  k_tiles=40
+    selected tiles at hi/lo ~f32 logit accuracy (`khl_sem`).  The big K
     buys the selection headroom the feature path spends on value matmuls —
-    recall@1 vs f32-exact NN is MEASURED in bench.py (target >= 0.999).
+    recall@1 vs f32-exact NN is MEASURED in bench.py (target >= 0.999;
+    round-2 on the 100k informative bank: K=40 -> 0.9986 @ 1.70M q/s,
+    K=56 (default) -> 0.9992 @ 1.46M q/s, K=80 -> 0.9994 @ 1.16M q/s).
     `mode='range'` spends every selected tile on the semantic family (the
     recall metric's family); q_xyz (when given) only drives the geographic
     query sort."""
@@ -862,7 +868,15 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
     ~(K*bn + N/gsz_sem)/N of the dense exact work.  Fidelity knobs:
     `k_tiles` + `j_sem`/`j_geo` (exact coverage — the recall knobs),
     `hb.gsz_sem` (tail granularity — the feature-error knob), `bm`
-    (query-tile coherence)."""
+    (query-tile coherence).
+
+    Fidelity depends on the SPATIAL COHERENCE of each bm-query tile: the
+    K selected tiles are shared by bm geographically-sorted queries, so a
+    small global batch under a large bm spans too much sphere per tile and
+    selection coverage collapses (measured: B=10240/bm=256 -> 0.98 tile
+    coverage; B=2048/bm=256 -> 0.25).  Shrink bm toward 128 (the minimum —
+    transposed scan blocks need 128 query lanes) for batches under ~10k;
+    the API layer (models/range_encoder.py) does this automatically."""
     if mode == "range":
         beta = 1.0
         q_xyz = None

@@ -137,7 +137,68 @@ class DynamicBatcher:
         self._thread.join(timeout=2.0)
 
 
-def make_handler(batcher: DynamicBatcher, encoder_name: str):
+class TopkRunner:
+    """Nearest-bank-row serving (`POST /topk`): the recall-critical endpoint.
+
+    Routes to `ops.retrieval_hier.hier_topk` when the encoder serves a
+    prepared HierBank (recall@1 >= 0.999 measured, bench.py), else to the
+    dense hi/lo tier-matched `ops.topk.topk_packed`.  Returns bank row ids
+    and their (lon, lat).  Request sizes are bucket-padded like embeddings.
+    """
+
+    def __init__(self, encoder, buckets: Optional[Sequence[int]] = None,
+                 max_batch: int = 4096):
+        from .ops.retrieval_hier import HierBank
+
+        self.encoder = encoder
+        self.buckets = sorted(buckets or _default_buckets(max_batch))
+        self.max_batch = self.buckets[-1]
+        extra = getattr(encoder, "extra", None)
+        self.hier = isinstance(extra, HierBank)
+        self.bank = extra.bank if self.hier else extra
+        if self.bank is None or not hasattr(encoder, "model") \
+                or not hasattr(encoder.model, "query_embedding"):
+            raise ValueError("topk serving needs a RANGE-family encoder "
+                             "with a retrieval bank")
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.max_batch
+
+    def _ids(self, coords: np.ndarray) -> np.ndarray:
+        from .geometry import lonlat_deg_to_xyz
+
+        enc = self.encoder
+        c = jnp.asarray(coords, jnp.float32)
+        q = enc.model.query_embedding(enc.params, c)
+        if self.hier:
+            from .ops.retrieval_hier import hier_topk
+
+            return np.asarray(hier_topk(q, lonlat_deg_to_xyz(c), enc.extra))
+        from .ops.topk import topk_packed
+
+        return np.asarray(topk_packed(q, self.bank, k=1, tier="high")[1][:, 0])
+
+    def __call__(self, coords: np.ndarray) -> dict:
+        n = coords.shape[0]
+        out = []
+        for lo in range(0, n, self.max_batch):
+            chunk = coords[lo:lo + self.max_batch]
+            b = self._bucket(chunk.shape[0])
+            pad = b - chunk.shape[0]
+            if pad:
+                chunk = np.pad(chunk, ((0, pad), (0, 0)))
+            ids = self._ids(chunk)
+            out.append(ids[: b - pad] if pad else ids)
+        ids = np.concatenate(out)[:n]
+        locs = np.asarray(self.bank.locs_lonlat)[ids]
+        return {"ids": ids.tolist(), "locs": locs.tolist()}
+
+
+def make_handler(batcher: DynamicBatcher, encoder_name: str,
+                 topk: Optional[TopkRunner] = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -157,7 +218,7 @@ def make_handler(batcher: DynamicBatcher, encoder_name: str):
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/embed":
+            if self.path not in ("/embed", "/topk"):
                 return self._reply(404, {"error": "not found"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -167,6 +228,15 @@ def make_handler(batcher: DynamicBatcher, encoder_name: str):
                     raise ValueError("coords must be [[lon, lat], ...]")
             except (ValueError, KeyError, json.JSONDecodeError) as e:
                 return self._reply(400, {"error": str(e)})
+            if self.path == "/topk":
+                if topk is None:
+                    return self._reply(400, {"error": "topk serving needs a "
+                                             "RANGE-family encoder with a "
+                                             "retrieval bank"})
+                try:
+                    return self._reply(200, topk(coords))
+                except Exception as e:
+                    return self._reply(500, {"error": str(e)})
             try:
                 out = batcher.embed(coords)
             except Exception as e:
@@ -190,8 +260,12 @@ class EmbeddingServer:
             self.runner.warmup()
         self.batcher = DynamicBatcher(self.runner, max_wait_ms)
         name = getattr(encoder, "name", type(encoder).__name__)
+        try:
+            self.topk = TopkRunner(encoder, buckets, max_batch)
+        except ValueError:
+            self.topk = None  # non-retrieval encoders serve /embed only
         self._httpd = ThreadingHTTPServer(
-            (host, port), make_handler(self.batcher, name))
+            (host, port), make_handler(self.batcher, name, self.topk))
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True)
@@ -237,10 +311,15 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                     help="retrieval bank npz for RANGE/RANGE+")
     ap.add_argument("--value-quant", default=None, choices=["int8"],
                     help="quantize bank values (halves bank HBM footprint)")
+    ap.add_argument("--retrieval", default="dense", choices=["dense", "hier"],
+                    help="hier = two-stage approximate serving "
+                         "(ops/retrieval_hier.py; ~3x dense throughput)")
     args = ap.parse_args(argv)
     kw = {"db_path": args.db_path} if args.db_path else {}
     if args.value_quant:
         kw["value_quant"] = args.value_quant
+    if args.retrieval != "dense":
+        kw["retrieval"] = args.retrieval
     encoder = load_model(args.model, **kw)
     serve_http(encoder, args.host, args.port, max_batch=args.max_batch)
 

@@ -93,3 +93,40 @@ def test_http_server_roundtrip(encoder):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(base + "/nope", {})
         assert ei.value.code == 404
+
+
+def test_topk_endpoint():
+    """POST /topk returns nearest-bank-row ids + locations for RANGE
+    encoders; non-retrieval encoders 400 on it."""
+    from range_tpu.bank.bank import GeoBank
+    from range_tpu.ops.retrieval import exact_nn
+    import jax.numpy as jnp
+
+    bank = GeoBank.synthetic(0, 1000, key_dim=256, value_dim=32, pad_to=512)
+    enc = range_tpu.load_model("RANGE+", db_path=bank, chunk=512, seed=0)
+    with EmbeddingServer(enc, port=0, buckets=[8], max_batch=8,
+                         warmup=False) as srv:
+        coords = _rand_coords(5, seed=9)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/topk",
+            data=json.dumps({"coords": coords.tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out = json.loads(resp.read())
+        assert len(out["ids"]) == 5 and len(out["locs"]) == 5
+        q = enc.model.query_embedding(enc.params, jnp.asarray(coords))
+        true = np.asarray(exact_nn(q, bank, chunk=512))
+        # hi/lo tier-matched top-1 equals exact NN on this tiny bank
+        assert (np.asarray(out["ids"]) == true).mean() >= 0.8
+
+    wrap = range_tpu.load_model("Wrap")
+    with EmbeddingServer(wrap, port=0, buckets=[8], max_batch=8,
+                         warmup=False) as srv:
+        assert srv.topk is None
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/topk",
+            data=json.dumps({"coords": coords.tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 400

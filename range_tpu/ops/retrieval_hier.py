@@ -171,12 +171,19 @@ def _order_rows_within_tiles(keys: jnp.ndarray, valid: jnp.ndarray, bn: int,
 def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                     gsz_geo: int = 64, tier: str = "fast",
                     n_clusters: Optional[int] = None, iters: int = 8,
-                    seed: int = 0, value_dtype=None) -> HierBank:
+                    seed: int = 0, value_dtype=None,
+                    shards: int = 1) -> HierBank:
     """Offline serving prep: cluster + reorder the bank, prepack operands.
 
     Bank prep is offline (like building the npz itself): geographic k-means
     reorder with dense packing (bank/clustered.py), within-tile key-space
     k-means reorder, then packed/derived operands computed on device.
+
+    `shards > 1` prepares the bank for `parallel.sharded_retrieve_hier`:
+    the tile count is padded so every mesh shard gets an identical
+    t_pad/shards tile slab, and the row-level operands are padded to the
+    full t_pad*bn (pad tiles are fully masked/zero, so a shard selecting
+    one merely wastes that slot).
     """
     from ..bank.clustered import cluster_bank, tile_stats
 
@@ -203,10 +210,62 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         value_scale=(cbank.value_scale[:, perm]
                      if cbank.value_scale is not None else None),
     )
-    stats = tile_stats(cbank, bn)
+    import math
+
     N = cbank.num_rows
     T = N // bn
-    t_pad = _round_up(T, TC)
+    # single-chip scans need tc | t_pad (tc <= TC); sharded scans need
+    # tc | t_pad/shards — lcm keeps both with minimal tile padding
+    t_pad = _round_up(T, math.lcm(TC, shards * 8))
+    if shards > 1 and t_pad * bn > N:
+        # equal per-shard slabs: pad the row-level operands with fully
+        # masked zero rows out to t_pad*bn
+        extra = t_pad * bn - N
+
+        def padrows(x):
+            return (jnp.pad(x, ((0, extra),) + ((0, 0),) * (x.ndim - 1))
+                    if x is not None else None)
+
+        cbank = dataclasses.replace(
+            cbank,
+            locs_lonlat=padrows(cbank.locs_lonlat),
+            xyz=padrows(cbank.xyz),
+            keys_sem=padrows(cbank.keys_sem),
+            values=padrows(cbank.values),
+            valid_mask=jnp.pad(
+                cbank.valid_mask if cbank.valid_mask is not None
+                else jnp.ones((N,), jnp.float32), (0, extra)),
+            value_scale=(jnp.pad(cbank.value_scale, ((0, 0), (0, extra)))
+                         if cbank.value_scale is not None else None),
+        )
+        N = t_pad * bn
+        T = t_pad
+    if shards > 1:
+        # round-robin tile interleave: shard s owns tiles s, s+n, s+2n...
+        # — geographically ADJACENT tiles land on DIFFERENT shards, so a
+        # query's hot tiles spread across the mesh and every shard's
+        # per-shard selection budget goes to tiles that matter (contiguous
+        # latitude slabs concentrate a query's mass in one shard and starve
+        # its K while the others select junk)
+        t_local = t_pad // shards
+        tile_of_pos = np.arange(t_pad).reshape(t_local, shards).T.reshape(-1)
+        row_perm = (tile_of_pos[:, None] * bn
+                    + np.arange(bn)[None, :]).reshape(-1)
+
+        def take_rows(x):
+            return x[row_perm] if x is not None else None
+
+        cbank = dataclasses.replace(
+            cbank,
+            locs_lonlat=take_rows(cbank.locs_lonlat),
+            xyz=take_rows(cbank.xyz),
+            keys_sem=take_rows(cbank.keys_sem),
+            values=take_rows(cbank.values),
+            valid_mask=take_rows(cbank.valid_mask),
+            value_scale=(cbank.value_scale[:, row_perm]
+                         if cbank.value_scale is not None else None),
+        )
+    stats = tile_stats(cbank, bn)
     sem_d, cat_d = packed_dims(cbank.key_dim, tier)
     Dv = cbank.values.shape[1]
     Dvp = _round_up(Dv + 1, 128)
@@ -851,6 +910,43 @@ def _hybrid_order(q_xyz, home_s, n_valid: int, t_pad: int,
     return jnp.argsort(key, stable=True)
 
 
+def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
+                   bm: int, tc: int, j_sem: int, j_geo: int, mode: str,
+                   n_valid: int, interpret: bool = False):
+    """The hier pipeline body on (already sorted) packed queries:
+    fused scan (stats + all-tiles tail) -> tile selection -> parts kernel
+    (exact − group approx over selected tiles) -> combined UNNORMALIZED
+    partials (acc_s, acc_g, d_s, d_g), each [Bp, ...] f32.
+
+    Partials are linear, so bank shards combine with a plain psum
+    (parallel/sharded.sharded_retrieve_hier) exactly like the dense parts
+    kernel's."""
+    gpt_s, gpt_g = hb.bn // hb.gsz_sem, hb.bn // hb.gsz_geo
+    m_s, s_s, m_g, s_g, tails = _hier_scan_call(
+        q_cat, hb.g_sem_cat, hb.g_geo_cat, hb.g_sem_vw, hb.g_geo_vw,
+        bm=bm, tc=tc, gpt_s=gpt_s, gpt_g=gpt_g,
+        has_geo=mode == "range+", interpret=interpret)
+    idx, sel = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
+                            k_tiles=k_tiles, bm=bm, n_valid=n_valid,
+                            j_sem=j_sem, j_geo=j_geo, mode=mode)
+    # parts = sum over selected tiles of (exact - group approximation)
+    parts = _hier_parts_call(q_cat, hb.k_cat, hb.values, hb.value_scale,
+                             hb.mask_neg, idx, hb.g_sem_cat, hb.g_geo_cat,
+                             hb.g_sem_vw, hb.g_geo_vw, sem_d=hb.sem_d, bm=bm,
+                             bn=hb.bn, gpt_s=gpt_s, gpt_g=gpt_g,
+                             interpret=interpret)
+    Dv = hb.value_dim
+    Dvp = hb.g_sem_vw.shape[1]
+    acc_s = parts[:, :Dv] + tails[:, :Dv]
+    d_s = parts[:, 2 * Dv:2 * Dv + 1] + tails[:, Dv:Dv + 1]
+    acc_g = parts[:, Dv:2 * Dv]
+    d_g = parts[:, 2 * Dv + 1:2 * Dv + 2]
+    if mode == "range+":
+        acc_g = acc_g + tails[:, Dvp:Dvp + Dv]
+        d_g = d_g + tails[:, Dvp + Dv:Dvp + Dv + 1]
+    return acc_s, acc_g, d_s, d_g
+
+
 @functools.partial(jax.jit, static_argnames=(
     "sem_temp", "geo_temp", "beta", "mode", "k_tiles", "bm", "tc", "j_sem",
     "j_geo", "sort_queries", "sort", "interpret"))
@@ -897,42 +993,20 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
         inv = jnp.argsort(order)
         q_cat = q_cat[order]
 
-    # the fused scan emits selection stats AND the all-tiles group-centroid
-    # tail in one group-granularity pass
-    m_s, s_s, m_g, s_g, tails = _hier_scan_call(
-        q_cat, hb.g_sem_cat, hb.g_geo_cat, hb.g_sem_vw, hb.g_geo_vw,
-        bm=bm, tc=tc, gpt_s=gpt_s, gpt_g=gpt_g,
-        has_geo=mode == "range+", interpret=interpret)
     if sort_queries and hybrid:
         # hybrid ordering groups each coarse geo cell's queries by their
-        # hottest sem tile, which needs the scan stats — permute them
-        home = jnp.argmax(m_s, axis=1)
+        # hottest sem tile, which needs the scan stats — run a stats-only
+        # scan first, then permute and recompute via the fused path
+        m_s0, _, _, _ = _hier_scan_stats_call(
+            q_cat, hb.g_sem_cat, hb.g_geo_cat, bm=bm, tc=tc, gpt_s=gpt_s,
+            gpt_g=gpt_g, interpret=interpret)
+        home = jnp.argmax(m_s0, axis=1)
         order = _hybrid_order(q_x, home, B, hb.t_pad, sort=sort)
         inv = jnp.argsort(order)
         q_cat = q_cat[order]
-        m_s, s_s = m_s[order], s_s[order]
-        m_g, s_g = m_g[order], s_g[order]
-        tails = tails[order]
-    idx, sel = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
-                            k_tiles=k_tiles, bm=bm, n_valid=B, j_sem=j_sem,
-                            j_geo=j_geo, mode=mode)
-    # parts = sum over selected tiles of (exact - group approximation)
-    parts = _hier_parts_call(q_cat, hb.k_cat, hb.values, hb.value_scale,
-                             hb.mask_neg, idx, hb.g_sem_cat, hb.g_geo_cat,
-                             hb.g_sem_vw, hb.g_geo_vw, sem_d=hb.sem_d, bm=bm,
-                             bn=hb.bn, gpt_s=gpt_s, gpt_g=gpt_g,
-                             interpret=interpret)
-    Dv = hb.value_dim
-    acc_s = parts[:, :Dv]
-    acc_g = parts[:, Dv:2 * Dv]
-    d_s = parts[:, 2 * Dv:2 * Dv + 1]
-    d_g = parts[:, 2 * Dv + 1:2 * Dv + 2]
-    Dvp = hb.g_sem_vw.shape[1]
-    acc_s = acc_s + tails[:, :Dv]
-    d_s = d_s + tails[:, Dv:Dv + 1]
-    if mode == "range+":
-        acc_g = acc_g + tails[:, Dvp:Dvp + Dv]
-        d_g = d_g + tails[:, Dvp + Dv:Dvp + Dv + 1]
+    acc_s, acc_g, d_s, d_g = _hier_partials(
+        q_cat, hb, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem, j_geo=j_geo,
+        mode=mode, n_valid=B, interpret=interpret)
     sem = acc_s / jnp.maximum(d_s, 1e-30)
     if mode == "range":
         out = sem

@@ -232,3 +232,143 @@ def sharded_retrieve_pallas(
     fn = shard_map(local, mesh=mesh, in_specs=(q_spec, bank_spec),
                    out_specs=out_spec, check_vma=False)
     return fn(q_cat, bank)
+
+
+def shard_hier_bank(hb, mesh: Mesh, axis: str = "bank"):
+    """Place a HierBank's rows AND group operands across `axis`.
+
+    Requires a bank built with `build_hier_bank(..., shards=mesh.shape[axis])`
+    — every shard then owns an identical t_pad/shards tile slab with its
+    row-level operands (pad tiles are fully masked/zero)."""
+    import dataclasses as _dc
+
+    from ..ops.retrieval_hier import HierBank
+
+    assert isinstance(hb, HierBank), type(hb)
+    n = mesh.shape[axis]
+    assert hb.t_pad % n == 0, (
+        f"t_pad {hb.t_pad} not divisible by {n} shards — rebuild with "
+        f"build_hier_bank(..., shards={n})")
+    assert hb.k_cat.shape[0] == hb.t_pad * hb.bn, (
+        f"row operands cover {hb.k_cat.shape[0]} rows but t_pad*bn is "
+        f"{hb.t_pad * hb.bn} — rebuild with build_hier_bank(..., shards={n})")
+    rows = NamedSharding(mesh, P(axis, None))
+    cols = NamedSharding(mesh, P(None, axis))
+    rep = NamedSharding(mesh, P())
+
+    def put(x, s):
+        return jax.device_put(x, s) if x is not None else None
+
+    return _dc.replace(
+        hb,
+        bank=shard_bank(hb.bank, mesh, axis),
+        k_cat=put(hb.k_cat, rows),
+        values=put(hb.values, rows),
+        value_scale=put(hb.value_scale, cols),
+        mask_neg=put(hb.mask_neg, cols),
+        sem_centroid=put(hb.sem_centroid, rep),
+        geo_centroid=put(hb.geo_centroid, rep),
+        sem_radius=put(hb.sem_radius, rep),
+        geo_radius=put(hb.geo_radius, rep),
+        g_sem_cat=put(hb.g_sem_cat, rows),
+        g_geo_cat=put(hb.g_geo_cat, rows),
+        g_sem_vw=put(hb.g_sem_vw, rows),
+        g_geo_vw=put(hb.g_geo_vw, rows),
+        khl_sem=put(hb.khl_sem, rows),
+    )
+
+
+def sharded_retrieve_hier(
+    q_sem: jnp.ndarray,
+    q_xyz: Optional[jnp.ndarray],
+    hb,
+    mesh: Mesh,
+    *,
+    sem_temp: float = 12.0,
+    geo_temp: float = 40.0,
+    beta: float = 0.5,
+    mode: str = "range+",
+    k_tiles: int = 8,
+    bm: int = 256,
+    tc: int = 8,
+    j_sem: int = 2,
+    j_geo: int = 2,
+    bank_axis: str = "bank",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-chip hierarchical retrieval: each shard runs the full hier
+    pipeline (fused scan+tail, tile selection, exact-minus-approx parts)
+    over ITS tile slab; the unnormalized partials are linear, so ONE psum
+    over ICI combines them exactly (ops/retrieval_hier._hier_partials).
+
+    `k_tiles` is PER SHARD: n shards select n*k_tiles tiles total, so the
+    union selection is strictly finer than single-chip at the same per-chip
+    cost — per-chip work is ~1/n of single-chip at equal total K.  With
+    k_tiles = t_pad//n (every tile selected) the result equals the exact
+    dense computation (tests assert this)."""
+    import dataclasses as _dc
+    import functools as _ft
+
+    from ..ops.retrieval_hier import (HierBank, _hier_partials,
+                                      _hybrid_order, _pad_queries)
+    from ..ops.retrieval_pallas import pack_queries
+
+    assert isinstance(hb, HierBank), type(hb)
+    n = mesh.shape[bank_axis]
+    t_local = hb.t_pad // n
+    assert t_local % tc == 0, (hb.t_pad, n, tc)
+    k_tiles = min(k_tiles, t_local)
+    if mode == "range":
+        beta = 1.0
+        q_xyz = None
+    B = q_sem.shape[0]
+    q_s, q_x = _pad_queries(q_sem, q_xyz, hb, bm)
+    q_cat = pack_queries(q_s, q_x, sem_temp, geo_temp, tier=hb.tier)
+    inv = None
+    if q_x is not None:
+        order = _hybrid_order(q_x, jnp.zeros(q_cat.shape[0], jnp.int32), B,
+                              hb.t_pad, sort="geo")
+        inv = jnp.argsort(order)
+        q_cat = q_cat[order]
+
+    hb_spec = jax.tree.map(lambda _: P(bank_axis, None), hb)
+    hb_spec = _dc.replace(
+        hb_spec,
+        bank=jax.tree.map(lambda _: P(), hb.bank),
+        value_scale=(P(None, bank_axis) if hb.value_scale is not None
+                     else None),
+        mask_neg=P(None, bank_axis),
+        sem_centroid=P(), geo_centroid=P(), sem_radius=P(), geo_radius=P(),
+    )
+    # the GeoBank inside is row-sharded; its specs must match shard_bank's
+    hb_spec = _dc.replace(
+        hb_spec,
+        bank=GeoBank(
+            locs_lonlat=P(bank_axis, None), xyz=P(bank_axis, None),
+            keys_sem=P(bank_axis, None), values=P(bank_axis, None),
+            n_valid=P(),
+            valid_mask=(P(bank_axis) if hb.bank.valid_mask is not None
+                        else None),
+            value_scale=(P(None, bank_axis)
+                         if hb.bank.value_scale is not None else None),
+        ))
+
+    def local(q_cat_l, hb_l):
+        hb_loc = _dc.replace(hb_l, t_real=t_local, t_pad=t_local)
+        acc_s, acc_g, d_s, d_g = _hier_partials(
+            q_cat_l, hb_loc, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
+            j_geo=j_geo, mode=mode, n_valid=B, interpret=interpret)
+        acc_s = jax.lax.psum(acc_s, bank_axis)
+        d_s = jax.lax.psum(d_s, bank_axis)
+        sem = acc_s / jnp.maximum(d_s, 1e-30)
+        if mode != "range+":
+            return sem
+        acc_g = jax.lax.psum(acc_g, bank_axis)
+        d_g = jax.lax.psum(d_g, bank_axis)
+        geo = acc_g / jnp.maximum(d_g, 1e-30)
+        return beta * sem + (1.0 - beta) * geo
+
+    fn = shard_map(_ft.partial(local), mesh=mesh, in_specs=(P(), hb_spec),
+                   out_specs=P(), check_vma=False)
+    out = fn(q_cat, hb)
+    return out[inv[:B]] if inv is not None else out[:B]

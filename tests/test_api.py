@@ -167,7 +167,32 @@ def test_load_model_mesh_sharded_serving():
     expect = np.asarray(ref(coords))
     assert got.shape == (16, 64 + 256)
     np.testing.assert_allclose(got, expect, rtol=5e-2, atol=5e-4)
-    # hier + mesh is an explicit unsupported combination
-    with pytest.raises(NotImplementedError):
-        range_tpu.load_model("RANGE+", db_path=bank, mesh=mesh,
-                             retrieval="hier")
+
+
+def test_load_model_mesh_hier_serving():
+    """hier + mesh compose: the bank is built sharded (tile interleave) and
+    apply() routes through sharded_retrieve_hier — but small batches still
+    fall back to the (sharded) dense path, so drive a 2048-query batch."""
+    import range_tpu
+    from range_tpu.bank.bank import GeoBank
+    from range_tpu.ops.retrieval_hier import HierBank
+    from range_tpu.parallel.mesh import make_mesh
+
+    bank = GeoBank.synthetic_informative(1, 6000, key_dim=256, value_dim=32,
+                                         pad_to=512)
+    mesh = make_mesh((8,), ("bank",))
+    enc = range_tpu.load_model("RANGE+", db_path=bank, mesh=mesh,
+                               retrieval="hier", hier_bn=128, gsz_geo=16,
+                               k_tiles=64, chunk=512, seed=0)
+    assert isinstance(enc.extra, HierBank)
+    ref = range_tpu.load_model("RANGE+", db_path=bank, chunk=512, seed=0)
+    rng = np.random.default_rng(3)
+    coords = np.stack([rng.uniform(-180, 180, 2048),
+                       rng.uniform(-80, 80, 2048)], 1)
+    got = np.asarray(enc(coords))
+    expect = np.asarray(ref(coords))
+    assert got.shape == (2048, 32 + 256) and np.isfinite(got).all()
+    rel = np.abs(got[:, :32] - expect[:, :32]) / np.maximum(
+        np.abs(expect[:, :32]), 1e-1)
+    assert rel.mean() < 0.15, rel.mean()
+    np.testing.assert_allclose(got[:, 32:], expect[:, 32:], atol=1e-5)

@@ -65,8 +65,10 @@ def embed(enc, pts):
 results = {}
 for name, kw in (("dense", {}),
                  ("hier", dict(retrieval="hier")),
-                 ("hier-K24", dict(retrieval="hier", k_tiles=24)),
-                 ("hier-K32", dict(retrieval="hier", k_tiles=32, j_sem=3))):
+                 ("hier-K24-g4", dict(retrieval="hier", k_tiles=24,
+                                      gsz_sem=4)),
+                 ("hier-K32-g4", dict(retrieval="hier", k_tiles=32, j_sem=3,
+                                      gsz_sem=4))):
     enc = range_tpu.load_model("RANGE+", db_path=bank, beta=0.5, chunk=4096,
                                seed=0, **kw)
     tr = embed(enc, train_pts)

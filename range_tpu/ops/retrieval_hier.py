@@ -598,7 +598,7 @@ def _hier_argmax_call(q2, ql, khl, mask_neg, idx, *, Dk: int, bm: int,
 @functools.partial(jax.jit, static_argnames=(
     "k_tiles", "bm", "tc", "j_sem", "j_geo", "mode", "sort", "interpret"))
 def hier_topk(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
-              *, k_tiles: int = 56, bm: int = 256, tc: int = 8,
+              *, k_tiles: int = 56, bm: int = 256, tc: int = 32,
               j_sem: int = 6, j_geo: int = 2, mode: str = "range",
               sort: str = "geo", interpret: bool = False) -> jnp.ndarray:
     """Serving top-1 retrieval: [B] int32 bank rows (hb.bank order).
@@ -954,7 +954,7 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
                   hb: HierBank, *, sem_temp: float = 12.0,
                   geo_temp: float = 40.0, beta: float = 0.5,
                   mode: str = "range+", k_tiles: int = 16, bm: int = 256,
-                  tc: int = 8, j_sem: int = 2, j_geo: int = 2,
+                  tc: int = 32, j_sem: int = 2, j_geo: int = 2,
                   sort_queries: bool = True, sort: str = "geo",
                   interpret: bool = False) -> jnp.ndarray:
     """Two-stage retrieval over a prepared HierBank (see module docstring).
@@ -1020,7 +1020,7 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
 
 def hier_nn(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
             *, sem_temp: float = 12.0, geo_temp: float = 40.0,
-            k_tiles: int = 16, bm: int = 256, tc: int = 8, j_sem: int = 2,
+            k_tiles: int = 16, bm: int = 256, tc: int = 32, j_sem: int = 2,
             j_geo: int = 2, sort: str = "geo",
             mode: str = "range+") -> jnp.ndarray:
     """Fidelity harness: the semantic argmax row the hier path can see —

@@ -129,16 +129,31 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
     if retrieval == "hier":
         # two-stage approximate serving (ops/retrieval_hier.py): cluster +
         # prepack the bank once at load; with a mesh, build for and shard
-        # over its bank axis (parallel/sharded.shard_hier_bank)
-        from .ops.retrieval_hier import build_hier_bank
+        # over its bank axis (parallel/sharded.shard_hier_bank).
+        # `hier_cache=<path>` persists the prepacked operands — bank prep
+        # (k-means + packing) costs minutes; serving restarts then load in
+        # seconds
+        import os as _os
+
+        from .ops.retrieval_hier import (build_hier_bank, load_hier_bank,
+                                         save_hier_bank)
 
         n_shards = 1
         if mesh is not None:
             bank_axis = bank_axis or mesh.axis_names[-1]
             n_shards = mesh.shape[bank_axis]
-        bank = build_hier_bank(bank, bn=hier_bn, gsz_sem=gsz_sem,
-                               gsz_geo=gsz_geo, tier=tier, seed=seed,
-                               shards=n_shards)
+        hier_cache = kw.pop("hier_cache", None)
+        if hier_cache and _os.path.exists(hier_cache):
+            bank = load_hier_bank(hier_cache)
+            assert bank.t_pad % n_shards == 0, (
+                f"cached HierBank ({bank.t_pad} tiles) was not built for "
+                f"{n_shards} shards — rebuild the cache")
+        else:
+            bank = build_hier_bank(bank, bn=hier_bn, gsz_sem=gsz_sem,
+                                   gsz_geo=gsz_geo, tier=tier, seed=seed,
+                                   shards=n_shards)
+            if hier_cache:
+                save_hier_bank(bank, hier_cache)
         if mesh is not None:
             from .parallel.sharded import shard_hier_bank
 

@@ -598,7 +598,7 @@ def _hier_argmax_call(q2, ql, khl, mask_neg, idx, *, Dk: int, bm: int,
 @functools.partial(jax.jit, static_argnames=(
     "k_tiles", "bm", "tc", "j_sem", "j_geo", "mode", "sort", "interpret"))
 def hier_topk(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
-              *, k_tiles: int = 56, bm: int = 256, tc: int = 32,
+              *, k_tiles: int = 56, bm: int = 256, tc: int = 16,
               j_sem: int = 6, j_geo: int = 2, mode: str = "range",
               sort: str = "geo", interpret: bool = False) -> jnp.ndarray:
     """Serving top-1 retrieval: [B] int32 bank rows (hb.bank order).
@@ -954,7 +954,7 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
                   hb: HierBank, *, sem_temp: float = 12.0,
                   geo_temp: float = 40.0, beta: float = 0.5,
                   mode: str = "range+", k_tiles: int = 16, bm: int = 256,
-                  tc: int = 32, j_sem: int = 2, j_geo: int = 2,
+                  tc: int = 16, j_sem: int = 2, j_geo: int = 2,
                   sort_queries: bool = True, sort: str = "geo",
                   interpret: bool = False) -> jnp.ndarray:
     """Two-stage retrieval over a prepared HierBank (see module docstring).
@@ -1020,7 +1020,7 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
 
 def hier_nn(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
             *, sem_temp: float = 12.0, geo_temp: float = 40.0,
-            k_tiles: int = 16, bm: int = 256, tc: int = 32, j_sem: int = 2,
+            k_tiles: int = 16, bm: int = 256, tc: int = 16, j_sem: int = 2,
             j_geo: int = 2, sort: str = "geo",
             mode: str = "range+") -> jnp.ndarray:
     """Fidelity harness: the semantic argmax row the hier path can see —
@@ -1069,3 +1069,86 @@ def hier_nn(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
             row_keep_t[jnp.arange(lo, hi) // bm]))
     best = jnp.concatenate(bests)
     return best[inv[:B]]
+
+
+# ---------------------------------------------------------------------------
+# HierBank disk cache: bank prep costs minutes (k-means + packing over a slow
+# device link); serving restarts load the prepacked operands in seconds.
+
+
+def save_hier_bank(hb: HierBank, path: str) -> None:
+    """Serialize a prepared HierBank to one npz (arrays + meta).
+
+    bf16 arrays are stored as uint16 bit patterns (npz has no bf16)."""
+    import json
+
+    def enc(x):
+        x = np.asarray(x)
+        if x.dtype == jnp.bfloat16:
+            return x.view(np.uint16), "bf16"
+        return x, str(x.dtype)
+
+    arrays, meta = {}, {"dtypes": {}}
+    for field in ("k_cat", "values", "value_scale", "mask_neg",
+                  "sem_centroid", "geo_centroid", "sem_radius", "geo_radius",
+                  "g_sem_cat", "g_geo_cat", "g_sem_vw", "g_geo_vw",
+                  "khl_sem"):
+        v = getattr(hb, field)
+        if v is None:
+            continue
+        arrays[field], meta["dtypes"][field] = enc(v)
+    for field in ("locs_lonlat", "xyz", "keys_sem", "valid_mask"):
+        v = getattr(hb.bank, field)
+        if v is None:
+            continue
+        arrays["bank_" + field], meta["dtypes"]["bank_" + field] = enc(v)
+    arrays["bank_values"], meta["dtypes"]["bank_values"] = enc(hb.bank.values)
+    if hb.bank.value_scale is not None:
+        arrays["bank_value_scale"], meta["dtypes"]["bank_value_scale"] = enc(
+            hb.bank.value_scale)
+    arrays["bank_n_valid"] = np.asarray(hb.bank.n_valid)
+    for field in ("tier", "bn", "gsz_sem", "gsz_geo", "sem_d", "cat_d",
+                  "t_real", "t_pad"):
+        meta[field] = getattr(hb, field)
+    arrays["meta_json"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_hier_bank(path: str) -> HierBank:
+    """Load a `save_hier_bank` archive back onto the default device."""
+    import json
+
+    raw = dict(np.load(path))
+    meta = json.loads(raw.pop("meta_json").tobytes().decode())
+
+    def dec(name):
+        if name not in raw:
+            return None
+        x = raw[name]
+        if meta["dtypes"].get(name) == "bf16":
+            return jnp.asarray(x.view(np.uint16), jnp.uint16).view(jnp.bfloat16)
+        return jnp.asarray(x)
+
+    bank = GeoBank(
+        locs_lonlat=dec("bank_locs_lonlat"),
+        xyz=dec("bank_xyz"),
+        keys_sem=dec("bank_keys_sem"),
+        values=dec("bank_values"),
+        n_valid=jnp.asarray(raw["bank_n_valid"]),
+        valid_mask=dec("bank_valid_mask"),
+        value_scale=dec("bank_value_scale"),
+    )
+    return HierBank(
+        bank=bank,
+        k_cat=dec("k_cat"), values=dec("values"),
+        value_scale=dec("value_scale"), mask_neg=dec("mask_neg"),
+        sem_centroid=dec("sem_centroid"), geo_centroid=dec("geo_centroid"),
+        sem_radius=dec("sem_radius"), geo_radius=dec("geo_radius"),
+        g_sem_cat=dec("g_sem_cat"), g_geo_cat=dec("g_geo_cat"),
+        g_sem_vw=dec("g_sem_vw"), g_geo_vw=dec("g_geo_vw"),
+        khl_sem=dec("khl_sem"),
+        tier=meta["tier"], bn=meta["bn"], gsz_sem=meta["gsz_sem"],
+        gsz_geo=meta["gsz_geo"], sem_d=meta["sem_d"], cat_d=meta["cat_d"],
+        t_real=meta["t_real"], t_pad=meta["t_pad"],
+    )

@@ -194,3 +194,34 @@ def test_hier_topk_recall(bank, hb):
     got2 = np.asarray(hier_topk(qr, None, hb, k_tiles=24, bm=128,
                                 interpret=True))
     assert (got2 == true_r).mean() >= 0.92, (got2 != true_r).sum()
+
+
+def test_hier_bank_save_load_roundtrip(bank, hb, tmp_path):
+    """save_hier_bank/load_hier_bank round-trip: identical serving output
+    (bf16 operands stored as bit patterns) — the serving-restart cache."""
+    from range_tpu.ops.retrieval_hier import load_hier_bank, save_hier_bank
+
+    path = str(tmp_path / "hier.npz")
+    save_hier_bank(hb, path)
+    hb2 = load_hier_bank(path)
+    assert hb2.t_pad == hb.t_pad and hb2.tier == hb.tier
+    q, qx = _make_queries(bank, regional=True, B=256, seed=12)
+    a = np.asarray(retrieve_hier(q, qx, hb, k_tiles=16, bm=128,
+                                 interpret=True))
+    b = np.asarray(retrieve_hier(q, qx, hb2, k_tiles=16, bm=128,
+                                 interpret=True))
+    np.testing.assert_array_equal(a, b)
+    # through the API: second load_model hits the cache
+    path2 = str(tmp_path / "api_hier.npz")
+    enc1 = range_tpu.load_model("RANGE+", db_path=bank, retrieval="hier",
+                                hier_bn=BN, gsz_geo=16, chunk=PAD, seed=0,
+                                hier_cache=path2)
+    import os
+    assert os.path.exists(path2)
+    enc2 = range_tpu.load_model("RANGE+", db_path=bank, retrieval="hier",
+                                hier_bn=BN, gsz_geo=16, chunk=PAD, seed=0,
+                                hier_cache=path2)
+    coords = np.stack([np.linspace(-170, 170, 2048),
+                       np.linspace(-80, 80, 2048)], 1)
+    np.testing.assert_array_equal(np.asarray(enc1(coords)),
+                                  np.asarray(enc2(coords)))

@@ -24,29 +24,33 @@ Pipeline (semantics preserved from `range/range.py:209-240`):
            k-means WITHIN each bn-row tile so each gsz-row window is a
            key-coherent group; prepacked serving operands; per-group packed
            centroids + value sums at independent granularity per family
-           (fine for the diffuse sem family, coarse for the local geo one).
+           (fine for the diffuse sem family, coarse for the local geo one);
+           hi/lo-split keys for the top-k kernel; optional `shards=` layout
+           for mesh serving (round-robin tile interleave).
   online   1. sort the query batch geographically (bm-query tiles become
-              spatially coherent so a shared per-tile candidate list works);
-           2. SCAN kernel: one group-granularity pass over the bank per
-              family emitting per-(query, tile) stats — max group logit and
-              exp-mass — with no [B, G] HBM materialization;
+              spatially coherent so a shared per-tile candidate list works)
+              — BEFORE the scan, so per-query stats never need permuting;
+           2. fused SCAN kernel: ONE group-granularity pass emitting both
+              per-(query, tile) selection stats — max group logit and
+              exp-mass, no [B, G] HBM materialization — AND the ALL-tiles
+              group-centroid tail  sum_g e^{l_cg} [V_g | n_g];
            3. selection (XLA over [B, T] stats, T ~ 200): per-query top-j
               tiles by max-logit (the argmax guarantee: a query's true-
               argmax tile carries its hottest group) unioned over the bm
               queries of a query tile + mass-rank fill, capped to static K;
-           4. PARTS kernel: EXACT dual-softmax over the K selected tiles
-              (grid walks a scalar-prefetched tile list), emitting
-              unnormalized partials (bounded logits -> plain sums);
-           5. TAIL kernel: group-centroid contributions of all NON-selected
-              tiles, one streaming pass per query tile (flash-attention
-              structure, keep-mask folded in);
-           6. combine partials + tail, normalize, blend, restore order.
+           4. PARTS kernel: per selected tile, EXACT dual-softmax partials
+              MINUS that tile's group approximation (grid walks a scalar-
+              prefetched tile list; bounded logits -> plain sums), so
+              total = scan_tail + sum_sel(exact − approx) with no second
+              pass over the bank;
+           5. combine, normalize, blend, restore order.
 
 Work per query: K*bn exact rows + N/gsz tail groups, vs N dense.  Fidelity
-is MEASURED, not assumed: bench.py reports recall@1 of this path against
-HIGHEST-precision exact NN (target >= 0.999) and feature error vs the exact
-dense path; `k_tiles`/`j_sem` trade throughput vs recall, `gsz_sem` tail
-cost vs feature error.
+is MEASURED, not assumed (bench.py, every run): `hier_topk` recall@1 vs
+HIGHEST-precision exact NN (>= 0.999 bar), feature error vs the exact dense
+path, and the feature path's reachable recall; `k_tiles`/`j_sem` trade
+throughput vs recall, `gsz_sem` tail cost vs feature error.  Fidelity also
+depends on BATCH spatial coherence — see retrieve_hier's docstring.
 """
 
 from __future__ import annotations

@@ -225,3 +225,14 @@ def test_hier_bank_save_load_roundtrip(bank, hb, tmp_path):
                        np.linspace(-80, 80, 2048)], 1)
     np.testing.assert_array_equal(np.asarray(enc1(coords)),
                                   np.asarray(enc2(coords)))
+
+
+def test_hier_hybrid_sort_mode(bank, hb, queries):
+    """sort='hybrid' (coarse geo cell, then home sem tile) — the refactored
+    branch runs a stats-only pre-scan; output must stay close to dense."""
+    q, qx = queries
+    ref = retrieve(q, qx, bank, sem_temp=12.0, geo_temp=40.0, beta=0.5,
+                   chunk=PAD)
+    out = retrieve_hier(q, qx, hb, k_tiles=24, bm=128, sort="hybrid",
+                        interpret=True)
+    assert _relerr(out, ref).mean() < 0.06

@@ -67,6 +67,10 @@ def main():
         chunk=4096,
         compute_dtype=jnp.float32,
         seed=0,
+        # bank prep (k-means + packing) is deterministic for this seed and
+        # costs minutes over the tunnel — persist it like a real serving
+        # deployment would (ops/retrieval_hier.save_hier_bank)
+        hier_cache="/tmp/range_bench_hier_cache.npz",
     )
     log(f"load_model(retrieval='hier'): {time.perf_counter() - t_build:.1f}s")
     hb = enc.extra

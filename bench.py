@@ -107,6 +107,12 @@ def main():
         f" -> {throughput:,.0f} queries/s")
 
     # ---- fidelity (the whole point: these numbers CAN be < 1) ----
+    # Machine-readable and falsifiable: the measured numbers land in the
+    # final JSON line, and `fidelity_ok` flips false when the serving
+    # recall misses the >= 0.999 bar OR the fidelity block throws — a
+    # regression can no longer hide behind a green throughput number.
+    fid = {"recall_at1": None, "feat_relerr_mean": None,
+           "feat_relerr_p99": None, "fidelity_ok": False}
     try:
         from range_tpu.geometry import lonlat_deg_to_xyz
         from range_tpu.ops.retrieval import exact_nn, retrieve as retrieve_ref
@@ -126,7 +132,8 @@ def main():
         # serving top-k endpoint (the recall-critical path)
         got = np.asarray(hier_topk(q, q_xyz, hb))  # serving default K=56
         rec_serve = float((got == true).mean())
-        log(f"recall@1 hier_topk(K=56) vs HIGHEST exact NN: {rec_serve:.4f}"
+        fid["recall_at1"] = round(rec_serve, 5)
+        log(f"recall@1 hier_topk vs HIGHEST exact NN: {rec_serve:.4f}"
             f"  (bar: >= 0.999)")
         tfn = jax.jit(lambda a, b, c: hier_topk(a, b, c))
         _ = int(tfn(q, q_xyz, hb)[0])
@@ -155,6 +162,9 @@ def main():
         hier_out = retrieve_hier(q, q_xyz, hb)
         rel = np.abs(np.asarray(hier_out) - np.asarray(ref)) / np.maximum(
             np.abs(np.asarray(ref)), 1e-1)
+        fid["feat_relerr_mean"] = round(float(rel.mean()), 5)
+        fid["feat_relerr_p99"] = round(float(np.percentile(rel, 99)), 5)
+        fid["fidelity_ok"] = bool(rec_serve >= 0.999)
         log(f"hier feature relerr vs f32-exact dense: mean {rel.mean():.4f} "
             f"p99 {np.percentile(rel, 99):.4f}")
 
@@ -170,14 +180,17 @@ def main():
         d_ms = (time.perf_counter() - t0) / iters
         log(f"dense exact path: {d_ms*1e3:.2f} ms/call -> "
             f"{BATCH/d_ms:,.0f} queries/s")
-    except Exception as e:  # diagnostics never fail the bench
-        log(f"fidelity diagnostics skipped: {e}")
+    except Exception as e:  # recorded as a fidelity FAILURE, not skipped
+        fid["fidelity_ok"] = False
+        fid["fidelity_error"] = str(e)[:200]
+        log(f"fidelity measurement FAILED (fidelity_ok=false): {e}")
 
     print(json.dumps({
         "metric": "range_plus_query_throughput",
         "value": round(throughput, 1),
         "unit": "queries/s",
         "vs_baseline": round(throughput / 1e7, 4),
+        **fid,
     }))
 
 

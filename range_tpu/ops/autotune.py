@@ -90,8 +90,14 @@ def autotune_retrieve(q_sem, q_xyz, bank, *,
         log.info("autotune: (bm=%d, bn=%d) %.3f ms", bm, bn, t * 1e3)
         if t < best_t:
             best, best_t = (bm, bn), t
-    if best is None:  # every candidate failed: fall back to safe default
-        best = (256, 1024)
+    if best is None:  # every candidate failed: fall back to safe default,
+        # with bn halved until it divides the bank rows (candidates are
+        # probed unclamped, but an undividing fallback would trip
+        # retrieve_fused's `N % bn == 0` downstream)
+        bn = 1024
+        while bn > 128 and bank.num_rows % bn != 0:
+            bn //= 2
+        best = (256, bn)
     cache[key] = best
     return best
 

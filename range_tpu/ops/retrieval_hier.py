@@ -552,6 +552,109 @@ def _hier_argmax_kernel(Dk, idx_ref, q2_ref, ql_ref, khl_ref, mask_ref,
         out_ref[:, 2:] = jnp.zeros_like(out_ref[:, 2:])
 
 
+def _hier_topk_kernel(Dk, k, idx_ref, q2_ref, ql_ref, khl_ref, mask_ref,
+                      out_ref, best_ref, bidx_ref):
+    """k-carry variant of `_hier_argmax_kernel`: running per-query top-k
+    (scores + rows) over the selected bank tiles.  The running list is
+    UNSORTED — each tile contributes its own top-k via k sequential masked
+    maxes, each inserted by replacing the list's current minimum when it
+    beats it (the invariant "holds the k best so far" survives because a
+    tile's successive maxes are non-increasing).  VPU cost is ~k
+    masked-max passes over the [bm, bn] logits per tile — small next to
+    the kernel's 3 matmuls for k <= 8.  Indices ride as f32 (N < 2^24)."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = jnp.full_like(best_ref, NEG)
+        bidx_ref[:] = jnp.zeros_like(bidx_ref)
+
+    khl = khl_ref[:]
+    bn = khl.shape[0]
+    l = jnp.dot(q2_ref[:], khl.T, preferred_element_type=jnp.float32)
+    l += jnp.dot(ql_ref[:], khl[:, :Dk].T, preferred_element_type=jnp.float32)
+    l += mask_ref[:]
+    i = pl.program_id(0)
+    row0 = (idx_ref[i, j] * bn).astype(jnp.float32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, l.shape, 1)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (l.shape[0], k), 1)
+    best = best_ref[:]
+    bidx = bidx_ref[:]
+    for _ in range(k):
+        m = jnp.max(l, axis=1, keepdims=True)  # [bm, 1]
+        amax = jnp.min(jnp.where(l >= m, iota, bn), axis=1, keepdims=True)
+        l = jnp.where(iota == amax, NEG, l)
+        cmin = jnp.min(best, axis=1, keepdims=True)  # [bm, 1]
+        cpos = jnp.min(jnp.where(best <= cmin, kiota, k), axis=1,
+                       keepdims=True)
+        put = (m > cmin) & (kiota == cpos)
+        best = jnp.where(put, m, best)
+        bidx = jnp.where(put, amax.astype(jnp.float32) + row0, bidx)
+    best_ref[:] = best
+    bidx_ref[:] = bidx
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:, :k] = best_ref[:]
+        out_ref[:, k:2 * k] = bidx_ref[:]
+        out_ref[:, 2 * k:] = jnp.zeros_like(out_ref[:, 2 * k:])
+
+
+@functools.partial(jax.jit, static_argnames=("Dk", "k", "bm", "bn",
+                                             "interpret"))
+def _hier_topk_call(q2, ql, khl, mask_neg, idx, *, Dk: int, k: int, bm: int,
+                    bn: int, interpret: bool = False
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the k-carry kernel; returns (scores [Bp, k], rows [Bp, k] int32)
+    sorted descending by score."""
+    Bp = q2.shape[0]
+    nB = Bp // bm
+    K = idx.shape[1]
+    grid = (nB, K)
+
+    def kidx(i, g, idx_):
+        return (idx_[i, g], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, 2 * Dk), lambda i, g, idx_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, Dk), lambda i, g, idx_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 2 * Dk), kidx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, g, idx_: (0, idx_[i, g]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, 128), lambda i, g, idx_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bm, k), jnp.float32),
+            pltpu.VMEM((bm, k), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_hier_topk_kernel, Dk, k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * K * bn * 3 * Dk,
+            bytes_accessed=nB * K * bn * 2 * Dk * 2 + Bp * 3 * Dk * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx, q2, ql, khl, mask_neg)
+    # sort each query's unsorted k-list descending (ties keep kernel order)
+    scores, sel = jax.lax.top_k(out[:, :k], k)
+    rows = jnp.take_along_axis(out[:, k:2 * k].astype(jnp.int32), sel, axis=1)
+    return scores, rows
+
+
 @functools.partial(jax.jit, static_argnames=("Dk", "bm", "bn", "interpret"))
 def _hier_argmax_call(q2, ql, khl, mask_neg, idx, *, Dk: int, bm: int,
                       bn: int, interpret: bool = False) -> jnp.ndarray:
@@ -600,12 +703,16 @@ def _hier_argmax_call(q2, ql, khl, mask_neg, idx, *, Dk: int, bm: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k_tiles", "bm", "tc", "j_sem", "j_geo", "mode", "sort", "interpret"))
+    "k", "k_tiles", "bm", "tc", "j_sem", "j_geo", "mode", "sort",
+    "interpret"))
 def hier_topk(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
-              *, k_tiles: int = 56, bm: int = 256, tc: int = 16,
+              *, k: int = 1, k_tiles: int = 56, bm: int = 256, tc: int = 16,
               j_sem: int = 6, j_geo: int = 2, mode: str = "range",
               sort: str = "geo", interpret: bool = False) -> jnp.ndarray:
-    """Serving top-1 retrieval: [B] int32 bank rows (hb.bank order).
+    """Serving top-k retrieval: [B] int32 bank rows for k=1 (the default),
+    [B, k] rows sorted by descending serving-tier logit for 2 <= k <= 8
+    (the k-carry kernel `_hier_topk_kernel`; rows beyond the selected
+    tiles can never appear, same selection guarantee as k=1).
 
     The recall-critical endpoint: big-K hierarchical tile selection (the
     scan's group stats; no value work) + exact semantic argmax over the
@@ -639,7 +746,7 @@ def hier_topk(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
         q_cat, hb.g_sem_cat, hb.g_geo_cat, bm=bm, tc=tc, gpt_s=gpt_s,
         gpt_g=gpt_g, interpret=interpret)
     if q_x is None:
-        home = jnp.argmax(m_s, axis=1)
+        home = _home_tile(m_s, hb.t_real)
         order = _hybrid_order(None, home, B, hb.t_pad, sort=sort)
         inv = jnp.argsort(order)
         q_cat, q2, ql = q_cat[order], q2[order], ql[order]
@@ -648,10 +755,14 @@ def hier_topk(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
     idx, _ = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
                           k_tiles=k_tiles, bm=bm, n_valid=B, j_sem=j_sem,
                           j_geo=j_geo, mode=mode)
-    out = _hier_argmax_call(q2, ql, hb.khl_sem, hb.mask_neg, idx, Dk=Dk,
-                            bm=bm, bn=hb.bn, interpret=interpret)
-    best = out[:, 1].astype(jnp.int32)
-    return best[inv[:B]] if inv is not None else best[:B]
+    if k == 1:
+        out = _hier_argmax_call(q2, ql, hb.khl_sem, hb.mask_neg, idx, Dk=Dk,
+                                bm=bm, bn=hb.bn, interpret=interpret)
+        best = out[:, 1].astype(jnp.int32)
+        return best[inv[:B]] if inv is not None else best[:B]
+    _, rows = _hier_topk_call(q2, ql, hb.khl_sem, hb.mask_neg, idx, Dk=Dk,
+                              k=k, bm=bm, bn=hb.bn, interpret=interpret)
+    return rows[inv[:B]] if inv is not None else rows[:B]
 
 
 def select_tiles(m_s, s_s, m_g, s_g, *, t_real: int, k_tiles: int, bm: int,
@@ -872,6 +983,16 @@ def _hier_parts_call(q_cat, k_cat, values, scale, mask_neg, idx,
 # the public entry points
 
 
+def _home_tile(m_s: jnp.ndarray, t_real: int) -> jnp.ndarray:
+    """Per-query hottest REAL tile from scan stats [Bp, t_pad].  Pad tiles'
+    zero centroids score logit 0 in the scan, which would win the argmax for
+    queries whose real-tile logits are all negative and hand them a phantom
+    pad-tile 'home' (degrading query-sort coherence) — mask them out."""
+    t_pad = m_s.shape[1]
+    real = jnp.arange(t_pad) < t_real
+    return jnp.argmax(jnp.where(real[None, :], m_s, -jnp.inf), axis=1)
+
+
 def _pad_queries(q_sem, q_xyz, hb: HierBank, bm: int):
     B = q_sem.shape[0]
     Bp = _round_up(B, bm)
@@ -1004,7 +1125,7 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
         m_s0, _, _, _ = _hier_scan_stats_call(
             q_cat, hb.g_sem_cat, hb.g_geo_cat, bm=bm, tc=tc, gpt_s=gpt_s,
             gpt_g=gpt_g, interpret=interpret)
-        home = jnp.argmax(m_s0, axis=1)
+        home = _home_tile(m_s0, hb.t_real)
         order = _hybrid_order(q_x, home, B, hb.t_pad, sort=sort)
         inv = jnp.argsort(order)
         q_cat = q_cat[order]
@@ -1042,7 +1163,7 @@ def hier_nn(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
         q_cat, hb.g_sem_cat, hb.g_geo_cat, hb.g_sem_vw, hb.g_geo_vw,
         bm=bm, tc=tc, gpt_s=gpt_s, gpt_g=gpt_g,
         interpret=jax.default_backend() == "cpu")
-    home = (jnp.argmax(m_s, axis=1) if (sort == "hybrid" or q_x is None)
+    home = (_home_tile(m_s, hb.t_real) if (sort == "hybrid" or q_x is None)
             else jnp.zeros(m_s.shape[0], jnp.int32))
     order = _hybrid_order(q_x, home, B, hb.t_pad, sort=sort)
     inv = jnp.argsort(order)
@@ -1080,10 +1201,48 @@ def hier_nn(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
 # device link); serving restarts load the prepacked operands in seconds.
 
 
-def save_hier_bank(hb: HierBank, path: str) -> None:
+def bank_fingerprint(bank: GeoBank) -> str:
+    """Cheap content fingerprint of a source bank: shape/validity meta plus
+    a hash of the first key rows (enough to tell two different banks apart
+    without pulling the whole array off-device)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(np.asarray(bank.keys_sem[:2]).astype(np.float32).tobytes())
+    h.update(np.asarray(bank.locs_lonlat[:2]).astype(np.float32).tobytes())
+    for n in (bank.num_rows, int(bank.n_valid), bank.value_dim,
+              bank.key_dim):
+        h.update(str(n).encode())
+    return h.hexdigest()[:16]
+
+
+def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
+                         gsz_geo: int, tier: str, seed: int,
+                         shards: int) -> dict:
+    """The identity of a `build_hier_bank` run: source bank + every build
+    parameter.  Stored in the disk cache and validated on load so a stale
+    cache (different bank or params) is rebuilt, never silently served."""
+    return {"fp": bank_fingerprint(bank), "bn": bn, "gsz_sem": gsz_sem,
+            "gsz_geo": gsz_geo, "tier": tier, "seed": seed, "shards": shards}
+
+
+def peek_hier_build(path: str) -> Optional[dict]:
+    """Read just the build signature from a `save_hier_bank` archive
+    (None for pre-signature archives)."""
+    import json
+
+    with np.load(path) as z:  # lazy: only the meta member is decompressed
+        meta = json.loads(z["meta_json"].tobytes().decode())
+    return meta.get("build")
+
+
+def save_hier_bank(hb: HierBank, path: str, build: Optional[dict] = None
+                   ) -> None:
     """Serialize a prepared HierBank to one npz (arrays + meta).
 
-    bf16 arrays are stored as uint16 bit patterns (npz has no bf16)."""
+    bf16 arrays are stored as uint16 bit patterns (npz has no bf16).
+    `build` (from `hier_build_signature`) records what the archive was built
+    from so loaders can detect staleness."""
     import json
 
     def enc(x):
@@ -1114,6 +1273,8 @@ def save_hier_bank(hb: HierBank, path: str) -> None:
     for field in ("tier", "bn", "gsz_sem", "gsz_geo", "sem_d", "cat_d",
                   "t_real", "t_pad"):
         meta[field] = getattr(hb, field)
+    if build is not None:
+        meta["build"] = build
     arrays["meta_json"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
     np.savez(path, **arrays)

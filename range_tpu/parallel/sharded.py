@@ -331,27 +331,7 @@ def sharded_retrieve_hier(
         inv = jnp.argsort(order)
         q_cat = q_cat[order]
 
-    hb_spec = jax.tree.map(lambda _: P(bank_axis, None), hb)
-    hb_spec = _dc.replace(
-        hb_spec,
-        bank=jax.tree.map(lambda _: P(), hb.bank),
-        value_scale=(P(None, bank_axis) if hb.value_scale is not None
-                     else None),
-        mask_neg=P(None, bank_axis),
-        sem_centroid=P(), geo_centroid=P(), sem_radius=P(), geo_radius=P(),
-    )
-    # the GeoBank inside is row-sharded; its specs must match shard_bank's
-    hb_spec = _dc.replace(
-        hb_spec,
-        bank=GeoBank(
-            locs_lonlat=P(bank_axis, None), xyz=P(bank_axis, None),
-            keys_sem=P(bank_axis, None), values=P(bank_axis, None),
-            n_valid=P(),
-            valid_mask=(P(bank_axis) if hb.bank.valid_mask is not None
-                        else None),
-            value_scale=(P(None, bank_axis)
-                         if hb.bank.value_scale is not None else None),
-        ))
+    hb_spec = _hier_bank_spec(hb, bank_axis)
 
     def local(q_cat_l, hb_l):
         hb_loc = _dc.replace(hb_l, t_real=t_local, t_pad=t_local)
@@ -371,4 +351,122 @@ def sharded_retrieve_hier(
     fn = shard_map(_ft.partial(local), mesh=mesh, in_specs=(P(), hb_spec),
                    out_specs=P(), check_vma=False)
     out = fn(q_cat, hb)
+    return out[inv[:B]] if inv is not None else out[:B]
+
+
+def _hier_bank_spec(hb, bank_axis: str):
+    """PartitionSpec pytree matching `shard_hier_bank`'s placements."""
+    import dataclasses as _dc
+
+    spec = jax.tree.map(lambda _: P(bank_axis, None), hb)
+    return _dc.replace(
+        spec,
+        bank=GeoBank(
+            locs_lonlat=P(bank_axis, None), xyz=P(bank_axis, None),
+            keys_sem=P(bank_axis, None), values=P(bank_axis, None),
+            n_valid=P(),
+            valid_mask=(P(bank_axis) if hb.bank.valid_mask is not None
+                        else None),
+            value_scale=(P(None, bank_axis)
+                         if hb.bank.value_scale is not None else None),
+        ),
+        value_scale=(P(None, bank_axis) if hb.value_scale is not None
+                     else None),
+        mask_neg=P(None, bank_axis),
+        sem_centroid=P(), geo_centroid=P(), sem_radius=P(), geo_radius=P(),
+    )
+
+
+def sharded_hier_topk(
+    q_sem: jnp.ndarray,
+    q_xyz: Optional[jnp.ndarray],
+    hb,
+    mesh: Mesh,
+    *,
+    k: int = 1,
+    k_tiles: int = 8,
+    bm: int = 256,
+    tc: int = 8,
+    j_sem: int = 6,
+    j_geo: int = 2,
+    sort: str = "geo",
+    bank_axis: str = "bank",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-chip serving top-k: [B] int32 rows for k=1, else [B, k].
+
+    Each shard runs the stats-only scan + tile selection + the (k-carry)
+    argmax kernel over ITS tile slab, producing per-shard (score, row)
+    lists; rows globalize by the shard's row offset and ONE `all_gather`
+    of the [B, k] score/row pair over ICI merges them — the global top-k
+    over n_shards*k candidates per query (a per-query pmax/argmax combine
+    for k=1).  `k_tiles` is PER SHARD, so n shards inspect n*k_tiles tiles
+    at single-chip per-chip cost; with k_tiles = t_pad//n_shards (every
+    tile) the result is the EXACT serving-tier top-k (tests assert this).
+
+    Queries sort geographically when `q_xyz` is given (same coherence
+    argument as `hier_topk`); without locations they go unsorted — the
+    per-shard home-tile signal cannot drive a sort that must agree across
+    shards without a replicated pre-scan."""
+    import dataclasses as _dc
+
+    from ..ops.retrieval_hier import (HierBank, _hier_scan_stats_call,
+                                      _hier_argmax_call, _hier_topk_call,
+                                      _hybrid_order, _pad_queries,
+                                      select_tiles)
+    from ..ops.retrieval_pallas import _split_hilo, pack_queries
+
+    assert isinstance(hb, HierBank), type(hb)
+    assert 1 <= k <= 8, k
+    n = mesh.shape[bank_axis]
+    t_local = hb.t_pad // n
+    assert t_local % tc == 0, (hb.t_pad, n, tc)
+    k_tiles = min(k_tiles, t_local)
+    B = q_sem.shape[0]
+    q_s, q_x = _pad_queries(q_sem, q_xyz, hb, bm)
+    q_cat = pack_queries(q_s, None, 12.0, 40.0, tier=hb.tier)
+    qh, ql = _split_hilo(q_s)
+    q2 = jnp.concatenate([qh, qh], axis=1)
+    inv = None
+    if q_x is not None:
+        order = _hybrid_order(q_x, jnp.zeros(q_cat.shape[0], jnp.int32), B,
+                              hb.t_pad, sort=sort)
+        inv = jnp.argsort(order)
+        q_cat, q2, ql = q_cat[order], q2[order], ql[order]
+    gpt_s, gpt_g = hb.bn // hb.gsz_sem, hb.bn // hb.gsz_geo
+    Dk = hb.bank.key_dim
+    hb_spec = _hier_bank_spec(hb, bank_axis)
+
+    def local(q_cat_l, q2_l, ql_l, hb_l):
+        shard = jax.lax.axis_index(bank_axis)
+        m_s, s_s, m_g, s_g = _hier_scan_stats_call(
+            q_cat_l, hb_l.g_sem_cat, hb_l.g_geo_cat, bm=bm, tc=tc,
+            gpt_s=gpt_s, gpt_g=gpt_g, interpret=interpret)
+        idx, _ = select_tiles(m_s, s_s, m_g, s_g, t_real=t_local,
+                              k_tiles=k_tiles, bm=bm, n_valid=B,
+                              j_sem=j_sem, j_geo=j_geo, mode="range")
+        row0 = (shard * t_local * hb.bn).astype(jnp.int32)
+        if k == 1:
+            out = _hier_argmax_call(q2_l, ql_l, hb_l.khl_sem, hb_l.mask_neg,
+                                    idx, Dk=Dk, bm=bm, bn=hb.bn,
+                                    interpret=interpret)
+            score, rows = out[:, 0], out[:, 1].astype(jnp.int32) + row0
+            # [n, Bp] gathered scores/rows; argmax over the shard axis
+            sc_all = jax.lax.all_gather(score, bank_axis)
+            rw_all = jax.lax.all_gather(rows, bank_axis)
+            win = jnp.argmax(sc_all, axis=0)  # ties -> lowest shard
+            return jnp.take_along_axis(rw_all, win[None, :], axis=0)[0]
+        score, rows = _hier_topk_call(q2_l, ql_l, hb_l.khl_sem,
+                                      hb_l.mask_neg, idx, Dk=Dk, k=k, bm=bm,
+                                      bn=hb.bn, interpret=interpret)
+        rows = rows + row0
+        sc_all = jax.lax.all_gather(score, bank_axis, axis=1,
+                                    tiled=True)  # [Bp, n*k]
+        rw_all = jax.lax.all_gather(rows, bank_axis, axis=1, tiled=True)
+        _, sel = jax.lax.top_k(sc_all, k)
+        return jnp.take_along_axis(rw_all, sel, axis=1)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(), P(), hb_spec),
+                   out_specs=P(), check_vma=False)
+    out = fn(q_cat, q2, ql, hb)
     return out[inv[:B]] if inv is not None else out[:B]

@@ -168,6 +168,8 @@ class TopkRunner:
         return self.max_batch
 
     def _ids(self, coords: np.ndarray) -> np.ndarray:
+        import jax
+
         from .geometry import lonlat_deg_to_xyz
 
         enc = self.encoder
@@ -176,7 +178,11 @@ class TopkRunner:
         if self.hier:
             from .ops.retrieval_hier import hier_topk
 
-            return np.asarray(hier_topk(q, lonlat_deg_to_xyz(c), enc.extra))
+            # interpret off-TPU, like every other hier call site — without
+            # it `--retrieval hier` would 500 on CPU/GPU backends
+            return np.asarray(hier_topk(
+                q, lonlat_deg_to_xyz(c), enc.extra,
+                interpret=jax.default_backend() != "tpu"))
         from .ops.topk import topk_packed
 
         return np.asarray(topk_packed(q, self.bank, k=1, tier="high")[1][:, 0])
@@ -189,7 +195,12 @@ class TopkRunner:
             b = self._bucket(chunk.shape[0])
             pad = b - chunk.shape[0]
             if pad:
-                chunk = np.pad(chunk, ((0, pad), (0, 0)))
+                # pad by REPEATING the last real coordinate: (0, 0)-padded
+                # rows would be treated as valid queries, join the query
+                # tiles, and burn hier_topk's k_tiles selection budget on
+                # the gulf of Guinea, skewing recall for real queries there
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0)
             ids = self._ids(chunk)
             out.append(ids[: b - pad] if pad else ids)
         ids = np.concatenate(out)[:n]

@@ -196,3 +196,42 @@ def test_load_model_mesh_hier_serving():
         np.abs(expect[:, :32]), 1e-1)
     assert rel.mean() < 0.15, rel.mean()
     np.testing.assert_allclose(got[:, 32:], expect[:, 32:], atol=1e-5)
+
+
+def test_hier_cache_fingerprint_invalidation(tmp_path):
+    """A hier_cache built with different params (or a different bank) is
+    detected via the stored build signature and rebuilt, not silently
+    served (advisor r2, api.py hier_cache trust-on-path-alone)."""
+    from range_tpu.ops.retrieval_hier import HierBank, peek_hier_build
+
+    cache = str(tmp_path / "hier.npz")
+    bank = GeoBank.synthetic_informative(2, 3000, key_dim=256, value_dim=32,
+                                         pad_to=512)
+    enc = range_tpu.load_model("RANGE+", db_path=bank, retrieval="hier",
+                               hier_bn=128, gsz_geo=16, chunk=512, seed=0,
+                               hier_cache=cache)
+    sig = peek_hier_build(cache)
+    assert sig is not None and sig["bn"] == 128 and sig["seed"] == 0
+
+    # same request -> cache hit (same signature, same operands)
+    enc2 = range_tpu.load_model("RANGE+", db_path=bank, retrieval="hier",
+                                hier_bn=128, gsz_geo=16, chunk=512, seed=0,
+                                hier_cache=cache)
+    np.testing.assert_array_equal(np.asarray(enc2.extra.k_cat),
+                                  np.asarray(enc.extra.k_cat))
+
+    # different build params -> stale cache rebuilt with the new params
+    enc3 = range_tpu.load_model("RANGE+", db_path=bank, retrieval="hier",
+                                hier_bn=128, gsz_geo=8, chunk=512, seed=0,
+                                hier_cache=cache)
+    assert isinstance(enc3.extra, HierBank)
+    assert enc3.extra.gsz_geo == 8
+    assert peek_hier_build(cache)["gsz_geo"] == 8
+
+    # different source bank, same params -> fingerprint mismatch, rebuilt
+    bank2 = GeoBank.synthetic_informative(7, 3000, key_dim=256, value_dim=32,
+                                          pad_to=512)
+    range_tpu.load_model("RANGE+", db_path=bank2, retrieval="hier",
+                         hier_bn=128, gsz_geo=8, chunk=512, seed=0,
+                         hier_cache=cache)
+    assert peek_hier_build(cache)["fp"] != sig["fp"]

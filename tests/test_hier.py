@@ -236,3 +236,30 @@ def test_hier_hybrid_sort_mode(bank, hb, queries):
     out = retrieve_hier(q, qx, hb, k_tiles=24, bm=128, sort="hybrid",
                         interpret=True)
     assert _relerr(out, ref).mean() < 0.06
+
+
+def test_hier_topk_k_matches_dense_topk(bank, hb):
+    """k-carry kernel (k > 1): with every tile selected the top-k rows must
+    equal the dense HIGHEST-precision top-k over the bank's semantic keys
+    (order included — logits are continuous, ties vanish)."""
+    from range_tpu.ops.retrieval_hier import hier_topk
+    from range_tpu.ops.topk import topk_sem
+
+    q, q_xyz = _make_queries(bank, regional=False, B=256, seed=9)
+    k = 4
+    _, true_k = topk_sem(q, hb.bank, k=k, chunk=PAD)
+    got = np.asarray(hier_topk(q, q_xyz, hb, k=k, k_tiles=hb.t_real, bm=128,
+                               interpret=True))
+    assert got.shape == (256, k)
+    # row-for-row (rank-sensitive) agreement
+    agree = (got == np.asarray(true_k)).mean()
+    assert agree >= 0.99, agree
+    # serving config: selection budget < T, coherent batch
+    qr, qr_xyz = _make_queries(bank, regional=True, B=256, seed=10)
+    _, true_rk = topk_sem(qr, hb.bank, k=k, chunk=PAD)
+    got_r = np.asarray(hier_topk(qr, qr_xyz, hb, k=k, k_tiles=24, bm=128,
+                                 interpret=True))
+    # recall@k: fraction of true top-k rows recovered anywhere in the list
+    hits = np.mean([np.isin(t, g).mean() for t, g in
+                    zip(np.asarray(true_rk), got_r)])
+    assert hits >= 0.9, hits

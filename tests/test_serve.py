@@ -130,3 +130,27 @@ def test_topk_endpoint():
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(req, timeout=60)
         assert e.value.code == 400
+
+
+def test_topk_runner_hier_on_cpu_pads_coherently():
+    """A hier-serving TopkRunner must (a) run off-TPU via the interpret
+    fallback instead of 500ing, and (b) bucket-pad requests by repeating
+    the last real coordinate — (0, 0) pads would be treated as valid
+    queries and burn the k_tiles selection budget (advisor r2)."""
+    from range_tpu.bank.bank import GeoBank
+    from range_tpu.ops.retrieval import exact_nn
+    from range_tpu.serve import TopkRunner
+    import jax.numpy as jnp
+
+    bank = GeoBank.synthetic_informative(4, 3000, key_dim=256, value_dim=32,
+                                         pad_to=512)
+    enc = range_tpu.load_model("RANGE+", db_path=bank, retrieval="hier",
+                               hier_bn=128, gsz_geo=16, chunk=512, seed=0)
+    runner = TopkRunner(enc, buckets=[8], max_batch=8)
+    assert runner.hier
+    coords = _rand_coords(5, seed=13)  # 5 -> padded to bucket 8
+    out = runner(coords)
+    assert len(out["ids"]) == 5 and len(out["locs"]) == 5
+    q = enc.model.query_embedding(enc.params, jnp.asarray(coords))
+    true = np.asarray(exact_nn(q, enc.extra.bank, chunk=512))
+    assert (np.asarray(out["ids"]) == true).mean() >= 0.8

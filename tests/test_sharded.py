@@ -262,3 +262,52 @@ def test_sharded_hier_partial_selection_close():
         tc=min(8, t_local), interpret=True))
     rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-1)
     assert rel.mean() < 0.05, rel.mean()
+
+
+def test_sharded_hier_topk_exact_and_k():
+    """sharded_hier_topk with every local tile selected equals single-device
+    hier_topk (k=1: the pmax/argmax combine; k=4: the all_gather + global
+    top-k merge) — per VERDICT r2 item 3."""
+    from range_tpu.ops.retrieval import exact_nn
+    from range_tpu.ops.retrieval_hier import build_hier_bank, hier_topk
+    from range_tpu.ops.topk import topk_sem
+    from range_tpu.parallel.sharded import (shard_hier_bank,
+                                            sharded_hier_topk)
+    from range_tpu.bank.bank import GeoBank
+    import sys
+    sys.path.insert(0, "tests")
+    from test_hier import _make_queries
+
+    bank = GeoBank.synthetic_informative(0, 6000, pad_to=512)
+    hb = build_hier_bank(bank, bn=128, gsz_sem=8, gsz_geo=16, tier="exact",
+                         value_dtype=jnp.float32, shards=8)
+    mesh = make_mesh((8,), ("bank",))
+    shb = shard_hier_bank(hb, mesh)
+    t_local = hb.t_pad // 8
+
+    q, q_xyz = _make_queries(bank, regional=False, B=256, seed=11)
+    true = np.asarray(exact_nn(q, hb.bank, chunk=512))
+    got1 = np.asarray(sharded_hier_topk(
+        q, q_xyz, shb, mesh, k=1, k_tiles=t_local, bm=128,
+        tc=min(8, t_local), interpret=True))
+    assert got1.shape == (256,)
+    assert (got1 == true).mean() >= 0.995, (got1 != true).sum()
+
+    k = 4
+    _, true_k = topk_sem(q, hb.bank, k=k, chunk=512)
+    gotk = np.asarray(sharded_hier_topk(
+        q, q_xyz, shb, mesh, k=k, k_tiles=t_local, bm=128,
+        tc=min(8, t_local), interpret=True))
+    assert gotk.shape == (256, k)
+    assert (gotk == np.asarray(true_k)).mean() >= 0.99
+
+    # partial per-shard selection in the coherent regime stays high-recall
+    qr, qr_xyz = _make_queries(bank, regional=True, B=256, seed=12)
+    true_r = np.asarray(exact_nn(qr, hb.bank, chunk=512))
+    # per-shard budget 3/4 of the local slab (at this toy scale each
+    # shard owns only ~6 real tiles, so a halved budget cuts hot tiles
+    # a real bank's selection would keep; bench.py measures real scale)
+    got_p = np.asarray(sharded_hier_topk(
+        qr, qr_xyz, shb, mesh, k=1, k_tiles=max(2, t_local * 3 // 4),
+        bm=128, tc=min(8, t_local), interpret=True))
+    assert (got_p == true_r).mean() >= 0.95, (got_p != true_r).sum()

@@ -277,3 +277,52 @@ def test_parse_args_accepts_reference_run_script():
     assert p["do_unsuper_train"] is True and p["meta_type"] == ""
     _, _, recipe = ta.build(args)
     assert recipe.lr == 0.00005 and recipe.epochs == 300
+
+
+def test_csp_analysis_report_end_to_end(tmp_path):
+    """VERDICT r2 #8: one call goes trained CSP model -> prediction map
+    (with mask + gt scatter) AND encoder -> embedding cluster map, both
+    rendered to disk (`csp/main/analysis.py:605-761` counterpart)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from range_tpu.models.csp import CspConfig, CspLocationEncoder
+    from range_tpu.train.csp import CspTrainConfig, CspTrainer, make_train_step
+    from range_tpu.eval.analysis_driver import csp_analysis_report
+
+    enc = CspLocationEncoder(CspConfig(spa_enc_type="gridcell", num_filts=16,
+                                       num_classes=4, frequency_num=4,
+                                       hidden_dim=32, dropout=0.1))
+    trainer = CspTrainer(enc, CspTrainConfig(unsuper_loss="contsoftmax",
+                                             cnn_feat_dim=24))
+    params = trainer.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    step = jax.jit(make_train_step(trainer, opt))
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(0)
+    locs = np.stack([rng.uniform(-180, 180, 64), rng.uniform(-90, 90, 64)],
+                    1).astype(np.float32)
+    batch = {"loc_feat": jnp.asarray(locs),
+             "cnn_features": jnp.asarray(
+                 rng.standard_normal((64, 24)), jnp.float32)}
+    for _ in range(3):
+        params, opt_state, _ = step(params, opt_state, batch,
+                                    jax.random.PRNGKey(1))
+
+    grid_shape = (24, 48)
+    mask = np.ones(grid_shape, np.float32)
+    mask[:4] = 0  # fake "ocean" band exercises the masking path
+    classes_tr = rng.integers(0, 4, 64)
+    report = csp_analysis_report(
+        enc, params, out_dir=str(tmp_path), classes=(0, 2),
+        dataset="toy", mask=mask, grid_shape=grid_shape, n_clusters=4,
+        cluster_step=15.0, train_locs=locs, train_classes=classes_tr,
+        batch_size=256)
+    assert len(report["prediction_maps"]) == 2
+    import os
+    for p in report["prediction_maps"] + [report["cluster_map"]]:
+        assert os.path.exists(p) and os.path.getsize(p) > 0, p
+    # gt scatter rendered alongside each prediction map
+    scatters = [f for f in os.listdir(tmp_path) if f.endswith("_locs.jpg")]
+    assert len(scatters) == 2

@@ -138,13 +138,18 @@ class DynamicBatcher:
 
 
 class TopkRunner:
-    """Nearest-bank-row serving (`POST /topk`): the recall-critical endpoint.
+    """Nearest-bank-row serving (`POST /topk`, optional `"k"` 1..8): the
+    recall-critical endpoint.
 
     Routes to `ops.retrieval_hier.hier_topk` when the encoder serves a
-    prepared HierBank (recall@1 >= 0.999 measured, bench.py), else to the
-    dense hi/lo tier-matched `ops.topk.topk_packed`.  Returns bank row ids
-    and their (lon, lat).  Request sizes are bucket-padded like embeddings.
+    prepared HierBank (recall@1 >= 0.999 measured, bench.py) — via
+    `parallel.sharded_hier_topk` when the encoder runs on a mesh — else to
+    the dense hi/lo tier-matched `ops.topk.topk_packed`.  Returns bank row
+    ids ([B] for k=1, [B, k] otherwise) and their (lon, lat).  Request
+    sizes are bucket-padded like embeddings.
     """
+
+    MAX_K = 8  # the k-carry kernel's bound (ops/retrieval_hier.py)
 
     def __init__(self, encoder, buckets: Optional[Sequence[int]] = None,
                  max_batch: int = 4096):
@@ -156,6 +161,9 @@ class TopkRunner:
         extra = getattr(encoder, "extra", None)
         self.hier = isinstance(extra, HierBank)
         self.bank = extra.bank if self.hier else extra
+        cfg = getattr(getattr(encoder, "model", None), "config", None)
+        self.mesh = getattr(cfg, "mesh", None)
+        self.bank_axis = getattr(cfg, "bank_axis", "bank")
         if self.bank is None or not hasattr(encoder, "model") \
                 or not hasattr(encoder.model, "query_embedding"):
             raise ValueError("topk serving needs a RANGE-family encoder "
@@ -167,7 +175,7 @@ class TopkRunner:
                 return b
         return self.max_batch
 
-    def _ids(self, coords: np.ndarray) -> np.ndarray:
+    def _ids(self, coords: np.ndarray, k: int) -> np.ndarray:
         import jax
 
         from .geometry import lonlat_deg_to_xyz
@@ -176,18 +184,28 @@ class TopkRunner:
         c = jnp.asarray(coords, jnp.float32)
         q = enc.model.query_embedding(enc.params, c)
         if self.hier:
-            from .ops.retrieval_hier import hier_topk
-
             # interpret off-TPU, like every other hier call site — without
             # it `--retrieval hier` would 500 on CPU/GPU backends
+            interpret = jax.default_backend() != "tpu"
+            if self.mesh is not None:
+                from .parallel.sharded import sharded_hier_topk
+
+                return np.asarray(sharded_hier_topk(
+                    q, lonlat_deg_to_xyz(c), enc.extra, self.mesh, k=k,
+                    bank_axis=self.bank_axis, interpret=interpret))
+            from .ops.retrieval_hier import hier_topk
+
             return np.asarray(hier_topk(
-                q, lonlat_deg_to_xyz(c), enc.extra,
-                interpret=jax.default_backend() != "tpu"))
+                q, lonlat_deg_to_xyz(c), enc.extra, k=k,
+                interpret=interpret))
         from .ops.topk import topk_packed
 
-        return np.asarray(topk_packed(q, self.bank, k=1, tier="high")[1][:, 0])
+        ids = np.asarray(topk_packed(q, self.bank, k=k, tier="high")[1])
+        return ids[:, 0] if k == 1 else ids
 
-    def __call__(self, coords: np.ndarray) -> dict:
+    def __call__(self, coords: np.ndarray, k: int = 1) -> dict:
+        if not 1 <= k <= self.MAX_K:
+            raise ValueError(f"k must be in [1, {self.MAX_K}], got {k}")
         n = coords.shape[0]
         out = []
         for lo in range(0, n, self.max_batch):
@@ -201,7 +219,7 @@ class TopkRunner:
                 # the gulf of Guinea, skewing recall for real queries there
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0)
-            ids = self._ids(chunk)
+            ids = self._ids(chunk, k)
             out.append(ids[: b - pad] if pad else ids)
         ids = np.concatenate(out)[:n]
         locs = np.asarray(self.bank.locs_lonlat)[ids]
@@ -237,6 +255,10 @@ def make_handler(batcher: DynamicBatcher, encoder_name: str,
                 coords = np.asarray(req["coords"], np.float32)
                 if coords.ndim != 2 or coords.shape[-1] != 2:
                     raise ValueError("coords must be [[lon, lat], ...]")
+                k = int(req.get("k", 1))
+                if topk is not None and not 1 <= k <= topk.MAX_K:
+                    raise ValueError(
+                        f"k must be in [1, {topk.MAX_K}], got {k}")
             except (ValueError, KeyError, json.JSONDecodeError) as e:
                 return self._reply(400, {"error": str(e)})
             if self.path == "/topk":
@@ -245,7 +267,7 @@ def make_handler(batcher: DynamicBatcher, encoder_name: str,
                                              "RANGE-family encoder with a "
                                              "retrieval bank"})
                 try:
-                    return self._reply(200, topk(coords))
+                    return self._reply(200, topk(coords, k=k))
                 except Exception as e:
                     return self._reply(500, {"error": str(e)})
             try:

@@ -154,3 +154,66 @@ def test_topk_runner_hier_on_cpu_pads_coherently():
     q = enc.model.query_embedding(enc.params, jnp.asarray(coords))
     true = np.asarray(exact_nn(q, enc.extra.bank, chunk=512))
     assert (np.asarray(out["ids"]) == true).mean() >= 0.8
+
+
+def test_topk_k_and_mesh_serving():
+    """k > 1 rides the k-carry kernel through TopkRunner, the /topk body
+    accepts `"k"` (rejecting k > MAX_K with a 400), and a mesh-backed hier
+    encoder routes through sharded_hier_topk (VERDICT r2 #3)."""
+    from range_tpu.bank.bank import GeoBank
+    from range_tpu.ops.topk import topk_sem
+    from range_tpu.parallel.mesh import make_mesh
+    from range_tpu.serve import TopkRunner
+    import jax.numpy as jnp
+
+    bank = GeoBank.synthetic_informative(4, 3000, key_dim=256, value_dim=32,
+                                         pad_to=512)
+    enc = range_tpu.load_model("RANGE+", db_path=bank, retrieval="hier",
+                               hier_bn=128, gsz_geo=16, chunk=512, seed=0)
+    runner = TopkRunner(enc, buckets=[16], max_batch=16)
+    coords = _rand_coords(10, seed=21)
+    out = runner(coords, k=4)
+    ids = np.asarray(out["ids"])
+    assert ids.shape == (10, 4) and np.asarray(out["locs"]).shape == (10, 4, 2)
+    q = enc.model.query_embedding(enc.params, jnp.asarray(coords))
+    _, true4 = topk_sem(q, enc.extra.bank, k=4, chunk=512)
+    hits = np.mean([np.isin(t, g).mean()
+                    for t, g in zip(np.asarray(true4), ids)])
+    assert hits >= 0.7, hits
+    with pytest.raises(ValueError):
+        runner(coords, k=9)
+
+    # mesh-backed hier encoder -> sharded_hier_topk path
+    mesh = make_mesh((8,), ("bank",))
+    enc_m = range_tpu.load_model("RANGE+", db_path=bank, retrieval="hier",
+                                 hier_bn=128, gsz_geo=16, chunk=512, seed=0,
+                                 mesh=mesh)
+    runner_m = TopkRunner(enc_m, buckets=[16], max_batch=16)
+    assert runner_m.mesh is mesh
+    out_m = runner_m(coords, k=1)
+    assert len(out_m["ids"]) == 10
+    # ground truth in the MESH build's own row order (shards>1 interleaves
+    # tiles round-robin, so rows differ from the single-device build)
+    q_m = enc_m.model.query_embedding(enc_m.params, jnp.asarray(coords))
+    _, true_m = topk_sem(q_m, enc_m.extra.bank, k=1, chunk=512)
+    assert (np.asarray(out_m["ids"]) == np.asarray(true_m)[:, 0]).mean() \
+        >= 0.7
+
+    # HTTP surface: k in the body; k > MAX_K -> 400
+    from range_tpu.serve import EmbeddingServer
+    with EmbeddingServer(enc, port=0, buckets=[16], max_batch=16,
+                         warmup=False) as srv:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/topk",
+            data=json.dumps({"coords": coords.tolist(), "k": 3}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            got = json.loads(resp.read())
+        assert np.asarray(got["ids"]).shape == (10, 3)
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/topk",
+            data=json.dumps({"coords": coords.tolist(), "k": 99}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=60)
+        assert e.value.code == 400

@@ -144,3 +144,92 @@ def retrieve_autotuned(q_sem, q_xyz, bank, **kwargs):
     # the tuned shape was proven feasible by the compiler — don't re-clamp
     return retrieve_pallas(q_sem, q_xyz, bank, bm=bm, bn=bn, pick_bn=False,
                            **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# hier-pipeline knob tuner
+
+# (n_queries_bucket, N, bn, gsz_sem, gsz_geo, tier, mode) -> (bm, tc)
+_HIER_CACHE: Dict[Tuple, Tuple[int, int]] = {}
+
+# bm x tc grid: bm >= 128 (transposed scan blocks need 128 query lanes),
+# tc must divide t_pad (build pads to a multiple of 32, so 8/16/32 all
+# divide); tc=32 doubles the scan's tile block and halves grid steps —
+# historically a flaky compile, which is exactly why it goes through the
+# compiler oracle here instead of being hand-blessed
+DEFAULT_HIER_CANDIDATES: Sequence[Tuple[int, int]] = (
+    (256, 16),  # the calibrated default
+    (256, 32),
+    (256, 8),
+    (512, 16),
+    (512, 32),
+    (128, 16),
+)
+
+
+def _hier_geometry_key(q_sem, hb, mode: str) -> Tuple:
+    qb = 1 << max(8, (q_sem.shape[0] - 1).bit_length())
+    return (qb, hb.k_cat.shape[0], hb.bn, hb.gsz_sem, hb.gsz_geo, hb.tier,
+            mode)
+
+
+def autotune_hier(q_sem, q_xyz, hb, *,
+                  sem_temp: float = 12.0, geo_temp: float = 40.0,
+                  beta: float = 0.5, mode: str = "range+",
+                  k_tiles: int = 16, j_sem: int = 2, j_geo: int = 2,
+                  candidates: Sequence[Tuple[int, int]] = DEFAULT_HIER_CANDIDATES,
+                  repeats: int = 3, cache: Optional[Dict] = None,
+                  interpret: bool = False) -> Tuple[int, int]:
+    """Fastest (bm, tc) for the hier pipeline at this problem geometry —
+    the same compile-oracle probe as `autotune_retrieve` (Mosaic's own
+    scoped-vmem accounting decides feasibility; OOM candidates are skipped,
+    timed survivors race).  `k_tiles`/`j_*` are FIDELITY knobs, not tuned
+    here: they change recall, so picking them by wall clock alone would
+    silently trade accuracy for speed — bench.py measures that frontier.
+
+    Every tc candidate divides the build's t_pad (padded to a multiple of
+    TC=32 at build, retrieval_hier.py); bm=128 stays reachable for
+    small-batch coherence."""
+    import functools
+
+    from .retrieval_hier import retrieve_hier
+
+    cache = _HIER_CACHE if cache is None else cache
+    key = _hier_geometry_key(q_sem, hb, mode)
+    if key in cache:
+        return cache[key]
+
+    best, best_t = None, float("inf")
+    for bm, tc in candidates:
+        if hb.t_pad % tc != 0:
+            continue
+        if bm > q_sem.shape[0] and best is not None:
+            continue
+        fn = jax.jit(functools.partial(
+            retrieve_hier, sem_temp=sem_temp, geo_temp=geo_temp, beta=beta,
+            mode=mode, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
+            j_geo=j_geo, interpret=interpret))
+        try:
+            float(jnp.sum(fn(q_sem, q_xyz, hb)))  # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(repeats):
+                out = fn(q_sem, q_xyz, hb)
+            float(jnp.sum(out))
+            t = (time.perf_counter() - t0) / repeats
+        except Exception as err:
+            if _is_oom(err):
+                log.info("autotune_hier: (bm=%d, tc=%d) OOM, skipped", bm, tc)
+                continue
+            log.warning("autotune_hier: (bm=%d, tc=%d) failed: %s",
+                        bm, tc, err)
+            continue
+        log.info("autotune_hier: (bm=%d, tc=%d) %.3f ms", bm, tc, t * 1e3)
+        if t < best_t:
+            best, best_t = (bm, tc), t
+    if best is None:
+        tc = 16
+        while tc > 1 and hb.t_pad % tc != 0:
+            tc //= 2
+        best = (256, tc)
+    cache[key] = best
+    return best

@@ -82,3 +82,32 @@ def test_retrieve_autotuned_matches_exact(problem):
                                    rtol=2e-5, atol=2e-5)
     finally:
         autotune._CACHE.clear()
+
+
+def test_autotune_hier_picks_and_caches():
+    """autotune_hier probes (bm, tc) candidates through the compiler oracle,
+    returns a feasible pair, and caches per geometry (VERDICT r2 #5)."""
+    import jax.numpy as jnp
+    from range_tpu.bank.bank import GeoBank
+    from range_tpu.ops.autotune import autotune_hier
+    from range_tpu.ops.retrieval_hier import build_hier_bank
+
+    bank = GeoBank.synthetic_informative(0, 3000, pad_to=512)
+    hb = build_hier_bank(bank, bn=128, gsz_sem=8, gsz_geo=16, tier="exact",
+                         value_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((256, 256)).astype(np.float32)
+    q = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
+    q_xyz = jnp.asarray(rng.standard_normal((256, 3)).astype(np.float32))
+    q_xyz = q_xyz / jnp.linalg.norm(q_xyz, axis=1, keepdims=True)
+
+    cache = {}
+    # tiny candidate list keeps the CPU interpret probe fast
+    cands = ((128, 8), (128, 16))
+    bm, tc = autotune_hier(q, q_xyz, hb, candidates=cands, repeats=1,
+                           cache=cache, interpret=True)
+    assert (bm, tc) in cands and hb.t_pad % tc == 0
+    assert len(cache) == 1
+    # second call is a pure cache hit (same geometry key)
+    assert autotune_hier(q, q_xyz, hb, candidates=(), cache=cache,
+                         interpret=True) == (bm, tc)

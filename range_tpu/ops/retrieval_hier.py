@@ -116,10 +116,16 @@ class HierBank:
     g_sem_vw: jnp.ndarray
     g_geo_vw: jnp.ndarray
     khl_sem: Optional[jnp.ndarray] = None
+    # two-level tail (build_hier_bank(gsz_super=...)): packed SUPERGROUP
+    # centroids/value-sums at gsz_super granularity, nested over the fine
+    # sem groups (each gsz_super window = gsz_super/gsz_sem fine groups)
+    g_sup_cat: Optional[jnp.ndarray] = None
+    g_sup_vw: Optional[jnp.ndarray] = None
     tier: str = "fast"
     bn: int = 512
     gsz_sem: int = 8
     gsz_geo: int = 64
+    gsz_super: int = 0
     sem_d: int = 256
     cat_d: int = 384
     t_real: int = 0
@@ -138,18 +144,27 @@ jax.tree_util.register_dataclass(
     HierBank,
     data_fields=["bank", "k_cat", "values", "value_scale", "mask_neg",
                  "sem_centroid", "geo_centroid", "sem_radius", "geo_radius",
-                 "g_sem_cat", "g_geo_cat", "g_sem_vw", "g_geo_vw", "khl_sem"],
-    meta_fields=["tier", "bn", "gsz_sem", "gsz_geo", "sem_d", "cat_d",
-                 "t_real", "t_pad"],
+                 "g_sem_cat", "g_geo_cat", "g_sem_vw", "g_geo_vw", "khl_sem",
+                 "g_sup_cat", "g_sup_vw"],
+    meta_fields=["tier", "bn", "gsz_sem", "gsz_geo", "gsz_super", "sem_d",
+                 "cat_d", "t_real", "t_pad"],
 )
 
 
 def _order_rows_within_tiles(keys: jnp.ndarray, valid: jnp.ndarray, bn: int,
-                             n_groups: int, seed: int) -> np.ndarray:
+                             n_groups: int, seed: int,
+                             n_super: int = 0) -> np.ndarray:
     """Permutation [N] that reorders rows WITHIN each bn-row tile so rows
     with similar keys are consecutive: per-tile k-means in key space
     (vmapped Lloyd on device), rows sorted by cluster label, invalid rows
-    last.  Tile membership is untouched, so tile stats/masks stay valid."""
+    last.  Tile membership is untouched, so tile stats/masks stay valid.
+
+    `n_super > 0` makes the ordering HIERARCHICAL: a second (tiny) k-means
+    clusters the n_groups fine CENTROIDS into n_super superclusters, and
+    rows sort by (supercluster, fine cluster) — so gsz_super-row windows
+    are key-coherent supergroups whose nested gsz-row windows are the same
+    fine groups a flat ordering would give.  This is the layout the
+    two-level scan (coarse supergroup tail + fine refinement) rides."""
     from .kmeans import kmeans
 
     N = keys.shape[0]
@@ -158,22 +173,36 @@ def _order_rows_within_tiles(keys: jnp.ndarray, valid: jnp.ndarray, bn: int,
     vs = valid.reshape(T, bn)
     tile_keys = jax.random.split(jax.random.PRNGKey(seed), T)
     stride = bn // n_groups
-    _, assign = jax.vmap(
+    cent, assign = jax.vmap(
         # strided-row seeding skips the k-means++ sequential scan (rows are
         # already in geographic-cluster order, so strides are diverse)
         lambda k, p, v: kmeans(k, p, n_groups, iters=6, valid=v,
                                init_points=p[::stride])
-    )(tile_keys, ks, vs)  # [T, bn]
+    )(tile_keys, ks, vs)  # [T, n_groups, Dk], [T, bn]
     assign = np.asarray(assign)
     vn = np.asarray(vs)
+    if n_super:
+        sup_keys = jax.random.split(jax.random.PRNGKey(seed + 101), T)
+        _, sup_of_fine = jax.vmap(
+            lambda k, c: kmeans(k, c, n_super, iters=6,
+                                init_points=c[:: n_groups // n_super])
+        )(sup_keys, cent)  # [T, n_groups]
+        sup_of_fine = np.asarray(sup_of_fine)
+        sup = np.take_along_axis(sup_of_fine, assign, axis=1)  # [T, bn]
+        label = sup * n_groups + assign
+        n_labels = n_super * n_groups
+    else:
+        label = assign
+        n_labels = n_groups
     # sort key: cluster label, invalid rows pushed past every label
-    sort_key = assign + (1.0 - vn) * (n_groups + 1)
+    sort_key = label + (1.0 - vn) * (n_labels + 1)
     order = np.argsort(sort_key, axis=1, kind="stable")  # [T, bn]
     return (order + (np.arange(T) * bn)[:, None]).reshape(-1)
 
 
 def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
-                    gsz_geo: int = 64, tier: str = "fast",
+                    gsz_geo: int = 64, gsz_super: int = 0,
+                    tier: str = "fast",
                     n_clusters: Optional[int] = None, iters: int = 8,
                     seed: int = 0, value_dtype=None,
                     shards: int = 1) -> HierBank:
@@ -195,11 +224,16 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
     # group blocks enter Pallas kernels as (bn/gsz, cat_d) tiles whose
     # sublane dim must be >= 8 (Mosaic block-shape rule)
     assert bn // gsz_sem >= 8 and bn // gsz_geo >= 8, (bn, gsz_sem, gsz_geo)
+    if gsz_super:
+        assert (bn % gsz_super == 0 and gsz_super % gsz_sem == 0
+                and bn // gsz_super >= 8), (bn, gsz_super, gsz_sem)
     cbank, _ = cluster_bank(bank, bn=bn, n_clusters=n_clusters, iters=iters,
                             seed=seed, pack="dense")
     # reorder rows within each tile so gsz_sem-row windows are key-coherent
-    perm = _order_rows_within_tiles(cbank.keys_sem, cbank.row_mask(), bn,
-                                    bn // gsz_sem, seed + 1)
+    # (and, with gsz_super, nested inside key-coherent supergroup windows)
+    perm = _order_rows_within_tiles(
+        cbank.keys_sem, cbank.row_mask(), bn, bn // gsz_sem, seed + 1,
+        n_super=bn // gsz_super if gsz_super else 0)
 
     def take(x):
         return x[perm] if x is not None else None
@@ -311,12 +345,14 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         vals_f32 = dequantize_values(cbank) * mask[:, None]
         g_s = group_ops(cbank.keys_sem, vals_f32, mask, gsz_sem, geo=False)
         g_g = group_ops(cbank.xyz, vals_f32, mask, gsz_geo, geo=True)
+        g_sup = (group_ops(cbank.keys_sem, vals_f32, mask, gsz_super,
+                           geo=False) if gsz_super else (None, None))
         kh, kl = _split_hilo(cbank.keys_sem.astype(jnp.float32))
         khl = jnp.concatenate([kh, kl], axis=1)  # [N, 2*Dk] bf16
-        return k_cat, mask_neg, g_s, g_g, khl
+        return k_cat, mask_neg, g_s, g_g, g_sup, khl
 
     (k_cat, mask_neg, (g_sem_cat, g_sem_vw), (g_geo_cat, g_geo_vw),
-     khl_sem) = prep(cbank)
+     (g_sup_cat, g_sup_vw), khl_sem) = prep(cbank)
     if cbank.value_scale is not None:
         values, scale = cbank.values, cbank.value_scale.astype(jnp.float32)
     elif value_dtype is not None:
@@ -333,8 +369,9 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         geo_radius=stats.geo_radius.astype(jnp.float32),
         g_sem_cat=g_sem_cat, g_geo_cat=g_geo_cat,
         g_sem_vw=g_sem_vw, g_geo_vw=g_geo_vw, khl_sem=khl_sem,
+        g_sup_cat=g_sup_cat, g_sup_vw=g_sup_vw,
         tier=tier, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
-        sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
+        gsz_super=gsz_super, sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
     )
 
 
@@ -703,10 +740,11 @@ def _hier_argmax_call(q2, ql, khl, mask_neg, idx, *, Dk: int, bm: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "k_tiles", "bm", "tc", "j_sem", "j_geo", "mode", "sort",
+    "k", "k_tiles", "m_tiles", "bm", "tc", "j_sem", "j_geo", "mode", "sort",
     "interpret"))
 def hier_topk(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
-              *, k: int = 1, k_tiles: int = 56, bm: int = 256, tc: int = 16,
+              *, k: int = 1, k_tiles: int = 56,
+              m_tiles: Optional[int] = None, bm: int = 256, tc: int = 16,
               j_sem: int = 6, j_geo: int = 2, mode: str = "range",
               sort: str = "geo", interpret: bool = False) -> jnp.ndarray:
     """Serving top-k retrieval: [B] int32 bank rows for k=1 (the default),
@@ -736,15 +774,21 @@ def hier_topk(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
     qh, ql = _split_hilo(q_s)
     q2 = jnp.concatenate([qh, qh], axis=1)  # [Bp, 2*Dk]
 
+    use2 = bool(hb.gsz_super) and hb.g_sup_cat is not None
     inv = None
     if q_x is not None:
         order = _hybrid_order(q_x, jnp.zeros(q_cat.shape[0], jnp.int32), B,
                               hb.t_pad, sort="geo")
         inv = jnp.argsort(order)
         q_cat, q2, ql = q_cat[order], q2[order], ql[order]
-    m_s, s_s, m_g, s_g = _hier_scan_stats_call(
-        q_cat, hb.g_sem_cat, hb.g_geo_cat, bm=bm, tc=tc, gpt_s=gpt_s,
-        gpt_g=gpt_g, interpret=interpret)
+    if use2:
+        m_s, s_s, m_g, s_g = _hier_scan_stats_call(
+            q_cat, hb.g_sup_cat, hb.g_geo_cat, bm=bm, tc=tc,
+            gpt_s=hb.bn // hb.gsz_super, gpt_g=gpt_g, interpret=interpret)
+    else:
+        m_s, s_s, m_g, s_g = _hier_scan_stats_call(
+            q_cat, hb.g_sem_cat, hb.g_geo_cat, bm=bm, tc=tc, gpt_s=gpt_s,
+            gpt_g=gpt_g, interpret=interpret)
     if q_x is None:
         home = _home_tile(m_s, hb.t_real)
         order = _hybrid_order(None, home, B, hb.t_pad, sort=sort)
@@ -752,9 +796,28 @@ def hier_topk(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
         q_cat, q2, ql = q_cat[order], q2[order], ql[order]
         m_s, s_s = m_s[order], s_s[order]
         m_g, s_g = m_g[order], s_g[order]
-    idx, _ = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
-                          k_tiles=k_tiles, bm=bm, n_valid=B, j_sem=j_sem,
-                          j_geo=j_geo, mode=mode)
+    if use2:
+        # coarse selection of M, fine refine stats, K <= M final selection
+        # — the selection fidelity of the one-level fine scan at a fraction
+        # of its cost (stats-only refine reads no value operands)
+        mt = min(m_tiles or 2 * k_tiles, hb.t_real)
+        idx_m, _ = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
+                                k_tiles=mt, bm=bm, n_valid=B, j_sem=j_sem,
+                                j_geo=j_geo, mode=mode)
+        m_f, s_f, _ = _hier_refine_call(
+            q_cat, idx_m, hb.g_sem_cat, hb.g_sup_cat, None, None, bm=bm,
+            gpt_f=gpt_s, gpt_sup=hb.bn // hb.gsz_super, stats_only=True,
+            interpret=interpret)
+        mg_at = _gather_cols(m_g, idx_m, bm)
+        sg_at = _gather_cols(s_g, idx_m, bm)
+        idx_loc, _ = select_tiles(m_f, s_f, mg_at, sg_at, t_real=mt,
+                                  k_tiles=min(k_tiles, mt), bm=bm, n_valid=B,
+                                  j_sem=j_sem, j_geo=j_geo, mode=mode)
+        idx = jnp.take_along_axis(idx_m, idx_loc, axis=1)
+    else:
+        idx, _ = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
+                              k_tiles=k_tiles, bm=bm, n_valid=B, j_sem=j_sem,
+                              j_geo=j_geo, mode=mode)
     if k == 1:
         out = _hier_argmax_call(q2, ql, hb.khl_sem, hb.mask_neg, idx, Dk=Dk,
                                 bm=bm, bn=hb.bn, interpret=interpret)
@@ -825,7 +888,136 @@ def select_tiles(m_s, s_s, m_g, s_g, *, t_real: int, k_tiles: int, bm: int,
 
 
 # ---------------------------------------------------------------------------
-# parts kernel: exact dual softmax over each query tile's selected bank tiles
+# refine kernel: fine-minus-supergroup tail correction + fine stats over the
+# M tiles phase-1 (coarse) selection kept — the middle level of the
+# two-level pipeline (see retrieve_hier's level=2 path)
+
+
+def _hier_refine_kernel(Mp, has_parts, idx_ref, q_ref, gf_ref, gsup_ref,
+                        *rest):
+    """Per selected tile: fine-group sem logits -> per-(query, tile) max
+    logit + exp-mass stats (the K-selection signal, at the same fidelity
+    the one-level scan had), and optionally the tail CORRECTION partial
+    sum_j (A_fine(t_j) - A_sup(t_j)) — replacing the coarse scan's
+    supergroup approximation with the fine one on the M tiles that matter.
+    Stats accumulate into [bm, Mp] scratch via one-hot outer products
+    (Mosaic has no dynamic lane store); partials into [bm, Dvp] scratch.
+    Everything dumps once at the last grid step."""
+    if has_parts:
+        vf_ref, vsup_ref, stat_ref, part_ref, sm_ref, ss_ref, acc_ref = rest
+    else:
+        stat_ref, sm_ref, ss_ref = rest
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        sm_ref[:] = jnp.full_like(sm_ref, NEG)
+        ss_ref[:] = jnp.zeros_like(ss_ref)
+        if has_parts:
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[:]
+    lf = jnp.dot(q, gf_ref[:].T, preferred_element_type=jnp.float32)
+    ef = jnp.exp2(jnp.minimum(lf, CLAMP2))
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1) == j
+          ).astype(jnp.float32)
+    m_col = jnp.max(lf, axis=1, keepdims=True)  # [bm, 1]
+    s_col = jnp.sum(ef, axis=1, keepdims=True)
+    # max stat: scratch starts at NEG; one-hot blend keeps other columns
+    sm_ref[:] = jnp.where(oh > 0, m_col, sm_ref[:])
+    ss_ref[:] += s_col * oh
+    if has_parts:
+        ls = jnp.dot(q, gsup_ref[:].T, preferred_element_type=jnp.float32)
+        es = jnp.exp2(jnp.minimum(ls, CLAMP2))
+        vf = vf_ref[:]
+        acc_ref[:] += jax.lax.dot_general(
+            ef.astype(vf.dtype), vf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        vsup = vsup_ref[:]
+        acc_ref[:] -= jax.lax.dot_general(
+            es.astype(vsup.dtype), vsup, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        stat_ref[:, :Mp] = sm_ref[:]
+        stat_ref[:, Mp:] = ss_ref[:]
+        if has_parts:
+            part_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "gpt_f", "gpt_sup",
+                                             "stats_only", "interpret"))
+def _hier_refine_call(q_cat, idx, g_sem_cat, g_sup_cat, g_sem_vw, g_sup_vw,
+                      *, bm: int, gpt_f: int, gpt_sup: int,
+                      stats_only: bool = False, interpret: bool = False):
+    """Returns (m_f [Bp, M], s_f [Bp, M]) fine stats over the selected
+    tiles, plus (when not stats_only) the [Bp, Dvp] fine-minus-super tail
+    correction partial (count column at Dv, like the scan tail)."""
+    Bp, cat_d = q_cat.shape
+    nB = Bp // bm
+    M = idx.shape[1]
+    Mp = _round_up(M, 128)
+    grid = (nB, M)
+
+    in_specs = [
+        pl.BlockSpec((bm, cat_d), lambda i, g, idx_: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gpt_f, cat_d), lambda i, g, idx_: (idx_[i, g], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gpt_sup, cat_d), lambda i, g, idx_: (idx_[i, g], 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [q_cat, g_sem_cat, g_sup_cat]
+    out_specs = [pl.BlockSpec((bm, 2 * Mp), lambda i, g, idx_: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((Bp, 2 * Mp), jnp.float32)]
+    scratch = [pltpu.VMEM((bm, Mp), jnp.float32),
+               pltpu.VMEM((bm, Mp), jnp.float32)]
+    if not stats_only:
+        Dvp = g_sem_vw.shape[1]
+        in_specs += [
+            pl.BlockSpec((gpt_f, Dvp), lambda i, g, idx_: (idx_[i, g], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpt_sup, Dvp), lambda i, g, idx_: (idx_[i, g], 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [g_sem_vw, g_sup_vw]
+        out_specs.append(pl.BlockSpec((bm, Dvp), lambda i, g, idx_: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((Bp, Dvp), jnp.float32))
+        scratch = scratch + [pltpu.VMEM((bm, Dvp), jnp.float32)]
+        # scratch order in the kernel: stat dump uses sm/ss, then acc
+        scratch = [scratch[0], scratch[1], scratch[2]]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        scratch_shapes=scratch,
+    )
+    Dvp = 0 if stats_only else g_sem_vw.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_hier_refine_kernel, Mp, not stats_only),
+        grid_spec=grid_spec,
+        out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * M * (gpt_f + gpt_sup) * (cat_d + Dvp),
+            bytes_accessed=nB * M * (gpt_f + gpt_sup) * (cat_d + Dvp) * 2
+            + Bp * cat_d * 2,
+            transcendentals=Bp * M * (gpt_f + gpt_sup),
+        ),
+        interpret=interpret,
+    )(idx, *operands)
+    if stats_only:
+        return out[:, :M], out[:, Mp:Mp + M], None
+    stats, parts = out
+    return stats[:, :M], stats[:, Mp:Mp + M], parts
 
 
 def _hier_parts_kernel(sem_d, has_scale, idx_ref, q_ref, k_ref, v_ref,
@@ -1072,13 +1264,81 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
     return acc_s, acc_g, d_s, d_g
 
 
+def _gather_cols(stats: jnp.ndarray, idx: jnp.ndarray, bm: int
+                 ) -> jnp.ndarray:
+    """stats [Bp, t_pad], idx [nB, M] -> [Bp, M]: each query's stat at its
+    query tile's selected columns."""
+    Bp = stats.shape[0]
+    rows = jnp.arange(Bp) // bm
+    return stats[jnp.arange(Bp)[:, None], idx[rows]]
+
+
+def _hier_partials2(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
+                    m_tiles: int, bm: int, tc: int, j_sem: int, j_geo: int,
+                    mode: str, n_valid: int, interpret: bool = False):
+    """Two-level pipeline body (requires build_hier_bank(gsz_super=...)):
+
+      phase 1  coarse fused scan — SUPERGROUP granularity sem tail (+ geo
+               tail) + coarse per-tile stats, ~gsz_super/gsz_sem times less
+               scan work than the one-level scan;
+      phase 2  refine kernel over the top-M coarse tiles: fine stats (the
+               K-selection signal at one-level fidelity) + the
+               fine-minus-super tail correction;
+      phase 3  K ⊆ M exact tiles selected on the FINE stats (+ coarse geo
+               stats gathered at the M columns); the unchanged parts kernel
+               computes exact-minus-fine there.
+
+    total = coarse_tail + sum_M (fine - super) + sum_K (exact - fine) —
+    the same telescope as one-level, one level deeper."""
+    assert hb.gsz_super and hb.g_sup_cat is not None, \
+        "two-level pipeline needs build_hier_bank(gsz_super=...)"
+    gpt_sup = hb.bn // hb.gsz_super
+    gpt_f = hb.bn // hb.gsz_sem
+    gpt_g = hb.bn // hb.gsz_geo
+    m_tiles = min(m_tiles, hb.t_real)
+    k_tiles = min(k_tiles, m_tiles)
+    m_s, s_s, m_g, s_g, tails = _hier_scan_call(
+        q_cat, hb.g_sup_cat, hb.g_geo_cat, hb.g_sup_vw, hb.g_geo_vw,
+        bm=bm, tc=tc, gpt_s=gpt_sup, gpt_g=gpt_g,
+        has_geo=mode == "range+", interpret=interpret)
+    idx_m, _ = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
+                            k_tiles=m_tiles, bm=bm, n_valid=n_valid,
+                            j_sem=j_sem, j_geo=j_geo, mode=mode)
+    m_f, s_f, rparts = _hier_refine_call(
+        q_cat, idx_m, hb.g_sem_cat, hb.g_sup_cat, hb.g_sem_vw, hb.g_sup_vw,
+        bm=bm, gpt_f=gpt_f, gpt_sup=gpt_sup, interpret=interpret)
+    mg_at = _gather_cols(m_g, idx_m, bm)
+    sg_at = _gather_cols(s_g, idx_m, bm)
+    idx_loc, _ = select_tiles(m_f, s_f, mg_at, sg_at, t_real=m_tiles,
+                              k_tiles=k_tiles, bm=bm, n_valid=n_valid,
+                              j_sem=j_sem, j_geo=j_geo, mode=mode)
+    idx_k = jnp.take_along_axis(idx_m, idx_loc, axis=1)
+    parts = _hier_parts_call(q_cat, hb.k_cat, hb.values, hb.value_scale,
+                             hb.mask_neg, idx_k, hb.g_sem_cat, hb.g_geo_cat,
+                             hb.g_sem_vw, hb.g_geo_vw, sem_d=hb.sem_d, bm=bm,
+                             bn=hb.bn, gpt_s=gpt_f, gpt_g=gpt_g,
+                             interpret=interpret)
+    Dv = hb.value_dim
+    Dvp = hb.g_sem_vw.shape[1]
+    acc_s = parts[:, :Dv] + rparts[:, :Dv] + tails[:, :Dv]
+    d_s = (parts[:, 2 * Dv:2 * Dv + 1] + rparts[:, Dv:Dv + 1]
+           + tails[:, Dv:Dv + 1])
+    acc_g = parts[:, Dv:2 * Dv]
+    d_g = parts[:, 2 * Dv + 1:2 * Dv + 2]
+    if mode == "range+":
+        acc_g = acc_g + tails[:, Dvp:Dvp + Dv]
+        d_g = d_g + tails[:, Dvp + Dv:Dvp + Dv + 1]
+    return acc_s, acc_g, d_s, d_g
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "sem_temp", "geo_temp", "beta", "mode", "k_tiles", "bm", "tc", "j_sem",
-    "j_geo", "sort_queries", "sort", "interpret"))
+    "sem_temp", "geo_temp", "beta", "mode", "k_tiles", "m_tiles", "bm", "tc",
+    "j_sem", "j_geo", "sort_queries", "sort", "interpret"))
 def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
                   hb: HierBank, *, sem_temp: float = 12.0,
                   geo_temp: float = 40.0, beta: float = 0.5,
-                  mode: str = "range+", k_tiles: int = 16, bm: int = 256,
+                  mode: str = "range+", k_tiles: int = 16,
+                  m_tiles: Optional[int] = None, bm: int = 256,
                   tc: int = 16, j_sem: int = 2, j_geo: int = 2,
                   sort_queries: bool = True, sort: str = "geo",
                   interpret: bool = False) -> jnp.ndarray:
@@ -1118,20 +1378,35 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
         inv = jnp.argsort(order)
         q_cat = q_cat[order]
 
+    use2 = bool(hb.gsz_super) and hb.g_sup_cat is not None
     if sort_queries and hybrid:
         # hybrid ordering groups each coarse geo cell's queries by their
         # hottest sem tile, which needs the scan stats — run a stats-only
-        # scan first, then permute and recompute via the fused path
-        m_s0, _, _, _ = _hier_scan_stats_call(
-            q_cat, hb.g_sem_cat, hb.g_geo_cat, bm=bm, tc=tc, gpt_s=gpt_s,
-            gpt_g=gpt_g, interpret=interpret)
+        # scan first (coarse operands when the bank is two-level: the home
+        # signal only drives the sort), then permute and recompute fused
+        if use2:
+            m_s0, _, _, _ = _hier_scan_stats_call(
+                q_cat, hb.g_sup_cat, hb.g_geo_cat, bm=bm, tc=tc,
+                gpt_s=hb.bn // hb.gsz_super, gpt_g=gpt_g,
+                interpret=interpret)
+        else:
+            m_s0, _, _, _ = _hier_scan_stats_call(
+                q_cat, hb.g_sem_cat, hb.g_geo_cat, bm=bm, tc=tc, gpt_s=gpt_s,
+                gpt_g=gpt_g, interpret=interpret)
         home = _home_tile(m_s0, hb.t_real)
         order = _hybrid_order(q_x, home, B, hb.t_pad, sort=sort)
         inv = jnp.argsort(order)
         q_cat = q_cat[order]
-    acc_s, acc_g, d_s, d_g = _hier_partials(
-        q_cat, hb, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem, j_geo=j_geo,
-        mode=mode, n_valid=B, interpret=interpret)
+    if use2:
+        acc_s, acc_g, d_s, d_g = _hier_partials2(
+            q_cat, hb, k_tiles=k_tiles,
+            m_tiles=m_tiles or max(32, 3 * k_tiles), bm=bm, tc=tc,
+            j_sem=j_sem, j_geo=j_geo, mode=mode, n_valid=B,
+            interpret=interpret)
+    else:
+        acc_s, acc_g, d_s, d_g = _hier_partials(
+            q_cat, hb, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
+            j_geo=j_geo, mode=mode, n_valid=B, interpret=interpret)
     sem = acc_s / jnp.maximum(d_s, 1e-30)
     if mode == "range":
         out = sem
@@ -1218,12 +1493,13 @@ def bank_fingerprint(bank: GeoBank) -> str:
 
 def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
                          gsz_geo: int, tier: str, seed: int,
-                         shards: int) -> dict:
+                         shards: int, gsz_super: int = 0) -> dict:
     """The identity of a `build_hier_bank` run: source bank + every build
     parameter.  Stored in the disk cache and validated on load so a stale
     cache (different bank or params) is rebuilt, never silently served."""
     return {"fp": bank_fingerprint(bank), "bn": bn, "gsz_sem": gsz_sem,
-            "gsz_geo": gsz_geo, "tier": tier, "seed": seed, "shards": shards}
+            "gsz_geo": gsz_geo, "gsz_super": gsz_super, "tier": tier,
+            "seed": seed, "shards": shards}
 
 
 def peek_hier_build(path: str) -> Optional[dict]:
@@ -1255,7 +1531,7 @@ def save_hier_bank(hb: HierBank, path: str, build: Optional[dict] = None
     for field in ("k_cat", "values", "value_scale", "mask_neg",
                   "sem_centroid", "geo_centroid", "sem_radius", "geo_radius",
                   "g_sem_cat", "g_geo_cat", "g_sem_vw", "g_geo_vw",
-                  "khl_sem"):
+                  "khl_sem", "g_sup_cat", "g_sup_vw"):
         v = getattr(hb, field)
         if v is None:
             continue
@@ -1270,8 +1546,8 @@ def save_hier_bank(hb: HierBank, path: str, build: Optional[dict] = None
         arrays["bank_value_scale"], meta["dtypes"]["bank_value_scale"] = enc(
             hb.bank.value_scale)
     arrays["bank_n_valid"] = np.asarray(hb.bank.n_valid)
-    for field in ("tier", "bn", "gsz_sem", "gsz_geo", "sem_d", "cat_d",
-                  "t_real", "t_pad"):
+    for field in ("tier", "bn", "gsz_sem", "gsz_geo", "gsz_super", "sem_d",
+                  "cat_d", "t_real", "t_pad"):
         meta[field] = getattr(hb, field)
     if build is not None:
         meta["build"] = build
@@ -1313,7 +1589,9 @@ def load_hier_bank(path: str) -> HierBank:
         g_sem_cat=dec("g_sem_cat"), g_geo_cat=dec("g_geo_cat"),
         g_sem_vw=dec("g_sem_vw"), g_geo_vw=dec("g_geo_vw"),
         khl_sem=dec("khl_sem"),
+        g_sup_cat=dec("g_sup_cat"), g_sup_vw=dec("g_sup_vw"),
         tier=meta["tier"], bn=meta["bn"], gsz_sem=meta["gsz_sem"],
-        gsz_geo=meta["gsz_geo"], sem_d=meta["sem_d"], cat_d=meta["cat_d"],
+        gsz_geo=meta["gsz_geo"], gsz_super=meta.get("gsz_super", 0),
+        sem_d=meta["sem_d"], cat_d=meta["cat_d"],
         t_real=meta["t_real"], t_pad=meta["t_pad"],
     )

@@ -263,3 +263,86 @@ def test_hier_topk_k_matches_dense_topk(bank, hb):
     hits = np.mean([np.isin(t, g).mean() for t, g in
                     zip(np.asarray(true_rk), got_r)])
     assert hits >= 0.9, hits
+
+
+@pytest.fixture(scope="module")
+def hb2(bank):
+    """Two-level bank: nested supergroups of 16 rows over fine groups of 8."""
+    return build_hier_bank(bank, bn=BN, gsz_sem=8, gsz_geo=16, gsz_super=16,
+                           tier="exact", value_dtype=jnp.float32)
+
+
+def test_hier2_all_tiles_matches_exact(bank, hb2, queries):
+    """Two-level telescope (coarse_tail + sum_M(fine-super) +
+    sum_K(exact-fine)) with every tile in both M and K must equal the dense
+    exact computation."""
+    q, q_xyz = queries
+    ref = np.asarray(retrieve(q, q_xyz, bank, sem_temp=12.0, geo_temp=40.0,
+                              beta=0.5, chunk=PAD))
+    out = np.asarray(retrieve_hier(q, q_xyz, hb2, k_tiles=hb2.t_real,
+                                   m_tiles=hb2.t_real, bm=128,
+                                   interpret=True))
+    rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-1)
+    assert rel.max() < 5e-3, rel.max()
+
+
+def test_hier2_partial_not_worse_than_v1(bank, hb, hb2, queries):
+    """At equal exact-tile budget K the two-level path (with its coarse
+    scan + M-tile fine refinement) must not lose fidelity vs the one-level
+    path — the refinement replaces the coarse tail wherever it matters."""
+    q, q_xyz = queries
+    ref = np.asarray(retrieve(q, q_xyz, bank, sem_temp=12.0, geo_temp=40.0,
+                              beta=0.5, chunk=PAD))
+    out2 = np.asarray(retrieve_hier(q, q_xyz, hb2, k_tiles=8, m_tiles=16,
+                                    bm=128, interpret=True))
+    out1 = np.asarray(retrieve_hier(q, q_xyz, hb, k_tiles=8, bm=128,
+                                    interpret=True))
+    rel2 = (np.abs(out2 - ref) / np.maximum(np.abs(ref), 1e-1)).mean()
+    rel1 = (np.abs(out1 - ref) / np.maximum(np.abs(ref), 1e-1)).mean()
+    assert rel2 < rel1 * 1.1, (rel2, rel1)
+
+
+def test_hier2_topk(bank, hb2):
+    """hier_topk on a two-level bank: coarse M-selection + fine refine
+    stats + K<=M exact argmax.  All tiles -> exact; partial budget in the
+    coherent regime stays high-recall; k>1 rides the same selection."""
+    from range_tpu.ops.retrieval_hier import hier_topk
+    from range_tpu.ops.topk import topk_sem
+
+    q, q_xyz = _make_queries(bank, regional=False, B=256, seed=7)
+    true = np.asarray(exact_nn(q, hb2.bank, chunk=PAD))
+    got_all = np.asarray(hier_topk(q, q_xyz, hb2, k_tiles=hb2.t_real,
+                                   m_tiles=hb2.t_real, bm=128,
+                                   interpret=True))
+    assert (got_all == true).mean() >= 0.995, (got_all != true).sum()
+    qr, qr_xyz = _make_queries(bank, regional=True, B=256, seed=8)
+    true_r = np.asarray(exact_nn(qr, hb2.bank, chunk=PAD))
+    got = np.asarray(hier_topk(qr, qr_xyz, hb2, k_tiles=24, m_tiles=36,
+                               bm=128, interpret=True))
+    assert (got == true_r).mean() >= 0.95, (got != true_r).sum()
+    k = 4
+    _, true_k = topk_sem(qr, hb2.bank, k=k, chunk=PAD)
+    got_k = np.asarray(hier_topk(qr, qr_xyz, hb2, k=k, k_tiles=24,
+                                 m_tiles=36, bm=128, interpret=True))
+    hits = np.mean([np.isin(t, g).mean() for t, g in
+                    zip(np.asarray(true_k), got_k)])
+    assert hits >= 0.9, hits
+
+
+def test_hier2_save_load_roundtrip(bank, hb2, queries, tmp_path):
+    """Supergroup operands + gsz_super meta survive the disk round-trip."""
+    from range_tpu.ops.retrieval_hier import (load_hier_bank,
+                                              save_hier_bank)
+
+    path = str(tmp_path / "hb2.npz")
+    save_hier_bank(hb2, path)
+    hb2b = load_hier_bank(path)
+    assert hb2b.gsz_super == hb2.gsz_super
+    np.testing.assert_array_equal(np.asarray(hb2b.g_sup_cat),
+                                  np.asarray(hb2.g_sup_cat))
+    q, q_xyz = queries
+    a = np.asarray(retrieve_hier(q, q_xyz, hb2, k_tiles=8, m_tiles=16,
+                                 bm=128, interpret=True))
+    b = np.asarray(retrieve_hier(q, q_xyz, hb2b, k_tiles=8, m_tiles=16,
+                                 bm=128, interpret=True))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

@@ -110,8 +110,10 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                  use_pallas: Optional[bool] = None,
                  value_quant: Optional[str] = None,
                  retrieval: str = "dense", k_tiles: int = 16,
+                 m_tiles: Optional[int] = None,
                  j_sem: int = 2, j_geo: int = 2, hier_bm: int = 256,
                  hier_bn: int = 512, gsz_sem: int = 8, gsz_geo: int = 64,
+                 gsz_super: int = 0,
                  mesh=None, bank_axis: Optional[str] = None,
                  data_axis: Optional[str] = None, shard_bm: int = 512,
                  shard_bn: int = 1024,
@@ -151,8 +153,8 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
         # stale cache (different bank, bn, gsz, tier, seed, or shards) is
         # rebuilt, never silently served
         sig = hier_build_signature(bank, bn=hier_bn, gsz_sem=gsz_sem,
-                                   gsz_geo=gsz_geo, tier=tier, seed=seed,
-                                   shards=n_shards)
+                                   gsz_geo=gsz_geo, gsz_super=gsz_super,
+                                   tier=tier, seed=seed, shards=n_shards)
         cached = None
         if hier_cache and _os.path.exists(hier_cache):
             got = peek_hier_build(hier_cache)
@@ -166,8 +168,8 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
             bank = cached
         else:
             bank = build_hier_bank(bank, bn=hier_bn, gsz_sem=gsz_sem,
-                                   gsz_geo=gsz_geo, tier=tier, seed=seed,
-                                   shards=n_shards)
+                                   gsz_geo=gsz_geo, gsz_super=gsz_super,
+                                   tier=tier, seed=seed, shards=n_shards)
             if hier_cache:
                 save_hier_bank(bank, hier_cache, build=sig)
         if mesh is not None:
@@ -191,7 +193,8 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
     cfg = RangeConfig(mode=mode, beta=beta, chunk=chunk,
                       compute_dtype=compute_dtype, tier=tier,
                       use_pallas=use_pallas, retrieval=retrieval,
-                      k_tiles=k_tiles, j_sem=j_sem, j_geo=j_geo,
+                      k_tiles=k_tiles, m_tiles=m_tiles,
+                      j_sem=j_sem, j_geo=j_geo,
                       hier_bm=hier_bm, mesh=mesh,
                       bank_axis=bank_axis or "bank", data_axis=data_axis,
                       shard_bm=shard_bm, shard_bn=shard_bn)

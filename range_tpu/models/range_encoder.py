@@ -63,6 +63,7 @@ class RangeConfig:
     # this when retrieval='hier').
     retrieval: str = "dense"
     k_tiles: int = 16      # hier: exact tiles per query tile (recall knob)
+    m_tiles: Any = None    # hier two-level: fine-refined tiles (None = auto)
     j_sem: int = 2         # hier: per-query sem groups scattered
     j_geo: int = 2         # hier: per-query geo groups scattered
     hier_bm: int = 256     # hier: query-tile size
@@ -133,6 +134,8 @@ class RangeEncoder:
                     sem_temp=cfg.resolved_sem_temp(), geo_temp=cfg.geo_temp,
                     beta=cfg.beta, mode=cfg.mode,
                     k_tiles=max(2, cfg.k_tiles // n), bm=bm,
+                    m_tiles=(max(2, cfg.m_tiles // n)
+                             if cfg.m_tiles else None),
                     j_sem=cfg.j_sem, j_geo=cfg.j_geo,
                     bank_axis=cfg.bank_axis,
                     interpret=jax.default_backend() != "tpu")
@@ -143,6 +146,7 @@ class RangeEncoder:
                     q_sem, q_xyz, bank,
                     sem_temp=cfg.resolved_sem_temp(), geo_temp=cfg.geo_temp,
                     beta=cfg.beta, mode=cfg.mode, k_tiles=cfg.k_tiles,
+                    m_tiles=cfg.m_tiles,
                     bm=bm, j_sem=cfg.j_sem, j_geo=cfg.j_geo,
                     interpret=jax.default_backend() != "tpu",
                 )

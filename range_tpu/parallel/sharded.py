@@ -289,6 +289,7 @@ def sharded_retrieve_hier(
     beta: float = 0.5,
     mode: str = "range+",
     k_tiles: int = 8,
+    m_tiles: Optional[int] = None,
     bm: int = 256,
     tc: int = 8,
     j_sem: int = 2,
@@ -297,19 +298,22 @@ def sharded_retrieve_hier(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Multi-chip hierarchical retrieval: each shard runs the full hier
-    pipeline (fused scan+tail, tile selection, exact-minus-approx parts)
-    over ITS tile slab; the unnormalized partials are linear, so ONE psum
-    over ICI combines them exactly (ops/retrieval_hier._hier_partials).
+    pipeline (fused scan+tail, tile selection, exact-minus-approx parts;
+    the two-phase coarse/refine pipeline on two-level banks) over ITS tile
+    slab; the unnormalized partials are linear, so ONE psum over ICI
+    combines them exactly (ops/retrieval_hier._hier_partials).
 
-    `k_tiles` is PER SHARD: n shards select n*k_tiles tiles total, so the
-    union selection is strictly finer than single-chip at the same per-chip
-    cost — per-chip work is ~1/n of single-chip at equal total K.  With
-    k_tiles = t_pad//n (every tile selected) the result equals the exact
-    dense computation (tests assert this)."""
+    `k_tiles` (and `m_tiles`, two-level) are PER SHARD: n shards select
+    n*k_tiles tiles total, so the union selection is strictly finer than
+    single-chip at the same per-chip cost — per-chip work is ~1/n of
+    single-chip at equal total K.  With k_tiles = t_pad//n (every tile
+    selected) the result equals the exact dense computation (tests assert
+    this)."""
     import dataclasses as _dc
     import functools as _ft
 
     from ..ops.retrieval_hier import (HierBank, _hier_partials,
+                                      _hier_partials2,
                                       _hybrid_order, _pad_queries)
     from ..ops.retrieval_pallas import pack_queries
 
@@ -335,9 +339,16 @@ def sharded_retrieve_hier(
 
     def local(q_cat_l, hb_l):
         hb_loc = _dc.replace(hb_l, t_real=t_local, t_pad=t_local)
-        acc_s, acc_g, d_s, d_g = _hier_partials(
-            q_cat_l, hb_loc, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
-            j_geo=j_geo, mode=mode, n_valid=B, interpret=interpret)
+        if hb.gsz_super and hb.g_sup_cat is not None:
+            acc_s, acc_g, d_s, d_g = _hier_partials2(
+                q_cat_l, hb_loc, k_tiles=k_tiles,
+                m_tiles=min(m_tiles or max(8, 3 * k_tiles), t_local),
+                bm=bm, tc=tc, j_sem=j_sem, j_geo=j_geo, mode=mode,
+                n_valid=B, interpret=interpret)
+        else:
+            acc_s, acc_g, d_s, d_g = _hier_partials(
+                q_cat_l, hb_loc, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
+                j_geo=j_geo, mode=mode, n_valid=B, interpret=interpret)
         acc_s = jax.lax.psum(acc_s, bank_axis)
         d_s = jax.lax.psum(d_s, bank_axis)
         sem = acc_s / jnp.maximum(d_s, 1e-30)
@@ -385,6 +396,7 @@ def sharded_hier_topk(
     *,
     k: int = 1,
     k_tiles: int = 8,
+    m_tiles: Optional[int] = None,
     bm: int = 256,
     tc: int = 8,
     j_sem: int = 6,
@@ -437,14 +449,40 @@ def sharded_hier_topk(
     Dk = hb.bank.key_dim
     hb_spec = _hier_bank_spec(hb, bank_axis)
 
+    use2 = bool(hb.gsz_super) and hb.g_sup_cat is not None
+
     def local(q_cat_l, q2_l, ql_l, hb_l):
         shard = jax.lax.axis_index(bank_axis)
-        m_s, s_s, m_g, s_g = _hier_scan_stats_call(
-            q_cat_l, hb_l.g_sem_cat, hb_l.g_geo_cat, bm=bm, tc=tc,
-            gpt_s=gpt_s, gpt_g=gpt_g, interpret=interpret)
-        idx, _ = select_tiles(m_s, s_s, m_g, s_g, t_real=t_local,
-                              k_tiles=k_tiles, bm=bm, n_valid=B,
-                              j_sem=j_sem, j_geo=j_geo, mode="range")
+        if use2:
+            from ..ops.retrieval_hier import (_gather_cols,
+                                              _hier_refine_call)
+
+            m_s, s_s, m_g, s_g = _hier_scan_stats_call(
+                q_cat_l, hb_l.g_sup_cat, hb_l.g_geo_cat, bm=bm, tc=tc,
+                gpt_s=hb.bn // hb.gsz_super, gpt_g=gpt_g,
+                interpret=interpret)
+            mt = min(m_tiles or 2 * k_tiles, t_local)
+            idx_m, _ = select_tiles(m_s, s_s, m_g, s_g, t_real=t_local,
+                                    k_tiles=mt, bm=bm, n_valid=B,
+                                    j_sem=j_sem, j_geo=j_geo, mode="range")
+            m_f, s_f, _ = _hier_refine_call(
+                q_cat_l, idx_m, hb_l.g_sem_cat, hb_l.g_sup_cat, None, None,
+                bm=bm, gpt_f=gpt_s, gpt_sup=hb.bn // hb.gsz_super,
+                stats_only=True, interpret=interpret)
+            mg_at = _gather_cols(m_g, idx_m, bm)
+            sg_at = _gather_cols(s_g, idx_m, bm)
+            idx_loc, _ = select_tiles(m_f, s_f, mg_at, sg_at, t_real=mt,
+                                      k_tiles=min(k_tiles, mt), bm=bm,
+                                      n_valid=B, j_sem=j_sem, j_geo=j_geo,
+                                      mode="range")
+            idx = jnp.take_along_axis(idx_m, idx_loc, axis=1)
+        else:
+            m_s, s_s, m_g, s_g = _hier_scan_stats_call(
+                q_cat_l, hb_l.g_sem_cat, hb_l.g_geo_cat, bm=bm, tc=tc,
+                gpt_s=gpt_s, gpt_g=gpt_g, interpret=interpret)
+            idx, _ = select_tiles(m_s, s_s, m_g, s_g, t_real=t_local,
+                                  k_tiles=k_tiles, bm=bm, n_valid=B,
+                                  j_sem=j_sem, j_geo=j_geo, mode="range")
         row0 = (shard * t_local * hb.bn).astype(jnp.int32)
         if k == 1:
             out = _hier_argmax_call(q2_l, ql_l, hb_l.khl_sem, hb_l.mask_neg,

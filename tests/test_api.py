@@ -235,3 +235,28 @@ def test_hier_cache_fingerprint_invalidation(tmp_path):
                          hier_bn=128, gsz_geo=8, chunk=512, seed=0,
                          hier_cache=cache)
     assert peek_hier_build(cache)["fp"] != sig["fp"]
+
+
+def test_load_model_two_level_hier():
+    """retrieval='hier' with gsz_super builds a two-level bank and serves
+    through the two-phase pipeline; m_tiles rides the config."""
+    from range_tpu.ops.retrieval_hier import HierBank
+
+    bank = GeoBank.synthetic_informative(3, 4000, key_dim=256, value_dim=32,
+                                         pad_to=512)
+    enc = range_tpu.load_model("RANGE+", db_path=bank, retrieval="hier",
+                               hier_bn=128, gsz_geo=16, gsz_super=16,
+                               m_tiles=32, chunk=512, seed=0)
+    assert isinstance(enc.extra, HierBank) and enc.extra.gsz_super == 16
+    assert enc.extra.g_sup_cat is not None
+    coords = np.stack([np.random.default_rng(0).uniform(-180, 180, 2048),
+                       np.random.default_rng(1).uniform(-88, 88, 2048)],
+                      1).astype(np.float32)
+    out = np.asarray(enc(coords))
+    assert out.shape == (2048, 32 + 256) and np.isfinite(out).all()
+    dense = range_tpu.load_model("RANGE+", db_path=bank, chunk=512, seed=0)
+    expect = np.asarray(dense(coords))
+    rel = np.abs(out[:, :32] - expect[:, :32]) / np.maximum(
+        np.abs(expect[:, :32]), 1e-1)
+    assert rel.mean() < 0.15, rel.mean()
+    np.testing.assert_allclose(out[:, 32:], expect[:, 32:], atol=1e-5)

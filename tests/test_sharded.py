@@ -311,3 +311,40 @@ def test_sharded_hier_topk_exact_and_k():
         qr, qr_xyz, shb, mesh, k=1, k_tiles=max(2, t_local * 3 // 4),
         bm=128, tc=min(8, t_local), interpret=True))
     assert (got_p == true_r).mean() >= 0.95, (got_p != true_r).sum()
+
+
+def test_sharded_hier2_two_level():
+    """Two-level banks under the mesh: sharded_retrieve_hier all-tiles is
+    exact, and sharded_hier_topk's two-phase selection matches exact NN."""
+    from range_tpu.ops.retrieval import exact_nn, retrieve
+    from range_tpu.ops.retrieval_hier import build_hier_bank
+    from range_tpu.parallel.sharded import (shard_hier_bank,
+                                            sharded_hier_topk,
+                                            sharded_retrieve_hier)
+    from range_tpu.bank.bank import GeoBank
+    import sys
+    sys.path.insert(0, "tests")
+    from test_hier import _make_queries
+
+    bank = GeoBank.synthetic_informative(0, 6000, pad_to=512)
+    hb = build_hier_bank(bank, bn=128, gsz_sem=8, gsz_geo=16, gsz_super=16,
+                         tier="exact", value_dtype=jnp.float32, shards=8)
+    mesh = make_mesh((8,), ("bank",))
+    shb = shard_hier_bank(hb, mesh)
+    t_local = hb.t_pad // 8
+
+    q, q_xyz = _make_queries(bank, regional=True, B=256, seed=13)
+    ref = np.asarray(retrieve(q, q_xyz, hb.bank, sem_temp=12.0,
+                              geo_temp=40.0, beta=0.5, chunk=512))
+    out = np.asarray(sharded_retrieve_hier(
+        q, q_xyz, shb, mesh, k_tiles=t_local, m_tiles=t_local, bm=128,
+        tc=min(8, t_local), interpret=True))
+    rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-1)
+    assert rel.max() < 5e-3, rel.max()
+
+    qs, qs_xyz = _make_queries(bank, regional=False, B=256, seed=14)
+    true = np.asarray(exact_nn(qs, hb.bank, chunk=512))
+    got = np.asarray(sharded_hier_topk(
+        qs, qs_xyz, shb, mesh, k=1, k_tiles=t_local, m_tiles=t_local,
+        bm=128, tc=min(8, t_local), interpret=True))
+    assert (got == true).mean() >= 0.995, (got != true).sum()

@@ -159,6 +159,15 @@ def _order_rows_within_tiles(keys: jnp.ndarray, valid: jnp.ndarray, bn: int,
     (vmapped Lloyd on device), rows sorted by cluster label, invalid rows
     last.  Tile membership is untouched, so tile stats/masks stay valid.
 
+    `keys` is whatever feature the groups should be coherent IN — the
+    serving keys alone, or [keys | lam * normalized values] for joint
+    key+value clustering (build_hier_bank(group_by='key_value')): the
+    group tail's error is first-order in BOTH the within-group logit
+    spread AND the within-group value spread, and on banks whose values
+    carry label-like structure (the probe benchmarks), value-pure groups
+    are what keeps the diffuse-mass tail from class-mixing (measured:
+    checkerboard probe 0.81 -> 0.92 at equal gsz, tools/fidelity_lab.py).
+
     `n_super > 0` makes the ordering HIERARCHICAL: a second (tiny) k-means
     clusters the n_groups fine CENTROIDS into n_super superclusters, and
     rows sort by (supercluster, fine cluster) — so gsz_super-row windows
@@ -202,7 +211,8 @@ def _order_rows_within_tiles(keys: jnp.ndarray, valid: jnp.ndarray, bn: int,
 
 def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                     gsz_geo: int = 64, gsz_super: int = 0,
-                    tier: str = "fast",
+                    tier: str = "fast", group_by: str = "key_value",
+                    group_value_weight: float = 1.0,
                     n_clusters: Optional[int] = None, iters: int = 8,
                     seed: int = 0, value_dtype=None,
                     shards: int = 1) -> HierBank:
@@ -230,9 +240,23 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
     cbank, _ = cluster_bank(bank, bn=bn, n_clusters=n_clusters, iters=iters,
                             seed=seed, pack="dense")
     # reorder rows within each tile so gsz_sem-row windows are key-coherent
-    # (and, with gsz_super, nested inside key-coherent supergroup windows)
+    # (and, with gsz_super, nested inside key-coherent supergroup windows);
+    # default group_by='key_value' clusters on [key | lam * v/|v|] so group
+    # value sums stay value-pure (the tail-fidelity lever, fidelity_lab.py)
+    if group_by == "key_value":
+        vf = dequantize_values(cbank)
+        vn = vf / jnp.maximum(
+            jnp.linalg.norm(vf, axis=1, keepdims=True), 1e-9)
+        gfeat = jnp.concatenate(
+            [cbank.keys_sem.astype(jnp.float32),
+             group_value_weight * vn.astype(jnp.float32)], axis=1)
+    elif group_by == "key":
+        gfeat = cbank.keys_sem
+    else:
+        raise ValueError(f"group_by must be 'key' or 'key_value', "
+                         f"got {group_by!r}")
     perm = _order_rows_within_tiles(
-        cbank.keys_sem, cbank.row_mask(), bn, bn // gsz_sem, seed + 1,
+        gfeat, cbank.row_mask(), bn, bn // gsz_sem, seed + 1,
         n_super=bn // gsz_super if gsz_super else 0)
 
     def take(x):
@@ -1493,13 +1517,16 @@ def bank_fingerprint(bank: GeoBank) -> str:
 
 def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
                          gsz_geo: int, tier: str, seed: int,
-                         shards: int, gsz_super: int = 0) -> dict:
+                         shards: int, gsz_super: int = 0,
+                         group_by: str = "key_value",
+                         group_value_weight: float = 1.0) -> dict:
     """The identity of a `build_hier_bank` run: source bank + every build
     parameter.  Stored in the disk cache and validated on load so a stale
     cache (different bank or params) is rebuilt, never silently served."""
     return {"fp": bank_fingerprint(bank), "bn": bn, "gsz_sem": gsz_sem,
             "gsz_geo": gsz_geo, "gsz_super": gsz_super, "tier": tier,
-            "seed": seed, "shards": shards}
+            "seed": seed, "shards": shards, "group_by": group_by,
+            "gvw": group_value_weight}
 
 
 def peek_hier_build(path: str) -> Optional[dict]:

@@ -113,7 +113,9 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                  m_tiles: Optional[int] = None,
                  j_sem: int = 2, j_geo: int = 2, hier_bm: int = 256,
                  hier_bn: int = 512, gsz_sem: int = 8, gsz_geo: int = 64,
-                 gsz_super: int = 0,
+                 gsz_super: int = 0, group_by: str = "key_value",
+                 group_value_weight: float = 1.0,
+                 lr_rank: Optional[int] = None,
                  mesh=None, bank_axis: Optional[str] = None,
                  data_axis: Optional[str] = None, shard_bm: int = 512,
                  shard_bn: int = 1024,
@@ -154,7 +156,10 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
         # rebuilt, never silently served
         sig = hier_build_signature(bank, bn=hier_bn, gsz_sem=gsz_sem,
                                    gsz_geo=gsz_geo, gsz_super=gsz_super,
-                                   tier=tier, seed=seed, shards=n_shards)
+                                   tier=tier, seed=seed, shards=n_shards,
+                                   group_by=group_by,
+                                   group_value_weight=group_value_weight,
+                                   lr_rank=lr_rank or 0)
         cached = None
         if hier_cache and _os.path.exists(hier_cache):
             got = peek_hier_build(hier_cache)
@@ -169,6 +174,9 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
         else:
             bank = build_hier_bank(bank, bn=hier_bn, gsz_sem=gsz_sem,
                                    gsz_geo=gsz_geo, gsz_super=gsz_super,
+                                   group_by=group_by,
+                                   group_value_weight=group_value_weight,
+                                   lr_rank=lr_rank,
                                    tier=tier, seed=seed, shards=n_shards)
             if hier_cache:
                 save_hier_bank(bank, hier_cache, build=sig)

@@ -121,11 +121,18 @@ class HierBank:
     # sem groups (each gsz_super window = gsz_super/gsz_sem fine groups)
     g_sup_cat: Optional[jnp.ndarray] = None
     g_sup_vw: Optional[jnp.ndarray] = None
+    # low-rank sem tail (build_hier_bank(lr_rank=r)): rank-r coefficients
+    # of the fine-group value sums (count in column r) + the [r, Dv]
+    # unprojection basis — the tail value matmul contracts r instead of
+    # Dvp (~4x less scan work at r=256, Dv=1024)
+    g_sem_vw_lr: Optional[jnp.ndarray] = None
+    u_sem: Optional[jnp.ndarray] = None
     tier: str = "fast"
     bn: int = 512
     gsz_sem: int = 8
     gsz_geo: int = 64
     gsz_super: int = 0
+    lr_rank: int = 0
     sem_d: int = 256
     cat_d: int = 384
     t_real: int = 0
@@ -145,9 +152,9 @@ jax.tree_util.register_dataclass(
     data_fields=["bank", "k_cat", "values", "value_scale", "mask_neg",
                  "sem_centroid", "geo_centroid", "sem_radius", "geo_radius",
                  "g_sem_cat", "g_geo_cat", "g_sem_vw", "g_geo_vw", "khl_sem",
-                 "g_sup_cat", "g_sup_vw"],
-    meta_fields=["tier", "bn", "gsz_sem", "gsz_geo", "gsz_super", "sem_d",
-                 "cat_d", "t_real", "t_pad"],
+                 "g_sup_cat", "g_sup_vw", "g_sem_vw_lr", "u_sem"],
+    meta_fields=["tier", "bn", "gsz_sem", "gsz_geo", "gsz_super", "lr_rank",
+                 "sem_d", "cat_d", "t_real", "t_pad"],
 )
 
 
@@ -213,6 +220,7 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                     gsz_geo: int = 64, gsz_super: int = 0,
                     tier: str = "fast", group_by: str = "key_value",
                     group_value_weight: float = 1.0,
+                    lr_rank: Optional[int] = None,
                     n_clusters: Optional[int] = None, iters: int = 8,
                     seed: int = 0, value_dtype=None,
                     shards: int = 1) -> HierBank:
@@ -371,12 +379,33 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         g_g = group_ops(cbank.xyz, vals_f32, mask, gsz_geo, geo=True)
         g_sup = (group_ops(cbank.keys_sem, vals_f32, mask, gsz_super,
                            geo=False) if gsz_super else (None, None))
+        g_lr = (None, None)
+        if lr_rank:
+            # rank-r basis of the fine-group value sums via the Dv x Dv
+            # Gram eigendecomposition (cheaper + deterministic vs SVD of
+            # [G, Dv]); coefficients + count ride one packed operand
+            G = N // gsz_sem
+            G_pad = t_pad * (bn // gsz_sem)
+            mg = mask.reshape(G, gsz_sem)
+            cnt = mg.sum(axis=1)
+            vsum = jnp.einsum("gi,gid->gd", mg,
+                              vals_f32.reshape(G, gsz_sem, -1))
+            gram = vsum.T @ vsum
+            _, vecs = jnp.linalg.eigh(gram)      # ascending eigenvalues
+            u = vecs[:, -lr_rank:].T             # [r, Dv]
+            coef = vsum @ u.T                    # [G, r]
+            rp = _round_up(lr_rank + 1, 128)
+            lrw = jnp.concatenate(
+                [coef, cnt[:, None],
+                 jnp.zeros((G, rp - lr_rank - 1), jnp.float32)], axis=1)
+            lrw = jnp.pad(lrw, ((0, G_pad - G), (0, 0)))
+            g_lr = (lrw.astype(vw_dtype), u.astype(jnp.float32))
         kh, kl = _split_hilo(cbank.keys_sem.astype(jnp.float32))
         khl = jnp.concatenate([kh, kl], axis=1)  # [N, 2*Dk] bf16
-        return k_cat, mask_neg, g_s, g_g, g_sup, khl
+        return k_cat, mask_neg, g_s, g_g, g_sup, g_lr, khl
 
     (k_cat, mask_neg, (g_sem_cat, g_sem_vw), (g_geo_cat, g_geo_vw),
-     (g_sup_cat, g_sup_vw), khl_sem) = prep(cbank)
+     (g_sup_cat, g_sup_vw), (g_sem_vw_lr, u_sem), khl_sem) = prep(cbank)
     if cbank.value_scale is not None:
         values, scale = cbank.values, cbank.value_scale.astype(jnp.float32)
     elif value_dtype is not None:
@@ -394,8 +423,10 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         g_sem_cat=g_sem_cat, g_geo_cat=g_geo_cat,
         g_sem_vw=g_sem_vw, g_geo_vw=g_geo_vw, khl_sem=khl_sem,
         g_sup_cat=g_sup_cat, g_sup_vw=g_sup_vw,
+        g_sem_vw_lr=g_sem_vw_lr, u_sem=u_sem,
         tier=tier, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
-        gsz_super=gsz_super, sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
+        gsz_super=gsz_super, lr_rank=lr_rank or 0,
+        sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
     )
 
 
@@ -454,12 +485,12 @@ def _hier_scan_kernel(gpt_s, gpt_g, tc, has_geo, qt_ref, gs_ref, gg_ref,
 
     @pl.when(c0 == nc - 1)
     def _():
-        Dvp = accs_ref.shape[1]
-        tail_ref[:, :Dvp] = accs_ref[:]
+        Ws = accs_ref.shape[1]  # families may have different tail widths
+        tail_ref[:, :Ws] = accs_ref[:]  # (low-rank sem vs full geo)
         if has_geo:
-            tail_ref[:, Dvp:] = accg_ref[:]
+            tail_ref[:, Ws:] = accg_ref[:]
         else:
-            tail_ref[:, Dvp:] = jnp.zeros_like(tail_ref[:, Dvp:])
+            tail_ref[:, Ws:] = jnp.zeros_like(tail_ref[:, Ws:])
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "tc", "gpt_s", "gpt_g",
@@ -470,7 +501,8 @@ def _hier_scan_call(q_cat, g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw, *,
     Bp, cat_d = q_cat.shape
     t_pad = g_sem_cat.shape[0] // gpt_s
     assert t_pad % tc == 0, (t_pad, tc)
-    Dvp = g_sem_vw.shape[1]
+    Ws = g_sem_vw.shape[1]  # per-family tail widths (sem may be low-rank)
+    Wg = g_geo_vw.shape[1]
     nB = Bp // bm
     grid = (nB, t_pad // tc)
     q_t = q_cat.T  # [cat_d, Bp]
@@ -485,29 +517,31 @@ def _hier_scan_call(q_cat, g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tc * gpt_g, cat_d), lambda i, c: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc * gpt_s, Dvp), lambda i, c: (c, 0),
+            pl.BlockSpec((tc * gpt_s, Ws), lambda i, c: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc * gpt_g, Dvp), lambda i, c: (c, 0),
+            pl.BlockSpec((tc * gpt_g, Wg), lambda i, c: (c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((tc, bm), lambda i, c: (c, i),
                                 memory_space=pltpu.VMEM)] * 4
-        + [pl.BlockSpec((bm, 2 * Dvp), lambda i, c: (i, 0),
+        + [pl.BlockSpec((bm, Ws + Wg), lambda i, c: (i, 0),
                         memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((t_pad, Bp), jnp.float32)] * 4
-        + [jax.ShapeDtypeStruct((Bp, 2 * Dvp), jnp.float32)],
+        + [jax.ShapeDtypeStruct((Bp, Ws + Wg), jnp.float32)],
         scratch_shapes=[
-            pltpu.VMEM((bm, Dvp), jnp.float32),
-            pltpu.VMEM((bm, Dvp), jnp.float32),
+            pltpu.VMEM((bm, Ws), jnp.float32),
+            pltpu.VMEM((bm, Wg), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * t_pad * (gpt_s + gpt_g) * (cat_d + Dvp),
-            bytes_accessed=(nB * t_pad * (gpt_s + gpt_g) * (cat_d + Dvp) * 2
+            flops=2 * Bp * t_pad * (gpt_s * (cat_d + Ws)
+                                    + gpt_g * (cat_d + Wg)),
+            bytes_accessed=(nB * t_pad * (gpt_s * (cat_d + Ws)
+                                          + gpt_g * (cat_d + Wg)) * 2
                             + Bp * cat_d * 2 + 4 * Bp * t_pad * 4
-                            + Bp * 2 * Dvp * 4),
+                            + Bp * (Ws + Wg) * 4),
             transcendentals=Bp * t_pad * (gpt_s + gpt_g),
         ),
         interpret=interpret,
@@ -1044,7 +1078,7 @@ def _hier_refine_call(q_cat, idx, g_sem_cat, g_sup_cat, g_sem_vw, g_sup_vw,
     return stats[:, :M], stats[:, Mp:Mp + M], parts
 
 
-def _hier_parts_kernel(sem_d, has_scale, idx_ref, q_ref, k_ref, v_ref,
+def _hier_parts_kernel(sem_d, has_scale, lr, idx_ref, q_ref, k_ref, v_ref,
                        gs_ref, gg_ref, vs_ref, vg_ref, *rest):
     """Per selected bank tile: EXACT dual-softmax partials MINUS the tile's
     group-centroid approximation (the same formula the fused scan's tail
@@ -1054,11 +1088,17 @@ def _hier_parts_kernel(sem_d, has_scale, idx_ref, q_ref, k_ref, v_ref,
     block index maps follow the scalar-prefetched idx list.  Emits
     UNNORMALIZED [bm, 2*Dv + 128] partials ([sem_acc | geo_acc | d_sem |
     d_geo | pad]) — bounded logits make plain sums safe (see
-    retrieval_pallas.py), so everything combines linearly outside."""
+    retrieval_pallas.py), so everything combines linearly outside.
+
+    `lr`: the sem group values are LOW-RANK coefficients (vs_ref [gpt_s,
+    rp], count in its last used column) — the sem approximation then
+    accumulates in coefficient space into a separate [bm, rp] output and
+    the caller subtracts `(scan_tail_lr - parts_approx_lr) @ U` outside
+    (everything is linear, so the unprojection commutes with the sums)."""
     if has_scale:
-        s_ref, mask_ref, out_ref, acc_ref, ds_ref, dg_ref = rest
+        s_ref, mask_ref, out_ref, acc_ref, ds_ref, dg_ref, *alr = rest
     else:
-        mask_ref, out_ref, acc_ref, ds_ref, dg_ref = rest
+        mask_ref, out_ref, acc_ref, ds_ref, dg_ref, *alr = rest
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -1067,6 +1107,8 @@ def _hier_parts_kernel(sem_d, has_scale, idx_ref, q_ref, k_ref, v_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
         ds_ref[:] = jnp.zeros_like(ds_ref)
         dg_ref[:] = jnp.zeros_like(dg_ref)
+        if lr:
+            alr[0][:] = jnp.zeros_like(alr[0])
 
     q = q_ref[:]
     k = k_ref[:]
@@ -1106,8 +1148,12 @@ def _hier_parts_kernel(sem_d, has_scale, idx_ref, q_ref, k_ref, v_ref,
     vs = vs_ref[:]
     appr_s = jnp.dot(es.astype(vs.dtype), vs,
                      preferred_element_type=jnp.float32)
-    acc_ref[:, :Dv] -= appr_s[:, :Dv]
-    ds_ref[:] -= appr_s[:, Dv:Dv + 1]
+    if lr:
+        # coefficient-space accumulation; unprojection happens outside
+        alr[0][:] += appr_s
+    else:
+        acc_ref[:, :Dv] -= appr_s[:, :Dv]
+        ds_ref[:] -= appr_s[:, Dv:Dv + 1]
     eg = jnp.exp2(jnp.minimum(
         jnp.dot(q, gg_ref[:].T, preferred_element_type=jnp.float32), CLAMP2))
     vg = vg_ref[:]
@@ -1122,18 +1168,29 @@ def _hier_parts_kernel(sem_d, has_scale, idx_ref, q_ref, k_ref, v_ref,
         out_ref[:, :Dv2] = acc_ref[:]
         out_ref[:, Dv2:Dv2 + 1] = ds_ref[:]
         out_ref[:, Dv2 + 1:Dv2 + 2] = dg_ref[:]
-        out_ref[:, Dv2 + 2:] = jnp.zeros_like(out_ref[:, Dv2 + 2:])
+        if lr:
+            rp = alr[0].shape[1]
+            out_ref[:, Dv2 + 2:Dv2 + 128] = jnp.zeros_like(
+                out_ref[:, Dv2 + 2:Dv2 + 128])
+            out_ref[:, Dv2 + 128:Dv2 + 128 + rp] = alr[0][:]
+        else:
+            out_ref[:, Dv2 + 2:] = jnp.zeros_like(out_ref[:, Dv2 + 2:])
 
 
 @functools.partial(jax.jit, static_argnames=("sem_d", "bm", "bn", "gpt_s",
-                                             "gpt_g", "interpret"))
+                                             "gpt_g", "lr", "interpret"))
 def _hier_parts_call(q_cat, k_cat, values, scale, mask_neg, idx,
                      g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw, *,
                      sem_d: int, bm: int, bn: int, gpt_s: int, gpt_g: int,
-                     interpret: bool = False) -> jnp.ndarray:
+                     lr: bool = False, interpret: bool = False
+                     ) -> jnp.ndarray:
+    """lr=True: g_sem_vw holds low-rank coefficients [G, rp]; the output
+    grows by rp columns carrying the coefficient-space sem approximation
+    (out layout [sem | geo | d_s | d_g | pad(126) | alr])."""
     Bp, cat_d = q_cat.shape
     N, Dv = values.shape
-    Dvp = g_sem_vw.shape[1]
+    Ws = g_sem_vw.shape[1]
+    Wg = g_geo_vw.shape[1]
     nB = Bp // bm
     K = idx.shape[1]
     assert idx.shape == (nB, K), (idx.shape, nB)
@@ -1149,8 +1206,8 @@ def _hier_parts_call(q_cat, k_cat, values, scale, mask_neg, idx,
         pl.BlockSpec((bn, Dv), kidx, memory_space=pltpu.VMEM),
         pl.BlockSpec((gpt_s, cat_d), kidx, memory_space=pltpu.VMEM),
         pl.BlockSpec((gpt_g, cat_d), kidx, memory_space=pltpu.VMEM),
-        pl.BlockSpec((gpt_s, Dvp), kidx, memory_space=pltpu.VMEM),
-        pl.BlockSpec((gpt_g, Dvp), kidx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((gpt_s, Ws), kidx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((gpt_g, Wg), kidx, memory_space=pltpu.VMEM),
     ]
     operands = [q_cat, k_cat, values, g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw]
     has_scale = scale is not None
@@ -1163,21 +1220,24 @@ def _hier_parts_call(q_cat, k_cat, values, scale, mask_neg, idx,
                                  memory_space=pltpu.VMEM))
     operands.append(mask_neg)
 
-    out_w = 2 * Dv + 128
+    out_w = 2 * Dv + 128 + (Ws if lr else 0)
+    scratch = [
+        pltpu.VMEM((bm, 2 * Dv), jnp.float32),
+        pltpu.VMEM((bm, 1), jnp.float32),
+        pltpu.VMEM((bm, 1), jnp.float32),
+    ]
+    if lr:
+        scratch.append(pltpu.VMEM((bm, Ws), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, out_w), lambda i, g, idx_: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((bm, 2 * Dv), jnp.float32),
-            pltpu.VMEM((bm, 1), jnp.float32),
-            pltpu.VMEM((bm, 1), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(_hier_parts_kernel, sem_d, has_scale),
+        functools.partial(_hier_parts_kernel, sem_d, has_scale, lr),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, out_w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -1185,7 +1245,8 @@ def _hier_parts_call(q_cat, k_cat, values, scale, mask_neg, idx,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * K * (bn * (cat_d + 2 * Dv)
-                                + (gpt_s + gpt_g) * (cat_d + Dvp)),
+                                + gpt_s * (cat_d + Ws)
+                                + gpt_g * (cat_d + Wg)),
             bytes_accessed=nB * K * (bn + gpt_s + gpt_g) * (cat_d + Dv) * 2
             + Bp * (cat_d + Dv) * 4,
             transcendentals=Bp * K * (2 * bn + gpt_s + gpt_g),
@@ -1261,10 +1322,17 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
 
     Partials are linear, so bank shards combine with a plain psum
     (parallel/sharded.sharded_retrieve_hier) exactly like the dense parts
-    kernel's."""
+    kernel's.
+
+    Banks built with `lr_rank` run the LOW-RANK sem tail: the scan and the
+    parts approximation both accumulate rank-r coefficients, their
+    difference unprojects ONCE through u_sem outside the kernels (all
+    linear), cutting the scan's value matmul from Dvp to rp columns."""
     gpt_s, gpt_g = hb.bn // hb.gsz_sem, hb.bn // hb.gsz_geo
+    use_lr = hb.g_sem_vw_lr is not None and hb.lr_rank > 0
+    sem_vw = hb.g_sem_vw_lr if use_lr else hb.g_sem_vw
     m_s, s_s, m_g, s_g, tails = _hier_scan_call(
-        q_cat, hb.g_sem_cat, hb.g_geo_cat, hb.g_sem_vw, hb.g_geo_vw,
+        q_cat, hb.g_sem_cat, hb.g_geo_cat, sem_vw, hb.g_geo_vw,
         bm=bm, tc=tc, gpt_s=gpt_s, gpt_g=gpt_g,
         has_geo=mode == "range+", interpret=interpret)
     idx, sel = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
@@ -1273,18 +1341,26 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
     # parts = sum over selected tiles of (exact - group approximation)
     parts = _hier_parts_call(q_cat, hb.k_cat, hb.values, hb.value_scale,
                              hb.mask_neg, idx, hb.g_sem_cat, hb.g_geo_cat,
-                             hb.g_sem_vw, hb.g_geo_vw, sem_d=hb.sem_d, bm=bm,
-                             bn=hb.bn, gpt_s=gpt_s, gpt_g=gpt_g,
+                             sem_vw, hb.g_geo_vw, sem_d=hb.sem_d, bm=bm,
+                             bn=hb.bn, gpt_s=gpt_s, gpt_g=gpt_g, lr=use_lr,
                              interpret=interpret)
     Dv = hb.value_dim
-    Dvp = hb.g_sem_vw.shape[1]
-    acc_s = parts[:, :Dv] + tails[:, :Dv]
-    d_s = parts[:, 2 * Dv:2 * Dv + 1] + tails[:, Dv:Dv + 1]
+    Ws = sem_vw.shape[1]
+    Wg = hb.g_geo_vw.shape[1]
+    if use_lr:
+        r = hb.lr_rank
+        corr = tails[:, :Ws] - parts[:, 2 * Dv + 128:]
+        acc_s = parts[:, :Dv] + jnp.dot(
+            corr[:, :r], hb.u_sem, preferred_element_type=jnp.float32)
+        d_s = parts[:, 2 * Dv:2 * Dv + 1] + corr[:, r:r + 1]
+    else:
+        acc_s = parts[:, :Dv] + tails[:, :Dv]
+        d_s = parts[:, 2 * Dv:2 * Dv + 1] + tails[:, Dv:Dv + 1]
     acc_g = parts[:, Dv:2 * Dv]
     d_g = parts[:, 2 * Dv + 1:2 * Dv + 2]
     if mode == "range+":
-        acc_g = acc_g + tails[:, Dvp:Dvp + Dv]
-        d_g = d_g + tails[:, Dvp + Dv:Dvp + Dv + 1]
+        acc_g = acc_g + tails[:, Ws:Ws + Dv]
+        d_g = d_g + tails[:, Ws + Dv:Ws + Dv + 1]
     return acc_s, acc_g, d_s, d_g
 
 
@@ -1402,7 +1478,11 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
         inv = jnp.argsort(order)
         q_cat = q_cat[order]
 
-    use2 = bool(hb.gsz_super) and hb.g_sup_cat is not None
+    # low-rank banks run the one-level lr pipeline; two-level only when
+    # super operands exist and lr does not (v1+lr beat v2 on probe
+    # fidelity: the diffuse sem mass needs the FINE tail on all tiles)
+    use_lr = hb.g_sem_vw_lr is not None and hb.lr_rank > 0
+    use2 = bool(hb.gsz_super) and hb.g_sup_cat is not None and not use_lr
     if sort_queries and hybrid:
         # hybrid ordering groups each coarse geo cell's queries by their
         # hottest sem tile, which needs the scan stats — run a stats-only
@@ -1519,14 +1599,15 @@ def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
                          gsz_geo: int, tier: str, seed: int,
                          shards: int, gsz_super: int = 0,
                          group_by: str = "key_value",
-                         group_value_weight: float = 1.0) -> dict:
+                         group_value_weight: float = 1.0,
+                         lr_rank: int = 0) -> dict:
     """The identity of a `build_hier_bank` run: source bank + every build
     parameter.  Stored in the disk cache and validated on load so a stale
     cache (different bank or params) is rebuilt, never silently served."""
     return {"fp": bank_fingerprint(bank), "bn": bn, "gsz_sem": gsz_sem,
             "gsz_geo": gsz_geo, "gsz_super": gsz_super, "tier": tier,
             "seed": seed, "shards": shards, "group_by": group_by,
-            "gvw": group_value_weight}
+            "gvw": group_value_weight, "lr_rank": lr_rank}
 
 
 def peek_hier_build(path: str) -> Optional[dict]:
@@ -1558,7 +1639,8 @@ def save_hier_bank(hb: HierBank, path: str, build: Optional[dict] = None
     for field in ("k_cat", "values", "value_scale", "mask_neg",
                   "sem_centroid", "geo_centroid", "sem_radius", "geo_radius",
                   "g_sem_cat", "g_geo_cat", "g_sem_vw", "g_geo_vw",
-                  "khl_sem", "g_sup_cat", "g_sup_vw"):
+                  "khl_sem", "g_sup_cat", "g_sup_vw", "g_sem_vw_lr",
+                  "u_sem"):
         v = getattr(hb, field)
         if v is None:
             continue
@@ -1573,8 +1655,8 @@ def save_hier_bank(hb: HierBank, path: str, build: Optional[dict] = None
         arrays["bank_value_scale"], meta["dtypes"]["bank_value_scale"] = enc(
             hb.bank.value_scale)
     arrays["bank_n_valid"] = np.asarray(hb.bank.n_valid)
-    for field in ("tier", "bn", "gsz_sem", "gsz_geo", "gsz_super", "sem_d",
-                  "cat_d", "t_real", "t_pad"):
+    for field in ("tier", "bn", "gsz_sem", "gsz_geo", "gsz_super",
+                  "lr_rank", "sem_d", "cat_d", "t_real", "t_pad"):
         meta[field] = getattr(hb, field)
     if build is not None:
         meta["build"] = build
@@ -1617,8 +1699,10 @@ def load_hier_bank(path: str) -> HierBank:
         g_sem_vw=dec("g_sem_vw"), g_geo_vw=dec("g_geo_vw"),
         khl_sem=dec("khl_sem"),
         g_sup_cat=dec("g_sup_cat"), g_sup_vw=dec("g_sup_vw"),
+        g_sem_vw_lr=dec("g_sem_vw_lr"), u_sem=dec("u_sem"),
         tier=meta["tier"], bn=meta["bn"], gsz_sem=meta["gsz_sem"],
         gsz_geo=meta["gsz_geo"], gsz_super=meta.get("gsz_super", 0),
+        lr_rank=meta.get("lr_rank", 0),
         sem_d=meta["sem_d"], cat_d=meta["cat_d"],
         t_real=meta["t_real"], t_pad=meta["t_pad"],
     )

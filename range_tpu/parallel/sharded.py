@@ -275,6 +275,10 @@ def shard_hier_bank(hb, mesh: Mesh, axis: str = "bank"):
         g_sem_vw=put(hb.g_sem_vw, rows),
         g_geo_vw=put(hb.g_geo_vw, rows),
         khl_sem=put(hb.khl_sem, rows),
+        g_sup_cat=put(hb.g_sup_cat, rows),
+        g_sup_vw=put(hb.g_sup_vw, rows),
+        g_sem_vw_lr=put(hb.g_sem_vw_lr, rows),
+        u_sem=put(hb.u_sem, rep),
     )
 
 
@@ -385,6 +389,7 @@ def _hier_bank_spec(hb, bank_axis: str):
                      else None),
         mask_neg=P(None, bank_axis),
         sem_centroid=P(), geo_centroid=P(), sem_radius=P(), geo_radius=P(),
+        u_sem=P() if hb.u_sem is not None else None,
     )
 
 

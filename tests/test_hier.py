@@ -346,3 +346,40 @@ def test_hier2_save_load_roundtrip(bank, hb2, queries, tmp_path):
     b = np.asarray(retrieve_hier(q, q_xyz, hb2b, k_tiles=8, m_tiles=16,
                                  bm=128, interpret=True))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_hier_lr_tail(bank, queries):
+    """Low-rank sem tail: at FULL rank (r = Dv) the lr pipeline must match
+    the full-width pipeline exactly (the unprojection is lossless); at
+    partial rank it stays close (the bank's group value sums are
+    low-rank-ish); all-tiles remains exact regardless (the tail cancels)."""
+    from range_tpu.ops.retrieval_hier import build_hier_bank, retrieve_hier
+
+    q, q_xyz = queries
+    Dv = bank.value_dim
+    hb_full = build_hier_bank(bank, bn=BN, gsz_sem=8, gsz_geo=16,
+                              tier="exact", value_dtype=jnp.float32)
+    hb_lr = build_hier_bank(bank, bn=BN, gsz_sem=8, gsz_geo=16, tier="exact",
+                            value_dtype=jnp.float32, lr_rank=Dv)
+    assert hb_lr.g_sem_vw_lr is not None and hb_lr.u_sem.shape == (Dv, Dv)
+    a = np.asarray(retrieve_hier(q, q_xyz, hb_full, k_tiles=8, bm=128,
+                                 interpret=True))
+    b = np.asarray(retrieve_hier(q, q_xyz, hb_lr, k_tiles=8, bm=128,
+                                 interpret=True))
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-5)
+
+    # partial rank: all-tiles exact (tail fully cancelled by parts)
+    ref = np.asarray(retrieve(q, q_xyz, bank, sem_temp=12.0, geo_temp=40.0,
+                              beta=0.5, chunk=PAD))
+    hb_r = build_hier_bank(bank, bn=BN, gsz_sem=8, gsz_geo=16, tier="exact",
+                           value_dtype=jnp.float32, lr_rank=Dv // 2)
+    out_all = np.asarray(retrieve_hier(q, q_xyz, hb_r, k_tiles=hb_r.t_real,
+                                       bm=128, interpret=True))
+    rel = np.abs(out_all - ref) / np.maximum(np.abs(ref), 1e-1)
+    assert rel.max() < 5e-3, rel.max()
+    # partial rank + partial selection: close to full-width fidelity
+    out_r = np.asarray(retrieve_hier(q, q_xyz, hb_r, k_tiles=8, bm=128,
+                                     interpret=True))
+    rel_r = (np.abs(out_r - ref) / np.maximum(np.abs(ref), 1e-1)).mean()
+    rel_f = (np.abs(a - ref) / np.maximum(np.abs(ref), 1e-1)).mean()
+    assert rel_r < rel_f + 0.05, (rel_r, rel_f)

@@ -64,6 +64,7 @@ class RangeConfig:
     retrieval: str = "dense"
     k_tiles: int = 16      # hier: exact tiles per query tile (recall knob)
     m_tiles: Any = None    # hier two-level: fine-refined tiles (None = auto)
+    k_geo: int = 0         # hier: split exact budgets (sem-only K + geo K)
     j_sem: int = 2         # hier: per-query sem groups scattered
     j_geo: int = 2         # hier: per-query geo groups scattered
     hier_bm: int = 256     # hier: query-tile size
@@ -146,7 +147,7 @@ class RangeEncoder:
                     q_sem, q_xyz, bank,
                     sem_temp=cfg.resolved_sem_temp(), geo_temp=cfg.geo_temp,
                     beta=cfg.beta, mode=cfg.mode, k_tiles=cfg.k_tiles,
-                    m_tiles=cfg.m_tiles,
+                    m_tiles=cfg.m_tiles, k_geo=cfg.k_geo,
                     bm=bm, j_sem=cfg.j_sem, j_geo=cfg.j_geo,
                     interpret=jax.default_backend() != "tpu",
                 )

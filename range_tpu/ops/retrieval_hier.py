@@ -1078,6 +1078,150 @@ def _hier_refine_call(q_cat, idx, g_sem_cat, g_sup_cat, g_sem_vw, g_sup_vw,
     return stats[:, :M], stats[:, Mp:Mp + M], parts
 
 
+def _hier_parts_family_kernel(sem_d, has_scale, lr, geo, idx_ref, q_ref,
+                              k_ref, v_ref, gs_ref, vs_ref, *rest):
+    """Single-family variant of `_hier_parts_kernel`: exact one-family
+    softmax partials minus that family's group approximation over the
+    scalar-prefetched tile list.  Splitting families lets the sem exact
+    budget (K_sem, the probe-fidelity knob) grow without paying the geo
+    value matmul on every tile — the geo family is sharply local and needs
+    only a few exact tiles of its own (`k_geo`).  Out layout:
+    [acc(Dv) | d | pad(127) | (alr when lr)]."""
+    if has_scale:
+        s_ref, mask_ref, out_ref, acc_ref, d_ref, *alr = rest
+    else:
+        mask_ref, out_ref, acc_ref, d_ref, *alr = rest
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        d_ref[:] = jnp.zeros_like(d_ref)
+        if lr:
+            alr[0][:] = jnp.zeros_like(alr[0])
+
+    q = q_ref[:]
+    k = k_ref[:]
+    mask = mask_ref[:]
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    if geo:
+        logits = jnp.dot(q[:, sem_d:], k[:, sem_d:].T,
+                         preferred_element_type=jnp.float32,
+                         precision=prec) + mask
+    else:
+        logits = jnp.dot(q[:, :sem_d], k[:, :sem_d].T,
+                         preferred_element_type=jnp.float32,
+                         precision=prec) + mask
+    p = jnp.exp2(jnp.minimum(logits, CLAMP2))
+    d_ref[:] += jnp.sum(p, axis=-1, keepdims=True)
+    Dv = v_ref.shape[1]
+    if has_scale:
+        s = s_ref[:]
+        v = v_ref[:].astype(jnp.bfloat16)
+        acc_ref[:] += jnp.dot((p * s).astype(jnp.bfloat16), v,
+                              preferred_element_type=jnp.float32)
+    else:
+        v = v_ref[:]
+        vprec = jax.lax.Precision.HIGHEST if v.dtype == jnp.float32 else None
+        acc_ref[:] += jnp.dot(p.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32,
+                              precision=vprec)
+
+    e = jnp.exp2(jnp.minimum(
+        jnp.dot(q, gs_ref[:].T, preferred_element_type=jnp.float32), CLAMP2))
+    vs = vs_ref[:]
+    appr = jnp.dot(e.astype(vs.dtype), vs,
+                   preferred_element_type=jnp.float32)
+    if lr:
+        alr[0][:] += appr
+    else:
+        acc_ref[:] -= appr[:, :Dv]
+        d_ref[:] -= appr[:, Dv:Dv + 1]
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:, :Dv] = acc_ref[:]
+        out_ref[:, Dv:Dv + 1] = d_ref[:]
+        if lr:
+            rp = alr[0].shape[1]
+            out_ref[:, Dv + 1:Dv + 128] = jnp.zeros_like(
+                out_ref[:, Dv + 1:Dv + 128])
+            out_ref[:, Dv + 128:Dv + 128 + rp] = alr[0][:]
+        else:
+            out_ref[:, Dv + 1:] = jnp.zeros_like(out_ref[:, Dv + 1:])
+
+
+@functools.partial(jax.jit, static_argnames=("sem_d", "bm", "bn", "gpt",
+                                             "geo", "lr", "interpret"))
+def _hier_parts_family_call(q_cat, k_cat, values, scale, mask_neg, idx,
+                            g_cat, g_vw, *, sem_d: int, bm: int, bn: int,
+                            gpt: int, geo: bool = False, lr: bool = False,
+                            interpret: bool = False) -> jnp.ndarray:
+    Bp, cat_d = q_cat.shape
+    N, Dv = values.shape
+    W = g_vw.shape[1]
+    nB = Bp // bm
+    K = idx.shape[1]
+    assert idx.shape == (nB, K), (idx.shape, nB)
+    grid = (nB, K)
+
+    def kidx(i, g, idx_):
+        return (idx_[i, g], 0)
+
+    in_specs = [
+        pl.BlockSpec((bm, cat_d), lambda i, g, idx_: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, cat_d), kidx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, Dv), kidx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((gpt, cat_d), kidx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((gpt, W), kidx, memory_space=pltpu.VMEM),
+    ]
+    operands = [q_cat, k_cat, values, g_cat, g_vw]
+    has_scale = scale is not None
+    if has_scale:
+        in_specs.append(pl.BlockSpec((1, bn),
+                                     lambda i, g, idx_: (0, idx_[i, g]),
+                                     memory_space=pltpu.VMEM))
+        operands.append(scale)
+    in_specs.append(pl.BlockSpec((1, bn), lambda i, g, idx_: (0, idx_[i, g]),
+                                 memory_space=pltpu.VMEM))
+    operands.append(mask_neg)
+
+    out_w = Dv + 128 + (W if lr else 0)
+    scratch = [
+        pltpu.VMEM((bm, Dv), jnp.float32),
+        pltpu.VMEM((bm, 1), jnp.float32),
+    ]
+    if lr:
+        scratch.append(pltpu.VMEM((bm, W), jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, out_w), lambda i, g, idx_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        functools.partial(_hier_parts_family_kernel, sem_d, has_scale, lr,
+                          geo),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, out_w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * K * (bn * (cat_d // 2 + Dv) + gpt * (cat_d + W)),
+            bytes_accessed=nB * K * (bn + gpt) * (cat_d + Dv) * 2
+            + Bp * (cat_d + Dv) * 4,
+            transcendentals=Bp * K * (bn + gpt),
+        ),
+        interpret=interpret,
+    )(idx, *operands)
+    return out
+
+
 def _hier_parts_kernel(sem_d, has_scale, lr, idx_ref, q_ref, k_ref, v_ref,
                        gs_ref, gg_ref, vs_ref, vg_ref, *rest):
     """Per selected bank tile: EXACT dual-softmax partials MINUS the tile's
@@ -1314,7 +1458,7 @@ def _hybrid_order(q_xyz, home_s, n_valid: int, t_pad: int,
 
 def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
                    bm: int, tc: int, j_sem: int, j_geo: int, mode: str,
-                   n_valid: int, interpret: bool = False):
+                   n_valid: int, k_geo: int = 0, interpret: bool = False):
     """The hier pipeline body on (already sorted) packed queries:
     fused scan (stats + all-tiles tail) -> tile selection -> parts kernel
     (exact − group approx over selected tiles) -> combined UNNORMALIZED
@@ -1335,6 +1479,39 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
         q_cat, hb.g_sem_cat, hb.g_geo_cat, sem_vw, hb.g_geo_vw,
         bm=bm, tc=tc, gpt_s=gpt_s, gpt_g=gpt_g,
         has_geo=mode == "range+", interpret=interpret)
+    Dv = hb.value_dim
+    Ws = sem_vw.shape[1]
+    if k_geo and mode == "range+":
+        # asymmetric exact budgets: the sem family's K (the probe-fidelity
+        # knob) rides a sem-only parts kernel — no geo value matmul on
+        # those tiles — while the sharply-local geo family gets its own
+        # small exact list.  ~2x less parts work at equal K_sem.
+        idx_s, _ = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
+                                k_tiles=k_tiles, bm=bm, n_valid=n_valid,
+                                j_sem=j_sem, j_geo=j_geo, mode="range")
+        idx_g, _ = select_tiles(m_g, s_g, m_s, s_s, t_real=hb.t_real,
+                                k_tiles=k_geo, bm=bm, n_valid=n_valid,
+                                j_sem=j_geo, j_geo=j_sem, mode="range")
+        parts_s = _hier_parts_family_call(
+            q_cat, hb.k_cat, hb.values, hb.value_scale, hb.mask_neg, idx_s,
+            hb.g_sem_cat, sem_vw, sem_d=hb.sem_d, bm=bm, bn=hb.bn,
+            gpt=gpt_s, geo=False, lr=use_lr, interpret=interpret)
+        parts_g = _hier_parts_family_call(
+            q_cat, hb.k_cat, hb.values, hb.value_scale, hb.mask_neg, idx_g,
+            hb.g_geo_cat, hb.g_geo_vw, sem_d=hb.sem_d, bm=bm, bn=hb.bn,
+            gpt=gpt_g, geo=True, lr=False, interpret=interpret)
+        if use_lr:
+            r = hb.lr_rank
+            corr = tails[:, :Ws] - parts_s[:, Dv + 128:]
+            acc_s = parts_s[:, :Dv] + jnp.dot(
+                corr[:, :r], hb.u_sem, preferred_element_type=jnp.float32)
+            d_s = parts_s[:, Dv:Dv + 1] + corr[:, r:r + 1]
+        else:
+            acc_s = parts_s[:, :Dv] + tails[:, :Dv]
+            d_s = parts_s[:, Dv:Dv + 1] + tails[:, Dv:Dv + 1]
+        acc_g = parts_g[:, :Dv] + tails[:, Ws:Ws + Dv]
+        d_g = parts_g[:, Dv:Dv + 1] + tails[:, Ws + Dv:Ws + Dv + 1]
+        return acc_s, acc_g, d_s, d_g
     idx, sel = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
                             k_tiles=k_tiles, bm=bm, n_valid=n_valid,
                             j_sem=j_sem, j_geo=j_geo, mode=mode)
@@ -1344,9 +1521,6 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
                              sem_vw, hb.g_geo_vw, sem_d=hb.sem_d, bm=bm,
                              bn=hb.bn, gpt_s=gpt_s, gpt_g=gpt_g, lr=use_lr,
                              interpret=interpret)
-    Dv = hb.value_dim
-    Ws = sem_vw.shape[1]
-    Wg = hb.g_geo_vw.shape[1]
     if use_lr:
         r = hb.lr_rank
         corr = tails[:, :Ws] - parts[:, 2 * Dv + 128:]
@@ -1432,13 +1606,14 @@ def _hier_partials2(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sem_temp", "geo_temp", "beta", "mode", "k_tiles", "m_tiles", "bm", "tc",
-    "j_sem", "j_geo", "sort_queries", "sort", "interpret"))
+    "sem_temp", "geo_temp", "beta", "mode", "k_tiles", "m_tiles", "k_geo",
+    "bm", "tc", "j_sem", "j_geo", "sort_queries", "sort", "interpret"))
 def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
                   hb: HierBank, *, sem_temp: float = 12.0,
                   geo_temp: float = 40.0, beta: float = 0.5,
                   mode: str = "range+", k_tiles: int = 16,
-                  m_tiles: Optional[int] = None, bm: int = 256,
+                  m_tiles: Optional[int] = None, k_geo: int = 0,
+                  bm: int = 256,
                   tc: int = 16, j_sem: int = 2, j_geo: int = 2,
                   sort_queries: bool = True, sort: str = "geo",
                   interpret: bool = False) -> jnp.ndarray:
@@ -1510,7 +1685,8 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
     else:
         acc_s, acc_g, d_s, d_g = _hier_partials(
             q_cat, hb, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
-            j_geo=j_geo, mode=mode, n_valid=B, interpret=interpret)
+            j_geo=j_geo, mode=mode, n_valid=B, k_geo=k_geo,
+            interpret=interpret)
     sem = acc_s / jnp.maximum(d_s, 1e-30)
     if mode == "range":
         out = sem

@@ -383,3 +383,50 @@ def test_hier_lr_tail(bank, queries):
     rel_r = (np.abs(out_r - ref) / np.maximum(np.abs(ref), 1e-1)).mean()
     rel_f = (np.abs(a - ref) / np.maximum(np.abs(ref), 1e-1)).mean()
     assert rel_r < rel_f + 0.05, (rel_r, rel_f)
+
+
+def test_hier_asymmetric_family_parts(bank, hb, queries):
+    """k_geo > 0 splits the exact budgets per family (sem-only + geo-only
+    parts kernels).  With every tile in both lists it must equal the dense
+    exact computation; at serving budgets it must be at least as good as
+    the symmetric path at equal TOTAL exact work (K_sym ~ K_sem/2 + ...)."""
+    q, q_xyz = queries
+    ref = np.asarray(retrieve(q, q_xyz, bank, sem_temp=12.0, geo_temp=40.0,
+                              beta=0.5, chunk=PAD))
+    out_all = np.asarray(retrieve_hier(q, q_xyz, hb, k_tiles=hb.t_real,
+                                       k_geo=hb.t_real, bm=128,
+                                       interpret=True))
+    rel = np.abs(out_all - ref) / np.maximum(np.abs(ref), 1e-1)
+    assert rel.max() < 5e-3, rel.max()
+
+    # asymmetric K_sem=12/K_geo=4 vs symmetric K=8: equal-ish exact row
+    # work ((12+4) single-family ~ 8 dual-family), better sem coverage
+    out_asym = np.asarray(retrieve_hier(q, q_xyz, hb, k_tiles=12, k_geo=4,
+                                        bm=128, interpret=True))
+    out_sym = np.asarray(retrieve_hier(q, q_xyz, hb, k_tiles=8, bm=128,
+                                       interpret=True))
+    rel_a = (np.abs(out_asym - ref) / np.maximum(np.abs(ref), 1e-1)).mean()
+    rel_s = (np.abs(out_sym - ref) / np.maximum(np.abs(ref), 1e-1)).mean()
+    assert rel_a < rel_s * 1.15, (rel_a, rel_s)
+
+
+def test_hier_asymmetric_with_lr(bank, queries):
+    """Asymmetric parts compose with the low-rank sem tail: full rank +
+    all tiles stays exact."""
+    from range_tpu.ops.retrieval_hier import build_hier_bank
+
+    q, q_xyz = queries
+    hb_lr = build_hier_bank(bank, bn=BN, gsz_sem=8, gsz_geo=16, tier="exact",
+                            value_dtype=jnp.float32,
+                            lr_rank=bank.value_dim // 2)
+    ref = np.asarray(retrieve(q, q_xyz, bank, sem_temp=12.0, geo_temp=40.0,
+                              beta=0.5, chunk=PAD))
+    out = np.asarray(retrieve_hier(q, q_xyz, hb_lr, k_tiles=hb_lr.t_real,
+                                   k_geo=hb_lr.t_real, bm=128,
+                                   interpret=True))
+    rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-1)
+    assert rel.max() < 5e-3, rel.max()
+    out_p = np.asarray(retrieve_hier(q, q_xyz, hb_lr, k_tiles=12, k_geo=4,
+                                     bm=128, interpret=True))
+    rel_p = (np.abs(out_p - ref) / np.maximum(np.abs(ref), 1e-1)).mean()
+    assert rel_p < 0.2, rel_p

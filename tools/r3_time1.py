@@ -124,8 +124,11 @@ def main():
     for tag, hbx, kw in (
             ("v1 K=56", hb, dict(k_tiles=56)),
             ("v1 K=40", hb, dict(k_tiles=40)),
+            ("v1 bm128 K=32", hb, dict(k_tiles=32, bm=128)),
+            ("v1 bm128 K=24", hb, dict(k_tiles=24, bm=128)),
             ("sup64 M=96 K=48", hb_sup, dict(k_tiles=48, m_tiles=96)),
-            ("sup64 M=112 K=56", hb_sup, dict(k_tiles=56, m_tiles=112)),
+            ("sup64 bm128 M=64 K=28", hb_sup, dict(k_tiles=28, m_tiles=64,
+                                                   bm=128)),
     ):
         ms = t(hier_topk, q, q_xyz, hbx, **kw)
         got = np.asarray(hier_topk(q, q_xyz, hbx, **kw))

@@ -123,13 +123,18 @@ def _time_candidate(q_sem, q_xyz, bank, sem_temp, geo_temp, beta, mode, tier,
     # measure the PIPELINED regime (dispatch `repeats` times, fence once with
     # a scalar fetch) — serving overlaps dispatch with device compute, and a
     # per-call fence would add a tunnel round-trip to every sample, hiding
-    # the block-shape differences being measured
+    # the block-shape differences being measured.  Best-of-3 rounds: the
+    # shared tunneled chip shows multi-ms noise spikes that a single round
+    # mis-ranks candidates on (measured round 3)
     float(jnp.sum(fn(q_sem, q_xyz, bank)))  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = fn(q_sem, q_xyz, bank)
-    float(jnp.sum(out))
-    return (time.perf_counter() - t0) / repeats
+    best = float("inf")
+    for _round in range(3):
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            out = fn(q_sem, q_xyz, bank)
+        float(jnp.sum(out))
+        best = min(best, (time.perf_counter() - t0) / repeats)
+    return best
 
 
 def retrieve_autotuned(q_sem, q_xyz, bank, **kwargs):
@@ -211,11 +216,13 @@ def autotune_hier(q_sem, q_xyz, hb, *,
             j_geo=j_geo, interpret=interpret))
         try:
             float(jnp.sum(fn(q_sem, q_xyz, hb)))  # compile + warm
-            t0 = time.perf_counter()
-            for _ in range(repeats):
-                out = fn(q_sem, q_xyz, hb)
-            float(jnp.sum(out))
-            t = (time.perf_counter() - t0) / repeats
+            t = float("inf")  # best-of-3 rounds (tunnel noise mis-ranks
+            for _round in range(3):  # single-round probes; see above)
+                t0 = time.perf_counter()
+                for _ in range(repeats):
+                    out = fn(q_sem, q_xyz, hb)
+                float(jnp.sum(out))
+                t = min(t, (time.perf_counter() - t0) / repeats)
         except Exception as err:
             if _is_oom(err):
                 log.info("autotune_hier: (bm=%d, tc=%d) OOM, skipped", bm, tc)

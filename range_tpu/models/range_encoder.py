@@ -68,6 +68,14 @@ class RangeConfig:
     j_sem: int = 2         # hier: per-query sem groups scattered
     j_geo: int = 2         # hier: per-query geo groups scattered
     hier_bm: int = 256     # hier: query-tile size
+    # hier: batches below this fall back to the dense exact kernel.  The
+    # selection stage's fidelity depends on spatial coherence of each
+    # bm-query tile, which small GLOBAL batches lack (see apply()); the
+    # joint-clustered group tail itself is per-query-exact, so
+    # latency-focused deployments can set 0 to serve ALL batch sizes
+    # hierarchically (measured r3: B=512 hier 4-6x dense throughput at
+    # feature relerr ~0.11 vs dense's 0; probe impact is tail-dominated)
+    hier_min_batch: int = 2048
     # Multi-chip serving: a jax.sharding.Mesh whose `bank_axis` shards the
     # bank rows (parallel/sharded.py).  The API layer shards the bank at
     # load; apply() routes to the sharded kernels (psum partial combine —
@@ -112,7 +120,8 @@ class RangeEncoder:
         from ..ops.retrieval_hier import HierBank
 
         if isinstance(bank, HierBank) and (cfg.retrieval != "hier"
-                                           or lonlat_deg.shape[0] < 2048):
+                                           or lonlat_deg.shape[0]
+                                           < cfg.hier_min_batch):
             # hier fidelity depends on the SPATIAL COHERENCE of each
             # bm-query tile (a shared K-tile selection must cover bm
             # geographically-sorted queries).  Small global batches lack

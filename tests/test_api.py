@@ -260,3 +260,35 @@ def test_load_model_two_level_hier():
         np.abs(expect[:, :32]), 1e-1)
     assert rel.mean() < 0.15, rel.mean()
     np.testing.assert_allclose(out[:, 32:], expect[:, 32:], atol=1e-5)
+
+
+def test_hier_min_batch_zero_serves_small_batches_hier(monkeypatch):
+    """hier_min_batch=0 routes even tiny batches through the hier pipeline
+    (VERDICT r2 #4 small-batch serving); the default keeps the dense
+    fallback below 2048."""
+    from range_tpu.ops import retrieval_hier as rh
+
+    bank = GeoBank.synthetic_informative(5, 3000, key_dim=256, value_dim=32,
+                                         pad_to=512)
+    calls = []
+    orig = rh.retrieve_hier
+
+    def spy(*a, **kw):
+        calls.append(a[0].shape[0])
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(rh, "retrieve_hier", spy)
+    coords = np.stack([np.random.default_rng(2).uniform(-180, 180, 256),
+                       np.random.default_rng(3).uniform(-88, 88, 256)],
+                      1).astype(np.float32)
+    enc0 = range_tpu.load_model("RANGE+", db_path=bank, retrieval="hier",
+                                hier_bn=128, gsz_geo=16, chunk=512, seed=0,
+                                hier_min_batch=0, k_tiles=4, k_geo=2)
+    out = np.asarray(enc0(coords))
+    assert out.shape == (256, 32 + 256) and np.isfinite(out).all()
+    assert calls, "small batch did not reach retrieve_hier"
+    calls.clear()
+    enc_d = range_tpu.load_model("RANGE+", db_path=bank, retrieval="hier",
+                                 hier_bn=128, gsz_geo=16, chunk=512, seed=0)
+    np.asarray(enc_d(coords))
+    assert not calls, "default should fall back to dense below 2048"

@@ -50,10 +50,10 @@ train_pts, train_y = sample_points(16384, 21)
 eval_pts, eval_y = sample_points(8192, 22)
 
 
-def embed(enc, pts):
+def embed(enc, pts, chunk=8192):
     outs = []
-    for lo in range(0, len(pts), 8192):
-        outs.append(np.asarray(enc(pts[lo:lo + 8192])))
+    for lo in range(0, len(pts), chunk):
+        outs.append(np.asarray(enc(pts[lo:lo + chunk])))
     return np.concatenate(outs, 0)
 
 
@@ -67,15 +67,24 @@ CONFIGS = (
                              k_geo=4)),
     ("asym-K48-j4-kg4-lr", dict(retrieval="hier", k_tiles=48, j_sem=4,
                                 k_geo=4, lr_rank=16)),
+    # small-batch serving fidelity (VERDICT r2 #4): embed in 512-row
+    # chunks THROUGH the hier path (hier_min_batch=0) — does the
+    # joint-clustered tail hold the probe without coherent selection?
+    ("smallB512-K8-kg2", dict(retrieval="hier", k_tiles=8, k_geo=2,
+                              j_sem=2, j_geo=1, hier_min_batch=0,
+                              _chunk=512)),
 )
 for name, kw in CONFIGS:
-    cache = (f"/tmp/r3c4_{name}.npz" if kw.get("retrieval") else None)
+    kw = dict(kw)
+    echunk = kw.pop("_chunk", 8192)
+    cache = (f"/tmp/r3c4_{name.split('-')[0]}.npz" if kw.get("retrieval")
+             else None)
     if cache:
         kw = dict(kw, hier_cache=cache)
     enc = range_tpu.load_model("RANGE+", db_path=bank, beta=0.5, chunk=4096,
                                seed=0, **kw)
-    tr = embed(enc, train_pts)
-    ev = embed(enc, eval_pts)
+    tr = embed(enc, train_pts, echunk)
+    ev = embed(enc, eval_pts, echunk)
     acc = evaluate_arrays(tr, train_y, ev, eval_y, "checker_100")
     results[name] = acc
     lap(f"{name}: probe acc {acc:.4f}")

@@ -63,13 +63,20 @@ def main():
         "RANGE+",
         db_path=bank,
         beta=0.5,
-        retrieval="hier",   # flagship serving config (hier_bn=512, K=16)
+        # flagship serving config (round 3): joint key+value grouping
+        # (build default), low-rank sem tail, asymmetric family budgets —
+        # the ONE config meeting throughput + recall + probe parity
+        # (PERF.md round-3 section; parity measured in tools/r3_parity*.py)
+        retrieval="hier",
+        lr_rank=256,
+        k_tiles=32, j_sem=3, k_geo=4,
         chunk=4096,
         compute_dtype=jnp.float32,
         seed=0,
         # bank prep (k-means + packing) is deterministic for this seed and
         # costs minutes over the tunnel — persist it like a real serving
-        # deployment would (ops/retrieval_hier.save_hier_bank)
+        # deployment would; the stored build signature invalidates caches
+        # built with other params
         hier_cache="/tmp/range_bench_hier_cache.npz",
     )
     log(f"load_model(retrieval='hier'): {time.perf_counter() - t_build:.1f}s")
@@ -149,17 +156,18 @@ def main():
         # measured at the FULL serving batch: hier fidelity depends on the
         # spatial coherence of the bm-query tiles, so small-slice
         # measurements are unrepresentative of the serving regime
-        nn = np.asarray(hier_nn(q, q_xyz, hb, k_tiles=16))
+        nn = np.asarray(hier_nn(q, q_xyz, hb, k_tiles=32, j_sem=3))
         rec_feat = float((nn == true).mean())
-        log(f"recall@1 reachable by hier feature path (K=16, fast tier): "
-            f"{rec_feat:.4f}")
+        log(f"recall@1 reachable by hier feature path (K=32 j3, fast "
+            f"tier): {rec_feat:.4f}")
 
         # feature error vs the f32-exact dense computation
         ref = retrieve_ref(q, q_xyz, hb.bank, sem_temp=12.0,
                            geo_temp=40.0, beta=0.5, chunk=4096)
         from range_tpu.ops.retrieval_hier import retrieve_hier
 
-        hier_out = retrieve_hier(q, q_xyz, hb)
+        hier_out = retrieve_hier(q, q_xyz, hb, k_tiles=32, j_sem=3,
+                                 k_geo=4)
         rel = np.abs(np.asarray(hier_out) - np.asarray(ref)) / np.maximum(
             np.abs(np.asarray(ref)), 1e-1)
         fid["feat_relerr_mean"] = round(float(rel.mean()), 5)

@@ -356,12 +356,18 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
             return jnp.pad(x, ((0, G_pad - G), (0, 0)))
 
         Dk = cbank.key_dim
+        # SLIM operands: the packed layout is [sem_d sem cols | geo cols
+        # (pad to cat_d)], and each family's centroids are zero outside
+        # its own block — store only the family's columns and contract
+        # against the matching slice of the packed queries (the kernels
+        # pick the slice from the operand's width, so legacy full-width
+        # operands keep working)
         if geo:
             cat = pack_bank(jnp.zeros((G_pad, Dk), jnp.float32), padg(cg),
-                            tier=tier)
+                            tier=tier)[:, sem_d:]
         else:
             cat = pack_bank(padg(cg), jnp.zeros((G_pad, 3), jnp.float32),
-                            tier=tier)
+                            tier=tier)[:, :sem_d]
         vw = jnp.concatenate(
             [padg(vsum), jnp.pad(cnt, (0, G_pad - G))[:, None],
              jnp.zeros((G_pad, Dvp - Dv - 1), jnp.float32)], axis=1)
@@ -459,9 +465,15 @@ def _hier_scan_kernel(gpt_s, gpt_g, tc, has_geo, qt_ref, gs_ref, gg_ref,
             accg_ref[:] = jnp.zeros_like(accg_ref)
 
     qt = qt_ref[:]
-    sl = jnp.dot(gs_ref[:], qt, preferred_element_type=jnp.float32)
+    # operand widths select the query slice: slim sem operands contract
+    # the first ws rows, slim geo operands the LAST wg rows (full-width
+    # legacy operands see the whole qt in both cases)
+    ws = gs_ref.shape[1]
+    wg = gg_ref.shape[1]
+    sl = jnp.dot(gs_ref[:], qt[:ws], preferred_element_type=jnp.float32)
     es = jnp.exp2(jnp.minimum(sl, CLAMP2))
-    gl = jnp.dot(gg_ref[:], qt, preferred_element_type=jnp.float32)
+    gl = jnp.dot(gg_ref[:], qt[qt.shape[0] - wg:],
+                 preferred_element_type=jnp.float32)
     eg = jnp.exp2(jnp.minimum(gl, CLAMP2))
     for c in range(tc):
         seg = sl[c * gpt_s:(c + 1) * gpt_s, :]
@@ -513,10 +525,10 @@ def _hier_scan_call(q_cat, g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw, *,
         in_specs=[
             pl.BlockSpec((cat_d, bm), lambda i, c: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc * gpt_s, cat_d), lambda i, c: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc * gpt_g, cat_d), lambda i, c: (c, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc * gpt_s, g_sem_cat.shape[1]),
+                         lambda i, c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc * gpt_g, g_geo_cat.shape[1]),
+                         lambda i, c: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tc * gpt_s, Ws), lambda i, c: (c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tc * gpt_g, Wg), lambda i, c: (c, 0),
@@ -556,9 +568,12 @@ def _hier_scan_stats_kernel(gpt_s, gpt_g, tc, qt_ref, gs_ref, gg_ref,
     max group logit + exp-mass for both families.  The top-k path uses this
     — it never needs the group value sums."""
     qt = qt_ref[:]
-    sl = jnp.dot(gs_ref[:], qt, preferred_element_type=jnp.float32)
+    ws = gs_ref.shape[1]
+    wg = gg_ref.shape[1]
+    sl = jnp.dot(gs_ref[:], qt[:ws], preferred_element_type=jnp.float32)
     es = jnp.exp2(jnp.minimum(sl, CLAMP2))
-    gl = jnp.dot(gg_ref[:], qt, preferred_element_type=jnp.float32)
+    gl = jnp.dot(gg_ref[:], qt[qt.shape[0] - wg:],
+                 preferred_element_type=jnp.float32)
     eg = jnp.exp2(jnp.minimum(gl, CLAMP2))
     for c in range(tc):
         seg = sl[c * gpt_s:(c + 1) * gpt_s, :]
@@ -588,10 +603,10 @@ def _hier_scan_stats_call(q_cat, g_sem_cat, g_geo_cat, *, bm: int, tc: int,
         in_specs=[
             pl.BlockSpec((cat_d, bm), lambda i, c: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc * gpt_s, cat_d), lambda i, c: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc * gpt_g, cat_d), lambda i, c: (c, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc * gpt_s, g_sem_cat.shape[1]),
+                         lambda i, c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc * gpt_g, g_geo_cat.shape[1]),
+                         lambda i, c: (c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((tc, bm), lambda i, c: (c, i),
                                 memory_space=pltpu.VMEM)] * 4,
@@ -976,7 +991,9 @@ def _hier_refine_kernel(Mp, has_parts, idx_ref, q_ref, gf_ref, gsup_ref,
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[:]
-    lf = jnp.dot(q, gf_ref[:].T, preferred_element_type=jnp.float32)
+    wf = gf_ref.shape[1]
+    lf = jnp.dot(q[:, :wf], gf_ref[:].T,
+                 preferred_element_type=jnp.float32)
     ef = jnp.exp2(jnp.minimum(lf, CLAMP2))
     oh = (jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1) == j
           ).astype(jnp.float32)
@@ -986,7 +1003,8 @@ def _hier_refine_kernel(Mp, has_parts, idx_ref, q_ref, gf_ref, gsup_ref,
     sm_ref[:] = jnp.where(oh > 0, m_col, sm_ref[:])
     ss_ref[:] += s_col * oh
     if has_parts:
-        ls = jnp.dot(q, gsup_ref[:].T, preferred_element_type=jnp.float32)
+        ls = jnp.dot(q[:, :gsup_ref.shape[1]], gsup_ref[:].T,
+                     preferred_element_type=jnp.float32)
         es = jnp.exp2(jnp.minimum(ls, CLAMP2))
         vf = vf_ref[:]
         acc_ref[:] += jax.lax.dot_general(
@@ -1022,9 +1040,11 @@ def _hier_refine_call(q_cat, idx, g_sem_cat, g_sup_cat, g_sem_vw, g_sup_vw,
     in_specs = [
         pl.BlockSpec((bm, cat_d), lambda i, g, idx_: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((gpt_f, cat_d), lambda i, g, idx_: (idx_[i, g], 0),
+        pl.BlockSpec((gpt_f, g_sem_cat.shape[1]),
+                     lambda i, g, idx_: (idx_[i, g], 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((gpt_sup, cat_d), lambda i, g, idx_: (idx_[i, g], 0),
+        pl.BlockSpec((gpt_sup, g_sup_cat.shape[1]),
+                     lambda i, g, idx_: (idx_[i, g], 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = [q_cat, g_sem_cat, g_sup_cat]
@@ -1128,8 +1148,11 @@ def _hier_parts_family_kernel(sem_d, has_scale, lr, geo, idx_ref, q_ref,
                               preferred_element_type=jnp.float32,
                               precision=vprec)
 
+    gw = gs_ref.shape[1]
+    qg = q[:, q.shape[1] - gw:] if geo else q[:, :gw]
     e = jnp.exp2(jnp.minimum(
-        jnp.dot(q, gs_ref[:].T, preferred_element_type=jnp.float32), CLAMP2))
+        jnp.dot(qg, gs_ref[:].T, preferred_element_type=jnp.float32),
+        CLAMP2))
     vs = vs_ref[:]
     appr = jnp.dot(e.astype(vs.dtype), vs,
                    preferred_element_type=jnp.float32)
@@ -1174,7 +1197,8 @@ def _hier_parts_family_call(q_cat, k_cat, values, scale, mask_neg, idx,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((bn, cat_d), kidx, memory_space=pltpu.VMEM),
         pl.BlockSpec((bn, Dv), kidx, memory_space=pltpu.VMEM),
-        pl.BlockSpec((gpt, cat_d), kidx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((gpt, g_cat.shape[1]), kidx,
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((gpt, W), kidx, memory_space=pltpu.VMEM),
     ]
     operands = [q_cat, k_cat, values, g_cat, g_vw]
@@ -1288,7 +1312,8 @@ def _hier_parts_kernel(sem_d, has_scale, lr, idx_ref, q_ref, k_ref, v_ref,
     # scan's all-tiles tail); the count column (Dv of vw) carries the
     # denominator correction
     es = jnp.exp2(jnp.minimum(
-        jnp.dot(q, gs_ref[:].T, preferred_element_type=jnp.float32), CLAMP2))
+        jnp.dot(q[:, :gs_ref.shape[1]], gs_ref[:].T,
+                preferred_element_type=jnp.float32), CLAMP2))
     vs = vs_ref[:]
     appr_s = jnp.dot(es.astype(vs.dtype), vs,
                      preferred_element_type=jnp.float32)
@@ -1299,7 +1324,8 @@ def _hier_parts_kernel(sem_d, has_scale, lr, idx_ref, q_ref, k_ref, v_ref,
         acc_ref[:, :Dv] -= appr_s[:, :Dv]
         ds_ref[:] -= appr_s[:, Dv:Dv + 1]
     eg = jnp.exp2(jnp.minimum(
-        jnp.dot(q, gg_ref[:].T, preferred_element_type=jnp.float32), CLAMP2))
+        jnp.dot(q[:, q.shape[1] - gg_ref.shape[1]:], gg_ref[:].T,
+                preferred_element_type=jnp.float32), CLAMP2))
     vg = vg_ref[:]
     appr_g = jnp.dot(eg.astype(vg.dtype), vg,
                      preferred_element_type=jnp.float32)
@@ -1348,8 +1374,10 @@ def _hier_parts_call(q_cat, k_cat, values, scale, mask_neg, idx,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((bn, cat_d), kidx, memory_space=pltpu.VMEM),
         pl.BlockSpec((bn, Dv), kidx, memory_space=pltpu.VMEM),
-        pl.BlockSpec((gpt_s, cat_d), kidx, memory_space=pltpu.VMEM),
-        pl.BlockSpec((gpt_g, cat_d), kidx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((gpt_s, g_sem_cat.shape[1]), kidx,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gpt_g, g_geo_cat.shape[1]), kidx,
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((gpt_s, Ws), kidx, memory_space=pltpu.VMEM),
         pl.BlockSpec((gpt_g, Wg), kidx, memory_space=pltpu.VMEM),
     ]
@@ -1780,10 +1808,12 @@ def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
     """The identity of a `build_hier_bank` run: source bank + every build
     parameter.  Stored in the disk cache and validated on load so a stale
     cache (different bank or params) is rebuilt, never silently served."""
+    # fmt bumps when the serialized operand LAYOUT changes (fmt 2: slim
+    # family-sliced group centroids) so older caches rebuild
     return {"fp": bank_fingerprint(bank), "bn": bn, "gsz_sem": gsz_sem,
             "gsz_geo": gsz_geo, "gsz_super": gsz_super, "tier": tier,
             "seed": seed, "shards": shards, "group_by": group_by,
-            "gvw": group_value_weight, "lr_rank": lr_rank}
+            "gvw": group_value_weight, "lr_rank": lr_rank, "fmt": 2}
 
 
 def peek_hier_build(path: str) -> Optional[dict]:

@@ -146,6 +146,7 @@ class RangeEncoder:
                     k_tiles=max(2, cfg.k_tiles // n), bm=bm,
                     m_tiles=(max(2, cfg.m_tiles // n)
                              if cfg.m_tiles else None),
+                    k_geo=max(1, cfg.k_geo // n) if cfg.k_geo else 0,
                     j_sem=cfg.j_sem, j_geo=cfg.j_geo,
                     bank_axis=cfg.bank_axis,
                     interpret=jax.default_backend() != "tpu")

@@ -294,6 +294,7 @@ def sharded_retrieve_hier(
     mode: str = "range+",
     k_tiles: int = 8,
     m_tiles: Optional[int] = None,
+    k_geo: int = 0,
     bm: int = 256,
     tc: int = 8,
     j_sem: int = 2,
@@ -307,10 +308,11 @@ def sharded_retrieve_hier(
     slab; the unnormalized partials are linear, so ONE psum over ICI
     combines them exactly (ops/retrieval_hier._hier_partials).
 
-    `k_tiles` (and `m_tiles`, two-level) are PER SHARD: n shards select
-    n*k_tiles tiles total, so the union selection is strictly finer than
-    single-chip at the same per-chip cost — per-chip work is ~1/n of
-    single-chip at equal total K.  With k_tiles = t_pad//n (every tile
+    `k_tiles` (and `m_tiles`, two-level; `k_geo`, asymmetric family
+    budgets) are PER SHARD: n shards select n*k_tiles tiles total, so the
+    union selection is strictly finer than single-chip at the same
+    per-chip cost — per-chip work is ~1/n of single-chip at equal total
+    K.  With k_tiles = t_pad//n (every tile
     selected) the result equals the exact dense computation (tests assert
     this)."""
     import dataclasses as _dc
@@ -326,6 +328,7 @@ def sharded_retrieve_hier(
     t_local = hb.t_pad // n
     assert t_local % tc == 0, (hb.t_pad, n, tc)
     k_tiles = min(k_tiles, t_local)
+    k_geo = min(k_geo, t_local)
     if mode == "range":
         beta = 1.0
         q_xyz = None
@@ -352,7 +355,8 @@ def sharded_retrieve_hier(
         else:
             acc_s, acc_g, d_s, d_g = _hier_partials(
                 q_cat_l, hb_loc, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
-                j_geo=j_geo, mode=mode, n_valid=B, interpret=interpret)
+                j_geo=j_geo, mode=mode, n_valid=B, k_geo=k_geo,
+                interpret=interpret)
         acc_s = jax.lax.psum(acc_s, bank_axis)
         d_s = jax.lax.psum(d_s, bank_axis)
         sem = acc_s / jnp.maximum(d_s, 1e-30)

@@ -234,6 +234,43 @@ def test_sharded_hier_all_tiles_exact():
     assert rel.max() < 5e-3, rel.max()
 
 
+def test_sharded_hier_asym_k_geo_all_tiles_exact():
+    """The asymmetric family-budget path (k_geo > 0) through
+    sharded_retrieve_hier: with BOTH per-shard budgets covering every local
+    tile it must equal the exact dense computation, proving the k_geo
+    plumbing reaches _hier_partials on the mesh path (the flagship serving
+    config uses k_geo)."""
+    from range_tpu.ops.retrieval import retrieve
+    from range_tpu.ops.retrieval_hier import build_hier_bank
+    from range_tpu.parallel.sharded import (shard_hier_bank,
+                                            sharded_retrieve_hier)
+    from range_tpu.bank.bank import GeoBank
+    from range_tpu.geometry import lonlat_deg_to_xyz
+
+    bank = GeoBank.synthetic_informative(0, 6000, pad_to=512)
+    hb = build_hier_bank(bank, bn=128, gsz_sem=8, gsz_geo=16, tier="exact",
+                         value_dtype=jnp.float32, shards=8)
+    mesh = make_mesh((8,), ("bank",))
+    shb = shard_hier_bank(hb, mesh)
+
+    rng = np.random.default_rng(4)
+    locs = np.stack([rng.uniform(-180, 180, 256),
+                     rng.uniform(-80, 80, 256)], 1).astype(np.float32)
+    q = rng.standard_normal((256, 256)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q = jnp.asarray(q)
+    q_xyz = lonlat_deg_to_xyz(jnp.asarray(locs))
+
+    ref = np.asarray(retrieve(q, q_xyz, hb.bank, sem_temp=12.0, geo_temp=40.0,
+                              beta=0.5, chunk=512))
+    t_local = hb.t_pad // 8
+    out = np.asarray(sharded_retrieve_hier(
+        q, q_xyz, shb, mesh, k_tiles=t_local, k_geo=t_local, bm=128,
+        tc=t_local if t_local <= 8 else 8, interpret=True))
+    rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-1)
+    assert rel.max() < 5e-3, rel.max()
+
+
 def test_sharded_hier_partial_selection_close():
     """Per-shard K < t_local: approximate but close to dense (the union of
     per-shard selections is finer than single-chip selection at equal

@@ -73,8 +73,39 @@ class SatClipLocationEncoder:
 
     def apply(self, params, lonlat_deg: jnp.ndarray, *, training: bool = False,
               rng=None) -> jnp.ndarray:
+        pre = self._fused_first_preact(params, lonlat_deg)
+        if pre is not None:
+            return self.nnet.apply(params, lonlat_deg, training=training,
+                                   rng=rng, first_preact=pre)
         basis = self.posenc(lonlat_deg)
         return self.nnet.apply(params, basis, training=training, rng=rng)
+
+    def _fused_first_preact(self, params, lonlat_deg):
+        """Gather-free fused ``basis @ W0`` (ops/sh.spherical_harmonics_times)
+        for the SH posenc + SirenNet/MLP compose — ~4x faster tower on TPU
+        at L=40 (the [B, L*L] basis gathers dominate the SH tower, not the
+        matmul).  f32 only: the fused path reassociates the f32 contraction
+        (same precision class, measured vs f64), while f64 keeps the
+        reference-exact basis-then-matmul order for bit-parity tests."""
+        from ..ops.nets import MLP, SirenNet
+        from ..ops.posenc import SphericalHarmonics
+        from ..ops.sh import spherical_harmonics_times
+
+        if not (isinstance(self.posenc, SphericalHarmonics)
+                and lonlat_deg.dtype == jnp.float32):
+            return None
+        if isinstance(self.nnet, SirenNet):
+            layer0 = params["layers"][0]
+        elif isinstance(self.nnet, MLP):
+            layer0 = params["input"]
+        else:
+            return None
+        pre = spherical_harmonics_times(
+            lonlat_deg, int(self.posenc.legendre_polys), layer0["w"],
+            self.posenc.convention)
+        if "b" in layer0:
+            pre = pre + layer0["b"]
+        return pre
 
     def __call__(self, params, lonlat_deg, **kw):
         return self.apply(params, lonlat_deg, **kw)

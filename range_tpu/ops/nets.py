@@ -95,14 +95,20 @@ class SirenNet:
         return {"layers": layers, "last": last}
 
     def apply(self, params: Params, x: jnp.ndarray, *, training: bool = False,
-              rng=None, mods: Optional[Sequence[jnp.ndarray]] = None) -> jnp.ndarray:
+              rng=None, mods: Optional[Sequence[jnp.ndarray]] = None,
+              first_preact: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Forward.  ``mods`` optionally modulates each hidden activation
-        (latent-modulated SIREN, `location_encoder.py:104-110`)."""
+        (latent-modulated SIREN, `location_encoder.py:104-110`).
+        ``first_preact``: precomputed layer-0 pre-activation (x @ w0 + b0) —
+        lets callers fuse the positional-encoding basis into the first
+        matmul (ops/sh.spherical_harmonics_times); ``x`` is then ignored
+        for layer 0."""
         if training and self.dropout and rng is None:
             raise ValueError("training=True with dropout requires an rng")
         for ind, layer in enumerate(params["layers"]):
             layer_w0 = self.w0_initial if ind == 0 else self.w0
-            h = linear_apply(layer, x)
+            h = first_preact if (ind == 0 and first_preact is not None) \
+                else linear_apply(layer, x)
             if self.dropout and training:
                 rng, sub = jax.random.split(rng)
                 keep = jax.random.bernoulli(sub, 0.5, h.shape)
@@ -154,8 +160,10 @@ class MLP:
         params["out"] = linear_init(k_out, self.dim_hidden, self.out_dims, dtype=dtype)
         return params
 
-    def apply(self, params: Params, x: jnp.ndarray, *, training: bool = False, rng=None):
-        x = jax.nn.relu(linear_apply(params["input"], x))
+    def apply(self, params: Params, x: jnp.ndarray, *, training: bool = False,
+              rng=None, first_preact: Optional[jnp.ndarray] = None):
+        x = jax.nn.relu(first_preact if first_preact is not None
+                        else linear_apply(params["input"], x))
         hidden = params["hidden"]
         for i in range(self.num_layers):
             layer = hidden[0] if self.tied else hidden[i]

@@ -122,3 +122,62 @@ def test_vectorized_matches_looped():
         fast = np.asarray(spherical_harmonics_basis(jnp.asarray(lonlat, jnp.float64), 20, conv))
         slow = np.asarray(spherical_harmonics_basis_looped(jnp.asarray(lonlat, jnp.float64), 20, conv))
         np.testing.assert_allclose(fast, slow, rtol=1e-12, atol=1e-12)
+
+
+def test_times_fused_matches_basis_matmul_f64():
+    """spherical_harmonics_times == basis @ w exactly (up to f64 roundoff)
+    in f64 — the fused gather-free path is the same contraction with the
+    scale folded into W's rows and trig applied as a tiled multiply."""
+    from range_tpu.ops.sh import spherical_harmonics_times
+
+    rng = np.random.default_rng(0)
+    ll = jnp.asarray(_rand_lonlat(64), jnp.float64)
+    for L in (8, 40):
+        for conv in ("analytic", "closed-form"):
+            w = jnp.asarray(rng.standard_normal((L * L, 48)))
+            ref = np.asarray(spherical_harmonics_basis(ll, L, conv) @ w)
+            out = np.asarray(spherical_harmonics_times(ll, L, w, conv))
+            den = np.abs(ref).max()
+            assert np.abs(out - ref).max() / den < 1e-6, (L, conv)
+
+
+def test_times_fused_f32_precision_class():
+    """At f32 the fused path stays in the SAME precision class as the
+    basis-then-matmul path (both vs f64 ground truth) — reassociation
+    only, no accuracy regression for the serving tower."""
+    from range_tpu.ops.sh import spherical_harmonics_times
+
+    rng = np.random.default_rng(1)
+    L = 40
+    ll = _rand_lonlat(128, seed=1)
+    w = rng.standard_normal((L * L, 64))
+    ref64 = np.asarray(spherical_harmonics_basis(
+        jnp.asarray(ll, jnp.float64), L) @ jnp.asarray(w))
+    ll32, w32 = jnp.asarray(ll, jnp.float32), jnp.asarray(w, jnp.float32)
+    base32 = np.asarray(spherical_harmonics_basis(ll32, L) @ w32)
+    fuse32 = np.asarray(spherical_harmonics_times(ll32, L, w32))
+    den = np.abs(ref64).max()
+    e_base = np.abs(base32 - ref64).max() / den
+    e_fuse = np.abs(fuse32 - ref64).max() / den
+    assert e_fuse < 3.0 * max(e_base, 1e-6), (e_fuse, e_base)
+
+
+def test_tower_fused_first_layer_matches_unfused():
+    """The SatCLIP tower's f32 fused-SH fast path (satclip.py
+    _fused_first_preact) agrees with the unfused basis->net compose to
+    f32-reassociation tolerance, and f64 bypasses the fused path."""
+    import jax
+
+    from range_tpu.models.satclip import (SatClipLocationConfig,
+                                          SatClipLocationEncoder)
+
+    enc = SatClipLocationEncoder(SatClipLocationConfig(
+        legendre_polys=16, capacity=128, num_hidden_layers=2, embed_dim=64))
+    params = enc.init(jax.random.PRNGKey(0))
+    ll = jnp.asarray(_rand_lonlat(256, seed=2), jnp.float32)
+    fused = np.asarray(enc.apply(params, ll))
+    basis = enc.posenc(ll)
+    unfused = np.asarray(enc.nnet.apply(params, basis))
+    cos = np.sum(fused * unfused, 1) / (
+        np.linalg.norm(fused, axis=1) * np.linalg.norm(unfused, axis=1))
+    assert cos.min() > 0.99999, cos.min()

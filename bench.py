@@ -64,12 +64,14 @@ def main():
         db_path=bank,
         beta=0.5,
         # flagship serving config (round 3): joint key+value grouping
-        # (build default), low-rank sem tail, asymmetric family budgets —
-        # the ONE config meeting throughput + recall + probe parity
-        # (PERF.md round-3 section; parity measured in tools/r3_parity*.py)
+        # (build default), low-rank sem tail, asymmetric family budgets
+        # (k_geo=16: the geo family needs its own exact budget — kg=4
+        # starves it and regresses the probe), decoupled 512-query scan
+        # blocks — the ONE config meeting throughput + recall + probe
+        # parity (PERF.md round-3 section; tools/r3_parity5/6 + r3_final1)
         retrieval="hier",
         lr_rank=256,
-        k_tiles=32, j_sem=3, k_geo=4,
+        k_tiles=32, j_sem=3, k_geo=16, hier_scan_bm=512,
         chunk=4096,
         compute_dtype=jnp.float32,
         seed=0,
@@ -167,7 +169,7 @@ def main():
         from range_tpu.ops.retrieval_hier import retrieve_hier
 
         hier_out = retrieve_hier(q, q_xyz, hb, k_tiles=32, j_sem=3,
-                                 k_geo=4)
+                                 k_geo=16, scan_bm=512)
         rel = np.abs(np.asarray(hier_out) - np.asarray(ref)) / np.maximum(
             np.abs(np.asarray(ref)), 1e-1)
         fid["feat_relerr_mean"] = round(float(rel.mean()), 5)

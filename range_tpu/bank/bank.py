@@ -228,7 +228,12 @@ class GeoBank:
 
         @jax.jit
         def feats(params, locs):
-            return tower.apply(params, locs)
+            # generator stability: pin to the UNFUSED basis->net compose so
+            # the generated bank (and every hier-cache fingerprint derived
+            # from it) is invariant to tower fast-path changes like the
+            # fused-SH first layer (models/satclip.py _fused_first_preact)
+            basis = tower.posenc(locs)
+            return tower.nnet.apply(params, basis)
 
         f = feats(tower_params, locs)  # [n_rows, key_dim]
         keys = f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)

@@ -68,6 +68,11 @@ class RangeConfig:
     j_sem: int = 2         # hier: per-query sem groups scattered
     j_geo: int = 2         # hier: per-query geo groups scattered
     hier_bm: int = 256     # hier: query-tile size
+    # hier: scan query-block size (0 = same as bm).  The scan emits
+    # per-query stats, so its block is a pure perf knob: group-operand HBM
+    # traffic scales as Bp/scan_bm (measured +3% e2e at 512 on the 100k
+    # flagship); selection coherence is untouched (that's hier_bm's job)
+    hier_scan_bm: int = 0
     # hier: batches below this fall back to the dense exact kernel.  The
     # selection stage's fidelity depends on spatial coherence of each
     # bm-query tile, which small GLOBAL batches lack (see apply()); the
@@ -159,6 +164,7 @@ class RangeEncoder:
                     beta=cfg.beta, mode=cfg.mode, k_tiles=cfg.k_tiles,
                     m_tiles=cfg.m_tiles, k_geo=cfg.k_geo,
                     bm=bm, j_sem=cfg.j_sem, j_geo=cfg.j_geo,
+                    scan_bm=cfg.hier_scan_bm or None,
                     interpret=jax.default_backend() != "tpu",
                 )
             return jnp.concatenate([retrieved, q_sem], axis=-1)

@@ -245,6 +245,13 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
     if gsz_super:
         assert (bn % gsz_super == 0 and gsz_super % gsz_sem == 0
                 and bn // gsz_super >= 8), (bn, gsz_super, gsz_sem)
+    if lr_rank:
+        # rank can't exceed the value width: the Gram eigenbasis has at
+        # most Dv vectors, so a larger request silently built a Dv-rank
+        # factor whose packed layout disagreed with the stored lr_rank
+        # (serving crash on small-Dv banks).  Clamp once; everything
+        # downstream (layout, u_sem, the serialized meta) stays consistent.
+        lr_rank = min(lr_rank, int(bank.values.shape[1]))
     cbank, _ = cluster_bank(bank, bn=bn, n_clusters=n_clusters, iters=iters,
                             seed=seed, pack="dense")
     # reorder rows within each tile so gsz_sem-row windows are key-coherent
@@ -475,15 +482,15 @@ def _hier_scan_kernel(gpt_s, gpt_g, tc, has_geo, qt_ref, gs_ref, gg_ref,
     gl = jnp.dot(gg_ref[:], qt[qt.shape[0] - wg:],
                  preferred_element_type=jnp.float32)
     eg = jnp.exp2(jnp.minimum(gl, CLAMP2))
-    for c in range(tc):
-        seg = sl[c * gpt_s:(c + 1) * gpt_s, :]
-        ms_ref[c:c + 1, :] = jnp.max(seg, axis=0, keepdims=True)
-        ss_ref[c:c + 1, :] = jnp.sum(es[c * gpt_s:(c + 1) * gpt_s, :],
-                                     axis=0, keepdims=True)
-        gseg = gl[c * gpt_g:(c + 1) * gpt_g, :]
-        mg_ref[c:c + 1, :] = jnp.max(gseg, axis=0, keepdims=True)
-        sg_ref[c:c + 1, :] = jnp.sum(eg[c * gpt_g:(c + 1) * gpt_g, :],
-                                     axis=0, keepdims=True)
+    # per-tile segment reductions, vectorized: [tc*gpt, bm] -> [tc, gpt, bm]
+    # splits the sublane dim only (minor dim untouched — a free relayout on
+    # Mosaic), so all tc tiles' stats reduce in ONE vector op per stat
+    # instead of 4*tc strided slice-reductions serializing the tail matmuls
+    bm_ = sl.shape[1]
+    ms_ref[:] = jnp.max(sl.reshape(tc, gpt_s, bm_), axis=1)
+    ss_ref[:] = jnp.sum(es.reshape(tc, gpt_s, bm_), axis=1)
+    mg_ref[:] = jnp.max(gl.reshape(tc, gpt_g, bm_), axis=1)
+    sg_ref[:] = jnp.sum(eg.reshape(tc, gpt_g, bm_), axis=1)
     # tail: contract the group dim of es [G_tc, bm] with vw [G_tc, Dvp]
     vs = vs_ref[:]
     accs_ref[:] += jax.lax.dot_general(
@@ -575,15 +582,15 @@ def _hier_scan_stats_kernel(gpt_s, gpt_g, tc, qt_ref, gs_ref, gg_ref,
     gl = jnp.dot(gg_ref[:], qt[qt.shape[0] - wg:],
                  preferred_element_type=jnp.float32)
     eg = jnp.exp2(jnp.minimum(gl, CLAMP2))
-    for c in range(tc):
-        seg = sl[c * gpt_s:(c + 1) * gpt_s, :]
-        ms_ref[c:c + 1, :] = jnp.max(seg, axis=0, keepdims=True)
-        ss_ref[c:c + 1, :] = jnp.sum(es[c * gpt_s:(c + 1) * gpt_s, :],
-                                     axis=0, keepdims=True)
-        gseg = gl[c * gpt_g:(c + 1) * gpt_g, :]
-        mg_ref[c:c + 1, :] = jnp.max(gseg, axis=0, keepdims=True)
-        sg_ref[c:c + 1, :] = jnp.sum(eg[c * gpt_g:(c + 1) * gpt_g, :],
-                                     axis=0, keepdims=True)
+    # per-tile segment reductions, vectorized: [tc*gpt, bm] -> [tc, gpt, bm]
+    # splits the sublane dim only (minor dim untouched — a free relayout on
+    # Mosaic), so all tc tiles' stats reduce in ONE vector op per stat
+    # instead of 4*tc strided slice-reductions serializing the tail matmuls
+    bm_ = sl.shape[1]
+    ms_ref[:] = jnp.max(sl.reshape(tc, gpt_s, bm_), axis=1)
+    ss_ref[:] = jnp.sum(es.reshape(tc, gpt_s, bm_), axis=1)
+    mg_ref[:] = jnp.max(gl.reshape(tc, gpt_g, bm_), axis=1)
+    sg_ref[:] = jnp.sum(eg.reshape(tc, gpt_g, bm_), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "tc", "gpt_s", "gpt_g",
@@ -1486,7 +1493,9 @@ def _hybrid_order(q_xyz, home_s, n_valid: int, t_pad: int,
 
 def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
                    bm: int, tc: int, j_sem: int, j_geo: int, mode: str,
-                   n_valid: int, k_geo: int = 0, interpret: bool = False):
+                   n_valid: int, k_geo: int = 0,
+                   scan_bm: Optional[int] = None,
+                   interpret: bool = False):
     """The hier pipeline body on (already sorted) packed queries:
     fused scan (stats + all-tiles tail) -> tile selection -> parts kernel
     (exact − group approx over selected tiles) -> combined UNNORMALIZED
@@ -1503,9 +1512,16 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
     gpt_s, gpt_g = hb.bn // hb.gsz_sem, hb.bn // hb.gsz_geo
     use_lr = hb.g_sem_vw_lr is not None and hb.lr_rank > 0
     sem_vw = hb.g_sem_vw_lr if use_lr else hb.g_sem_vw
+    # the scan emits PER-QUERY stats/tails, so its query-block size is a
+    # pure perf knob, independent of the bm that defines selection tiles —
+    # a larger scan block streams the group operands Bp/scan_bm times
+    # instead of Bp/bm times (bandwidth), at more VMEM per step
+    sb = scan_bm or bm
+    if q_cat.shape[0] % sb:
+        sb = bm
     m_s, s_s, m_g, s_g, tails = _hier_scan_call(
         q_cat, hb.g_sem_cat, hb.g_geo_cat, sem_vw, hb.g_geo_vw,
-        bm=bm, tc=tc, gpt_s=gpt_s, gpt_g=gpt_g,
+        bm=sb, tc=tc, gpt_s=gpt_s, gpt_g=gpt_g,
         has_geo=mode == "range+", interpret=interpret)
     Dv = hb.value_dim
     Ws = sem_vw.shape[1]
@@ -1635,7 +1651,8 @@ def _hier_partials2(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "sem_temp", "geo_temp", "beta", "mode", "k_tiles", "m_tiles", "k_geo",
-    "bm", "tc", "j_sem", "j_geo", "sort_queries", "sort", "interpret"))
+    "bm", "tc", "j_sem", "j_geo", "scan_bm", "sort_queries", "sort",
+    "interpret"))
 def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
                   hb: HierBank, *, sem_temp: float = 12.0,
                   geo_temp: float = 40.0, beta: float = 0.5,
@@ -1643,6 +1660,7 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
                   m_tiles: Optional[int] = None, k_geo: int = 0,
                   bm: int = 256,
                   tc: int = 16, j_sem: int = 2, j_geo: int = 2,
+                  scan_bm: Optional[int] = None,
                   sort_queries: bool = True, sort: str = "geo",
                   interpret: bool = False) -> jnp.ndarray:
     """Two-stage retrieval over a prepared HierBank (see module docstring).
@@ -1714,7 +1732,7 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
         acc_s, acc_g, d_s, d_g = _hier_partials(
             q_cat, hb, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
             j_geo=j_geo, mode=mode, n_valid=B, k_geo=k_geo,
-            interpret=interpret)
+            scan_bm=scan_bm, interpret=interpret)
     sem = acc_s / jnp.maximum(d_s, 1e-30)
     if mode == "range":
         out = sem
@@ -1810,6 +1828,10 @@ def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
     cache (different bank or params) is rebuilt, never silently served."""
     # fmt bumps when the serialized operand LAYOUT changes (fmt 2: slim
     # family-sliced group centroids) so older caches rebuild
+    if lr_rank:
+        # mirror build_hier_bank's clamp so the signature records the
+        # EFFECTIVE rank (caches built before the clamp also miss)
+        lr_rank = min(lr_rank, int(bank.values.shape[1]))
     return {"fp": bank_fingerprint(bank), "bn": bn, "gsz_sem": gsz_sem,
             "gsz_geo": gsz_geo, "gsz_super": gsz_super, "tier": tier,
             "seed": seed, "shards": shards, "group_by": group_by,

@@ -385,6 +385,29 @@ def test_hier_lr_tail(bank, queries):
     assert rel_r < rel_f + 0.05, (rel_r, rel_f)
 
 
+def test_hier_lr_rank_clamped_to_value_dim(bank, queries):
+    """lr_rank > Dv must clamp to Dv (the Gram eigenbasis has at most Dv
+    vectors) and serve identically to an explicit full-rank build — the
+    unclamped layout used to disagree with the stored lr_rank and crash
+    the combine on small-Dv banks (round-3 flagship probe regression)."""
+    from range_tpu.ops.retrieval_hier import build_hier_bank, retrieve_hier
+
+    q, q_xyz = queries
+    Dv = bank.value_dim
+    hb_big = build_hier_bank(bank, bn=BN, gsz_sem=8, gsz_geo=16,
+                             tier="exact", value_dtype=jnp.float32,
+                             lr_rank=Dv + 200)
+    assert hb_big.lr_rank == Dv and hb_big.u_sem.shape == (Dv, Dv)
+    hb_full = build_hier_bank(bank, bn=BN, gsz_sem=8, gsz_geo=16,
+                              tier="exact", value_dtype=jnp.float32,
+                              lr_rank=Dv)
+    a = np.asarray(retrieve_hier(q, q_xyz, hb_big, k_tiles=8, k_geo=4,
+                                 bm=128, interpret=True))
+    b = np.asarray(retrieve_hier(q, q_xyz, hb_full, k_tiles=8, k_geo=4,
+                                 bm=128, interpret=True))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_hier_asymmetric_family_parts(bank, hb, queries):
     """k_geo > 0 splits the exact budgets per family (sem-only + geo-only
     parts kernels).  With every tile in both lists it must equal the dense

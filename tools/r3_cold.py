@@ -23,8 +23,9 @@ bank = GeoBank.synthetic_informative(0, 100_000, pad_to=4096,
 lap("bank generated (on device)")
 
 enc = range_tpu.load_model("RANGE+", db_path=bank, retrieval="hier",
-                           hier_cache="/tmp/r3t_lr256.npz",  # r3_time1's build (same signature)
-                           k_tiles=32, j_sem=3, k_geo=4, lr_rank=256)
+                           hier_cache="/tmp/r3t_lr256.npz",  # r3_final1's build (same signature)
+                           k_tiles=32, j_sem=3, k_geo=16, lr_rank=256,
+                           hier_scan_bm=512, chunk=4096)
 lap("load_model (hier_cache)")
 
 rng = np.random.default_rng(0)

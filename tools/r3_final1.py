@@ -1,0 +1,119 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+"""Flagship confirmation battery: the EXACT bench.py serving config
+(hier + joint grouping + lr_rank=256 + K32/j3/kg16 + scan_bm=512, API bm
+policy) must hold the probe-parity bar on the checkerboard bank — lr256
+and kg16 were parity-measured separately (r3_parity6: kg16 gap -0.0013
+WITHOUT lr; PERF.md: lr256 fidelity-neutral at K16), this closes the
+cross-term.  Also times the config on the 100k informative bank."""
+import functools
+import time
+
+import numpy as np
+
+from _tpu_common import jax, jnp, standard_fixture
+
+t0 = time.time()
+
+
+def lap(m):
+    print(f"[{time.time()-t0:6.1f}s] {m}", flush=True)
+
+
+import range_tpu
+from range_tpu.bank.bank import GeoBank
+from range_tpu.data.checkerboard import assign_closest_label, fibonacci_lattice
+from range_tpu.eval.probe import evaluate_arrays
+from range_tpu.ops.retrieval_hier import retrieve_hier
+
+B = 10_240
+FLAG = dict(k_tiles=32, j_sem=3, k_geo=16, lr_rank=256, hier_scan_bm=512)
+
+
+def fence(out):
+    leaf = [x for x in jax.tree_util.tree_leaves(out)
+            if hasattr(x, "dtype")][0]
+    return float(jnp.sum(leaf.reshape(-1)[:1].astype(jnp.float32)))
+
+
+def t(fn, *a, iters=10, **kw):
+    f = functools.partial(fn, **kw) if kw else fn
+    fence(f(*a))
+    best = float("inf")
+    for _ in range(3):
+        s = time.perf_counter()
+        for _ in range(iters):
+            out = f(*a)
+        fence(out)
+        best = min(best, (time.perf_counter() - s) / iters)
+    return best * 1e3
+
+
+def main():
+    print("device:", jax.devices()[0], flush=True)
+
+    # ---- timing (informative bank, lr256 cache) ----
+    bank, q, q_xyz = standard_fixture(b=B)
+    enc = range_tpu.load_model("RANGE+", db_path=bank, retrieval="hier",
+                               seed=0, chunk=4096, lr_rank=256,
+                               hier_cache="/tmp/r3t_lr256.npz")
+    hb = enc.extra
+    lap("timing bank ready")
+    ms = t(retrieve_hier, q, q_xyz, hb, bm=256, k_tiles=32, j_sem=3,
+           k_geo=16, scan_bm=512)
+    lap(f"TIME flagship retrieval: {ms:.2f} ms -> {B/ms*1e3:,.0f} q/s")
+    del enc, hb, bank, q, q_xyz  # free HBM before the probe bank build
+
+    # ---- probe (checkerboard bank, flagship build incl. lr256) ----
+    N_SUPPORT, N_CLASSES = 100, 16
+    rng = np.random.default_rng(3)
+    s_lon, s_lat, s_lab = fibonacci_lattice(N_SUPPORT, N_CLASSES)
+
+    def sample_points(n, seed):
+        r = np.random.default_rng(seed)
+        lons = r.uniform(-180, 180, n)
+        lats = np.degrees(np.arcsin(r.uniform(-1, 1, n)))
+        labs = assign_closest_label(lons, lats, s_lon, s_lat, s_lab)
+        return np.stack([lons, lats], 1).astype(np.float32), labs
+
+    bank_locs, bank_labs = sample_points(102_400, 11)
+    from range_tpu.models.satclip import (SatClipLocationConfig,
+                                          SatClipLocationEncoder)
+    tower = SatClipLocationEncoder(SatClipLocationConfig())
+    tp = tower.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+
+    @jax.jit
+    def _keys(p, locs):
+        return tower.nnet.apply(p, tower.posenc(locs))
+
+    k = jnp.concatenate(  # chunked: the unjitted L=40 basis OOMs at 102k
+        [_keys(tp, jnp.asarray(bank_locs[lo:lo + 10_240]))
+         for lo in range(0, len(bank_locs), 10_240)], axis=0)
+    k = k / jnp.linalg.norm(k, axis=1, keepdims=True)
+    k = k + 0.25 * jax.random.normal(jax.random.PRNGKey(5), k.shape)
+    keys = np.asarray(k / jnp.linalg.norm(k, axis=1, keepdims=True))
+    values = (np.eye(N_CLASSES, dtype=np.float32)[bank_labs]
+              + 0.3 * rng.standard_normal((102_400, N_CLASSES))
+              .astype(np.float32))
+    cbank = GeoBank.from_arrays(bank_locs, keys, values, pad_to=4096)
+    train_pts, train_y = sample_points(16384, 21)
+    eval_pts, eval_y = sample_points(8192, 22)
+    lap("probe bank ready")
+
+    def embed(enc, pts):
+        outs = []
+        for lo in range(0, len(pts), 8192):
+            outs.append(np.asarray(enc(pts[lo:lo + 8192])))
+        return np.concatenate(outs, 0)
+
+    DENSE_ACC = 0.9574  # parity5 (same bank/seeds)
+    e = range_tpu.load_model("RANGE+", db_path=cbank, beta=0.5,
+                             chunk=4096, seed=0, retrieval="hier",
+                             hier_cache="/tmp/r3f_lr256.npz", **FLAG)
+    acc = evaluate_arrays(embed(e, train_pts), train_y,
+                          embed(e, eval_pts), eval_y, "checker_100")
+    lap(f"PROBE flagship (K32/j3/kg16 + lr256 + scan_bm512): {acc:.4f} "
+        f"(gap {acc - DENSE_ACC:+.4f}; bar -0.005)")
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,8 @@ from range_tpu.ops.retrieval_hier import (
 from range_tpu.ops.retrieval_pallas import pack_queries
 
 B = 10_240
-BM, TC, K, JS, KG = 128, 16, 32, 3, 4
+BM, TC, K, JS, KG = 256, 16, 32, 3, 16
+SCAN_BM = 512
 
 
 def fence(out):
@@ -79,10 +80,11 @@ def main():
     sem_vw = hb.g_sem_vw_lr if hb.g_sem_vw_lr is not None else hb.g_sem_vw
 
     ms_scan = t(_hier_scan_call, q_cat, hb.g_sem_cat, hb.g_geo_cat,
-                sem_vw, hb.g_geo_vw, bm=BM, tc=TC, gpt_s=gpt_s, gpt_g=gpt_g)
+                sem_vw, hb.g_geo_vw, bm=SCAN_BM, tc=TC, gpt_s=gpt_s,
+                gpt_g=gpt_g)
     m_s, s_s, m_g, s_g, tails = _hier_scan_call(
         q_cat, hb.g_sem_cat, hb.g_geo_cat, sem_vw, hb.g_geo_vw,
-        bm=BM, tc=TC, gpt_s=gpt_s, gpt_g=gpt_g)
+        bm=SCAN_BM, tc=TC, gpt_s=gpt_s, gpt_g=gpt_g)
     lap(f"scan+lr-tail: {ms_scan:.2f} ms")
 
     @jax.jit
@@ -92,7 +94,7 @@ def main():
         order = _hybrid_order(q_x, home.astype(jnp.int32), B, hb.t_pad,
                               sort="geo")
         inv = jnp.argsort(order)
-        return (q_cat[:, order], m_s[order], s_s[order], m_g[order],
+        return (q_cat[order], m_s[order], s_s[order], m_g[order],
                 s_g[order], tails[order], inv)
 
     ms_sort = t(sort_stage, q_cat, m_s, s_s, m_g, s_g, tails)
@@ -122,7 +124,7 @@ def main():
               sem_d=hb.sem_d, bm=BM, bn=hb.bn, gpt=gpt_g, geo=True, lr=False)
     lap(f"parts geo (K={KG}): {ms_pg:.2f} ms")
 
-    ms_e2e = t(retrieve_hier, q, q_xyz, hb, k_tiles=K, bm=BM, tc=TC,
+    ms_e2e = t(retrieve_hier, q, q_xyz, hb, scan_bm=SCAN_BM, k_tiles=K, bm=BM, tc=TC,
                j_sem=JS, k_geo=KG)
     tot = ms_scan + ms_sort + ms_sel + ms_ps + ms_pg
     lap(f"SUM {tot:.2f} ms vs retrieve_hier e2e {ms_e2e:.2f} ms "

@@ -118,6 +118,7 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                  gsz_super: int = 0, group_by: str = "key_value",
                  group_value_weight: float = 1.0,
                  lr_rank: Optional[int] = None,
+                 res_rank: Optional[int] = None,
                  mesh=None, bank_axis: Optional[str] = None,
                  data_axis: Optional[str] = None, shard_bm: int = 512,
                  shard_bn: int = 1024,
@@ -161,7 +162,8 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                                    tier=tier, seed=seed, shards=n_shards,
                                    group_by=group_by,
                                    group_value_weight=group_value_weight,
-                                   lr_rank=lr_rank or 0)
+                                   lr_rank=lr_rank or 0,
+                                   res_rank=res_rank or 0)
         cached = None
         if hier_cache and _os.path.exists(hier_cache):
             got = peek_hier_build(hier_cache)
@@ -178,7 +180,7 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                                    gsz_geo=gsz_geo, gsz_super=gsz_super,
                                    group_by=group_by,
                                    group_value_weight=group_value_weight,
-                                   lr_rank=lr_rank,
+                                   lr_rank=lr_rank, res_rank=res_rank,
                                    tier=tier, seed=seed, shards=n_shards)
             if hier_cache:
                 save_hier_bank(bank, hier_cache, build=sig)

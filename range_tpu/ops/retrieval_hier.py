@@ -127,12 +127,26 @@ class HierBank:
     # Dvp (~4x less scan work at r=256, Dv=1024)
     g_sem_vw_lr: Optional[jnp.ndarray] = None
     u_sem: Optional[jnp.ndarray] = None
+    # residual-rank parts (build_hier_bank(res_rank=k)): per-family
+    # row-value RESIDUALS vs the serving group mean, projected on a global
+    # rank-k eigenbasis.  The parts kernels then never stream/matmul the
+    # [bn, Dv] values: exact p@V is computed as
+    #   (segsum(p)/cnt) @ group_value_sum  +  (p @ z) @ w
+    # — exact when k >= Dv (the basis is complete), else the only loss is
+    # the rank truncation of the WITHIN-GROUP residuals (small by
+    # construction under joint key+value clustering).  z_*: [N, rp] bf16
+    # coefficients; w_*: [rp, Dv] f32 basis (rp = round_up(k, 128)).
+    z_sem: Optional[jnp.ndarray] = None
+    w_sem: Optional[jnp.ndarray] = None
+    z_geo: Optional[jnp.ndarray] = None
+    w_geo: Optional[jnp.ndarray] = None
     tier: str = "fast"
     bn: int = 512
     gsz_sem: int = 8
     gsz_geo: int = 64
     gsz_super: int = 0
     lr_rank: int = 0
+    res_rank: int = 0
     sem_d: int = 256
     cat_d: int = 384
     t_real: int = 0
@@ -152,9 +166,10 @@ jax.tree_util.register_dataclass(
     data_fields=["bank", "k_cat", "values", "value_scale", "mask_neg",
                  "sem_centroid", "geo_centroid", "sem_radius", "geo_radius",
                  "g_sem_cat", "g_geo_cat", "g_sem_vw", "g_geo_vw", "khl_sem",
-                 "g_sup_cat", "g_sup_vw", "g_sem_vw_lr", "u_sem"],
+                 "g_sup_cat", "g_sup_vw", "g_sem_vw_lr", "u_sem",
+                 "z_sem", "w_sem", "z_geo", "w_geo"],
     meta_fields=["tier", "bn", "gsz_sem", "gsz_geo", "gsz_super", "lr_rank",
-                 "sem_d", "cat_d", "t_real", "t_pad"],
+                 "res_rank", "sem_d", "cat_d", "t_real", "t_pad"],
 )
 
 
@@ -221,6 +236,7 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                     tier: str = "fast", group_by: str = "key_value",
                     group_value_weight: float = 1.0,
                     lr_rank: Optional[int] = None,
+                    res_rank: Optional[int] = None,
                     n_clusters: Optional[int] = None, iters: int = 8,
                     seed: int = 0, value_dtype=None,
                     shards: int = 1) -> HierBank:
@@ -252,6 +268,8 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         # (serving crash on small-Dv banks).  Clamp once; everything
         # downstream (layout, u_sem, the serialized meta) stays consistent.
         lr_rank = min(lr_rank, int(bank.values.shape[1]))
+    if res_rank:
+        res_rank = min(res_rank, int(bank.values.shape[1]))
     cbank, _ = cluster_bank(bank, bn=bn, n_clusters=n_clusters, iters=iters,
                             seed=seed, pack="dense")
     # reorder rows within each tile so gsz_sem-row windows are key-coherent
@@ -393,6 +411,7 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         g_sup = (group_ops(cbank.keys_sem, vals_f32, mask, gsz_super,
                            geo=False) if gsz_super else (None, None))
         g_lr = (None, None)
+        lr_coef_u = None
         if lr_rank:
             # rank-r basis of the fine-group value sums via the Dv x Dv
             # Gram eigendecomposition (cheaper + deterministic vs SVD of
@@ -407,18 +426,52 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
             _, vecs = jnp.linalg.eigh(gram)      # ascending eigenvalues
             u = vecs[:, -lr_rank:].T             # [r, Dv]
             coef = vsum @ u.T                    # [G, r]
+            lr_coef_u = (coef, cnt, u)
             rp = _round_up(lr_rank + 1, 128)
             lrw = jnp.concatenate(
                 [coef, cnt[:, None],
                  jnp.zeros((G, rp - lr_rank - 1), jnp.float32)], axis=1)
             lrw = jnp.pad(lrw, ((0, G_pad - G), (0, 0)))
             g_lr = (lrw.astype(vw_dtype), u.astype(jnp.float32))
+        g_res = (None, None, None, None)
+        if res_rank:
+            # residual-rank parts operands: the parts kernels reconstruct
+            # exact row values as serving_group_mean + rank-k projected
+            # residual, so R must be taken vs the SAME mean serving will
+            # use — (coef/cnt)@u for the lr sem family, vsum/cnt otherwise.
+            # The basis absorbs the lr mean-truncation residue too.
+            rrp = _round_up(res_rank, 128)
+
+            def fam_res(gsz, mean_lr):
+                G = N // gsz
+                mg = mask.reshape(G, gsz)
+                cnt = jnp.maximum(mg.sum(axis=1), 1.0)
+                if mean_lr is not None:
+                    coef, cnt_lr, u = mean_lr
+                    vbar = (coef / jnp.maximum(cnt_lr, 1.0)[:, None]) @ u
+                else:
+                    vsum = jnp.einsum("gi,gid->gd", mg,
+                                      vals_f32.reshape(G, gsz, -1))
+                    vbar = vsum / cnt[:, None]
+                R = vals_f32.reshape(G, gsz, -1) - vbar[:, None, :]
+                R = (R * mg[:, :, None]).reshape(N, -1)
+                gram = R.T @ R
+                _, vecs = jnp.linalg.eigh(gram)
+                w = vecs[:, -res_rank:].T            # [k, Dv]
+                z = jnp.pad(R @ w.T, ((0, 0), (0, rrp - res_rank)))
+                w = jnp.pad(w, ((0, rrp - res_rank), (0, 0)))
+                return z.astype(vw_dtype), w.astype(jnp.float32)
+
+            zs, ws = fam_res(gsz_sem, lr_coef_u)
+            zg, wg = fam_res(gsz_geo, None)
+            g_res = (zs, ws, zg, wg)
         kh, kl = _split_hilo(cbank.keys_sem.astype(jnp.float32))
         khl = jnp.concatenate([kh, kl], axis=1)  # [N, 2*Dk] bf16
-        return k_cat, mask_neg, g_s, g_g, g_sup, g_lr, khl
+        return k_cat, mask_neg, g_s, g_g, g_sup, g_lr, g_res, khl
 
     (k_cat, mask_neg, (g_sem_cat, g_sem_vw), (g_geo_cat, g_geo_vw),
-     (g_sup_cat, g_sup_vw), (g_sem_vw_lr, u_sem), khl_sem) = prep(cbank)
+     (g_sup_cat, g_sup_vw), (g_sem_vw_lr, u_sem),
+     (z_sem, w_sem, z_geo, w_geo), khl_sem) = prep(cbank)
     if cbank.value_scale is not None:
         values, scale = cbank.values, cbank.value_scale.astype(jnp.float32)
     elif value_dtype is not None:
@@ -437,8 +490,10 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         g_sem_vw=g_sem_vw, g_geo_vw=g_geo_vw, khl_sem=khl_sem,
         g_sup_cat=g_sup_cat, g_sup_vw=g_sup_vw,
         g_sem_vw_lr=g_sem_vw_lr, u_sem=u_sem,
+        z_sem=z_sem, w_sem=w_sem, z_geo=z_geo, w_geo=w_geo,
         tier=tier, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
         gsz_super=gsz_super, lr_rank=lr_rank or 0,
+        res_rank=res_rank or 0,
         sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
     )
 
@@ -1105,19 +1160,32 @@ def _hier_refine_call(q_cat, idx, g_sem_cat, g_sup_cat, g_sem_vw, g_sup_vw,
     return stats[:, :M], stats[:, Mp:Mp + M], parts
 
 
-def _hier_parts_family_kernel(sem_d, has_scale, lr, geo, idx_ref, q_ref,
-                              k_ref, v_ref, gs_ref, vs_ref, *rest):
+def _hier_parts_family_kernel(sem_d, has_scale, lr, geo, rr, lrr, dv,
+                              idx_ref, q_ref, k_ref, v_ref, gs_ref, vs_ref,
+                              *rest):
     """Single-family variant of `_hier_parts_kernel`: exact one-family
     softmax partials minus that family's group approximation over the
     scalar-prefetched tile list.  Splitting families lets the sem exact
     budget (K_sem, the probe-fidelity knob) grow without paying the geo
     value matmul on every tile — the geo family is sharply local and needs
-    only a few exact tiles of its own (`k_geo`).  Out layout:
-    [acc(Dv) | d | pad(127) | (alr when lr)]."""
-    if has_scale:
-        s_ref, mask_ref, out_ref, acc_ref, d_ref, *alr = rest
+    only a few exact tiles of its own (`k_geo`).
+
+    `rr` (res_rank active): the [bn, Dv] value stream/matmul is replaced by
+    the mean+residual identity  p@V = (segsum(p)/cnt)@vsum + (p@z)@w  with
+    w applied ONCE outside the grid — v_ref then holds z [bn, rrp] and the
+    kernel accumulates az = p@z; the mean term and the group-approx
+    subtraction ride ONE [bm, gpt] matmul on their difference (both are
+    group-granularity), and the merged cnt column replaces the in-kernel
+    sum(p) denominator accumulation.
+
+    Out layouts:  plain: [acc(Dv) | d | pad(127)]
+                  lr:    [acc(Dv) | d | pad(127) | alr(W)]
+                  rr+lr: [az(rrp) | d | pad(127) | alr(W)]   (no Dv acc)
+                  rr:    [acc(Dv) | d | pad(127) | az(rrp)]."""
+    if has_scale and not rr:
+        s_ref, mask_ref, out_ref, acc_ref, d_ref, *xtr = rest
     else:
-        mask_ref, out_ref, acc_ref, d_ref, *alr = rest
+        mask_ref, out_ref, acc_ref, d_ref, *xtr = rest
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -1125,8 +1193,8 @@ def _hier_parts_family_kernel(sem_d, has_scale, lr, geo, idx_ref, q_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         d_ref[:] = jnp.zeros_like(d_ref)
-        if lr:
-            alr[0][:] = jnp.zeros_like(alr[0])
+        for x in xtr:
+            x[:] = jnp.zeros_like(x)
 
     q = q_ref[:]
     k = k_ref[:]
@@ -1141,19 +1209,6 @@ def _hier_parts_family_kernel(sem_d, has_scale, lr, geo, idx_ref, q_ref,
                          preferred_element_type=jnp.float32,
                          precision=prec) + mask
     p = jnp.exp2(jnp.minimum(logits, CLAMP2))
-    d_ref[:] += jnp.sum(p, axis=-1, keepdims=True)
-    Dv = v_ref.shape[1]
-    if has_scale:
-        s = s_ref[:]
-        v = v_ref[:].astype(jnp.bfloat16)
-        acc_ref[:] += jnp.dot((p * s).astype(jnp.bfloat16), v,
-                              preferred_element_type=jnp.float32)
-    else:
-        v = v_ref[:]
-        vprec = jax.lax.Precision.HIGHEST if v.dtype == jnp.float32 else None
-        acc_ref[:] += jnp.dot(p.astype(v.dtype), v,
-                              preferred_element_type=jnp.float32,
-                              precision=vprec)
 
     gw = gs_ref.shape[1]
     qg = q[:, q.shape[1] - gw:] if geo else q[:, :gw]
@@ -1161,32 +1216,76 @@ def _hier_parts_family_kernel(sem_d, has_scale, lr, geo, idx_ref, q_ref,
         jnp.dot(qg, gs_ref[:].T, preferred_element_type=jnp.float32),
         CLAMP2))
     vs = vs_ref[:]
-    appr = jnp.dot(e.astype(vs.dtype), vs,
-                   preferred_element_type=jnp.float32)
-    if lr:
-        alr[0][:] += appr
+
+    if rr:
+        z = v_ref[:]
+        bn, gpt = k.shape[0], gs_ref.shape[0]
+        gsz = bn // gpt
+        # static 0/1 segment matrix (rows -> fine groups), built in
+        # registers: ps = segment-sums of p as ONE bf16 MXU matmul
+        sgm = (jax.lax.broadcasted_iota(jnp.int32, (bn, gpt), 0) // gsz
+               == jax.lax.broadcasted_iota(jnp.int32, (bn, gpt), 1))
+        ps = jnp.dot(p.astype(z.dtype), sgm.astype(z.dtype),
+                     preferred_element_type=jnp.float32)
+        cnt = vs[:, lrr if lr else dv].astype(jnp.float32)
+        psn = ps / jnp.maximum(cnt, 1.0)[None, :]
+        if lr:
+            # alr accumulates (approx - mean) in lr coords; its cnt column
+            # then carries e@cnt - sum(p), so corr = tails - alr restores
+            # the exact denominator downstream (no in-kernel sum(p))
+            xtr[0][:] += jnp.dot((e - psn).astype(vs.dtype), vs,
+                                 preferred_element_type=jnp.float32)
+        else:
+            dvv = jnp.dot((psn - e).astype(vs.dtype), vs,
+                          preferred_element_type=jnp.float32)
+            acc_ref[:] += dvv[:, :dv]
+            d_ref[:] += dvv[:, dv:dv + 1]
+        az = acc_ref if (rr and lr) else xtr[-1]
+        az[:] += jnp.dot(p.astype(z.dtype), z,
+                         preferred_element_type=jnp.float32)
     else:
-        acc_ref[:] -= appr[:, :Dv]
-        d_ref[:] -= appr[:, Dv:Dv + 1]
+        d_ref[:] += jnp.sum(p, axis=-1, keepdims=True)
+        Dv = v_ref.shape[1]
+        if has_scale:
+            s = s_ref[:]
+            v = v_ref[:].astype(jnp.bfloat16)
+            acc_ref[:] += jnp.dot((p * s).astype(jnp.bfloat16), v,
+                                  preferred_element_type=jnp.float32)
+        else:
+            v = v_ref[:]
+            vprec = (jax.lax.Precision.HIGHEST if v.dtype == jnp.float32
+                     else None)
+            acc_ref[:] += jnp.dot(p.astype(v.dtype), v,
+                                  preferred_element_type=jnp.float32,
+                                  precision=vprec)
+        appr = jnp.dot(e.astype(vs.dtype), vs,
+                       preferred_element_type=jnp.float32)
+        if lr:
+            xtr[0][:] += appr
+        else:
+            acc_ref[:] -= appr[:, :Dv]
+            d_ref[:] -= appr[:, Dv:Dv + 1]
 
     @pl.when(j == nj - 1)
     def _():
-        out_ref[:, :Dv] = acc_ref[:]
-        out_ref[:, Dv:Dv + 1] = d_ref[:]
-        if lr:
-            rp = alr[0].shape[1]
-            out_ref[:, Dv + 1:Dv + 128] = jnp.zeros_like(
-                out_ref[:, Dv + 1:Dv + 128])
-            out_ref[:, Dv + 128:Dv + 128 + rp] = alr[0][:]
-        else:
-            out_ref[:, Dv + 1:] = jnp.zeros_like(out_ref[:, Dv + 1:])
+        A = acc_ref.shape[1]
+        out_ref[:, :A] = acc_ref[:]
+        out_ref[:, A:A + 1] = d_ref[:]
+        out_ref[:, A + 1:A + 128] = jnp.zeros_like(out_ref[:, A + 1:A + 128])
+        off = A + 128
+        for x in xtr:
+            xw = x.shape[1]
+            out_ref[:, off:off + xw] = x[:]
+            off += xw
 
 
 @functools.partial(jax.jit, static_argnames=("sem_d", "bm", "bn", "gpt",
-                                             "geo", "lr", "interpret"))
+                                             "geo", "lr", "rr", "lrr",
+                                             "interpret"))
 def _hier_parts_family_call(q_cat, k_cat, values, scale, mask_neg, idx,
-                            g_cat, g_vw, *, sem_d: int, bm: int, bn: int,
-                            gpt: int, geo: bool = False, lr: bool = False,
+                            g_cat, g_vw, z=None, *, sem_d: int, bm: int,
+                            bn: int, gpt: int, geo: bool = False,
+                            lr: bool = False, rr: int = 0, lrr: int = 0,
                             interpret: bool = False) -> jnp.ndarray:
     Bp, cat_d = q_cat.shape
     N, Dv = values.shape
@@ -1199,17 +1298,21 @@ def _hier_parts_family_call(q_cat, k_cat, values, scale, mask_neg, idx,
     def kidx(i, g, idx_):
         return (idx_[i, g], 0)
 
+    rrp = z.shape[1] if rr else 0
     in_specs = [
         pl.BlockSpec((bm, cat_d), lambda i, g, idx_: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((bn, cat_d), kidx, memory_space=pltpu.VMEM),
-        pl.BlockSpec((bn, Dv), kidx, memory_space=pltpu.VMEM),
+        # the residual path replaces the [bn, Dv] value stream with the
+        # [bn, rrp] residual coefficients in the same operand slot
+        pl.BlockSpec((bn, rrp if rr else Dv), kidx,
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((gpt, g_cat.shape[1]), kidx,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((gpt, W), kidx, memory_space=pltpu.VMEM),
     ]
-    operands = [q_cat, k_cat, values, g_cat, g_vw]
-    has_scale = scale is not None
+    operands = [q_cat, k_cat, z if rr else values, g_cat, g_vw]
+    has_scale = scale is not None and not rr
     if has_scale:
         in_specs.append(pl.BlockSpec((1, bn),
                                      lambda i, g, idx_: (0, idx_[i, g]),
@@ -1219,13 +1322,22 @@ def _hier_parts_family_call(q_cat, k_cat, values, scale, mask_neg, idx,
                                  memory_space=pltpu.VMEM))
     operands.append(mask_neg)
 
-    out_w = Dv + 128 + (W if lr else 0)
-    scratch = [
-        pltpu.VMEM((bm, Dv), jnp.float32),
-        pltpu.VMEM((bm, 1), jnp.float32),
-    ]
-    if lr:
-        scratch.append(pltpu.VMEM((bm, W), jnp.float32))
+    if rr and lr:
+        out_w = rrp + 128 + W
+        scratch = [pltpu.VMEM((bm, rrp), jnp.float32),
+                   pltpu.VMEM((bm, 1), jnp.float32),
+                   pltpu.VMEM((bm, W), jnp.float32)]
+    elif rr:
+        out_w = Dv + 128 + rrp
+        scratch = [pltpu.VMEM((bm, Dv), jnp.float32),
+                   pltpu.VMEM((bm, 1), jnp.float32),
+                   pltpu.VMEM((bm, rrp), jnp.float32)]
+    else:
+        out_w = Dv + 128 + (W if lr else 0)
+        scratch = [pltpu.VMEM((bm, Dv), jnp.float32),
+                   pltpu.VMEM((bm, 1), jnp.float32)]
+        if lr:
+            scratch.append(pltpu.VMEM((bm, W), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -1234,17 +1346,21 @@ def _hier_parts_family_call(q_cat, k_cat, values, scale, mask_neg, idx,
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
+    # rr row-cols: residual matmul (rrp) + segment-sum matmul (gpt)
+    vw_cols = (rrp + gpt) if rr else Dv
     out = pl.pallas_call(
         functools.partial(_hier_parts_family_kernel, sem_d, has_scale, lr,
-                          geo),
+                          geo, rr, lrr, Dv),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, out_w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * K * (bn * (cat_d // 2 + Dv) + gpt * (cat_d + W)),
-            bytes_accessed=nB * K * (bn + gpt) * (cat_d + Dv) * 2
+            flops=2 * Bp * K * (bn * (cat_d // 2 + vw_cols)
+                                + gpt * (cat_d + W)),
+            bytes_accessed=nB * K * (bn + gpt) * (cat_d + (rrp if rr else Dv)
+                                                  ) * 2
             + Bp * (cat_d + Dv) * 4,
             transcendentals=Bp * K * (bn + gpt),
         ),
@@ -1536,24 +1652,42 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
         idx_g, _ = select_tiles(m_g, s_g, m_s, s_s, t_real=hb.t_real,
                                 k_tiles=k_geo, bm=bm, n_valid=n_valid,
                                 j_sem=j_geo, j_geo=j_sem, mode="range")
+        use_rr = bool(hb.res_rank) and hb.z_sem is not None
         parts_s = _hier_parts_family_call(
             q_cat, hb.k_cat, hb.values, hb.value_scale, hb.mask_neg, idx_s,
-            hb.g_sem_cat, sem_vw, sem_d=hb.sem_d, bm=bm, bn=hb.bn,
-            gpt=gpt_s, geo=False, lr=use_lr, interpret=interpret)
+            hb.g_sem_cat, sem_vw, hb.z_sem, sem_d=hb.sem_d, bm=bm, bn=hb.bn,
+            gpt=gpt_s, geo=False, lr=use_lr, rr=int(use_rr),
+            lrr=hb.lr_rank, interpret=interpret)
         parts_g = _hier_parts_family_call(
             q_cat, hb.k_cat, hb.values, hb.value_scale, hb.mask_neg, idx_g,
-            hb.g_geo_cat, hb.g_geo_vw, sem_d=hb.sem_d, bm=bm, bn=hb.bn,
-            gpt=gpt_g, geo=True, lr=False, interpret=interpret)
-        if use_lr:
+            hb.g_geo_cat, hb.g_geo_vw, hb.z_geo, sem_d=hb.sem_d, bm=bm,
+            bn=hb.bn, gpt=gpt_g, geo=True, lr=False, rr=int(use_rr),
+            interpret=interpret)
+        if use_lr and use_rr:
+            r, rrp = hb.lr_rank, hb.z_sem.shape[1]
+            corr = tails[:, :Ws] - parts_s[:, rrp + 128:]
+            acc_s = jnp.dot(parts_s[:, :rrp], hb.w_sem,
+                            preferred_element_type=jnp.float32) + jnp.dot(
+                corr[:, :r], hb.u_sem, preferred_element_type=jnp.float32)
+            d_s = parts_s[:, rrp:rrp + 1] + corr[:, r:r + 1]
+        elif use_lr:
             r = hb.lr_rank
             corr = tails[:, :Ws] - parts_s[:, Dv + 128:]
             acc_s = parts_s[:, :Dv] + jnp.dot(
                 corr[:, :r], hb.u_sem, preferred_element_type=jnp.float32)
             d_s = parts_s[:, Dv:Dv + 1] + corr[:, r:r + 1]
+        elif use_rr:
+            acc_s = (parts_s[:, :Dv] + tails[:, :Dv] + jnp.dot(
+                parts_s[:, Dv + 128:], hb.w_sem,
+                preferred_element_type=jnp.float32))
+            d_s = parts_s[:, Dv:Dv + 1] + tails[:, Dv:Dv + 1]
         else:
             acc_s = parts_s[:, :Dv] + tails[:, :Dv]
             d_s = parts_s[:, Dv:Dv + 1] + tails[:, Dv:Dv + 1]
         acc_g = parts_g[:, :Dv] + tails[:, Ws:Ws + Dv]
+        if use_rr:
+            acc_g = acc_g + jnp.dot(parts_g[:, Dv + 128:], hb.w_geo,
+                                    preferred_element_type=jnp.float32)
         d_g = parts_g[:, Dv:Dv + 1] + tails[:, Ws + Dv:Ws + Dv + 1]
         return acc_s, acc_g, d_s, d_g
     idx, sel = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
@@ -1704,6 +1838,10 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
     # fidelity: the diffuse sem mass needs the FINE tail on all tiles)
     use_lr = hb.g_sem_vw_lr is not None and hb.lr_rank > 0
     use2 = bool(hb.gsz_super) and hb.g_sup_cat is not None and not use_lr
+    if hb.res_rank and hb.z_sem is not None and not k_geo:
+        # residual-rank parts live in the family-split kernels only —
+        # give the geo family its own exact budget when the caller didn't
+        k_geo = max(8, k_tiles // 2)
     if sort_queries and hybrid:
         # hybrid ordering groups each coarse geo cell's queries by their
         # hottest sem tile, which needs the scan stats — run a stats-only
@@ -1822,7 +1960,7 @@ def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
                          shards: int, gsz_super: int = 0,
                          group_by: str = "key_value",
                          group_value_weight: float = 1.0,
-                         lr_rank: int = 0) -> dict:
+                         lr_rank: int = 0, res_rank: int = 0) -> dict:
     """The identity of a `build_hier_bank` run: source bank + every build
     parameter.  Stored in the disk cache and validated on load so a stale
     cache (different bank or params) is rebuilt, never silently served."""
@@ -1832,10 +1970,13 @@ def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
         # mirror build_hier_bank's clamp so the signature records the
         # EFFECTIVE rank (caches built before the clamp also miss)
         lr_rank = min(lr_rank, int(bank.values.shape[1]))
+    if res_rank:
+        res_rank = min(res_rank, int(bank.values.shape[1]))
     return {"fp": bank_fingerprint(bank), "bn": bn, "gsz_sem": gsz_sem,
             "gsz_geo": gsz_geo, "gsz_super": gsz_super, "tier": tier,
             "seed": seed, "shards": shards, "group_by": group_by,
-            "gvw": group_value_weight, "lr_rank": lr_rank, "fmt": 2}
+            "gvw": group_value_weight, "lr_rank": lr_rank,
+            "res_rank": res_rank, "fmt": 2}
 
 
 def peek_hier_build(path: str) -> Optional[dict]:
@@ -1868,7 +2009,7 @@ def save_hier_bank(hb: HierBank, path: str, build: Optional[dict] = None
                   "sem_centroid", "geo_centroid", "sem_radius", "geo_radius",
                   "g_sem_cat", "g_geo_cat", "g_sem_vw", "g_geo_vw",
                   "khl_sem", "g_sup_cat", "g_sup_vw", "g_sem_vw_lr",
-                  "u_sem"):
+                  "u_sem", "z_sem", "w_sem", "z_geo", "w_geo"):
         v = getattr(hb, field)
         if v is None:
             continue
@@ -1884,7 +2025,8 @@ def save_hier_bank(hb: HierBank, path: str, build: Optional[dict] = None
             hb.bank.value_scale)
     arrays["bank_n_valid"] = np.asarray(hb.bank.n_valid)
     for field in ("tier", "bn", "gsz_sem", "gsz_geo", "gsz_super",
-                  "lr_rank", "sem_d", "cat_d", "t_real", "t_pad"):
+                  "lr_rank", "res_rank", "sem_d", "cat_d", "t_real",
+                  "t_pad"):
         meta[field] = getattr(hb, field)
     if build is not None:
         meta["build"] = build
@@ -1928,9 +2070,12 @@ def load_hier_bank(path: str) -> HierBank:
         khl_sem=dec("khl_sem"),
         g_sup_cat=dec("g_sup_cat"), g_sup_vw=dec("g_sup_vw"),
         g_sem_vw_lr=dec("g_sem_vw_lr"), u_sem=dec("u_sem"),
+        z_sem=dec("z_sem"), w_sem=dec("w_sem"),
+        z_geo=dec("z_geo"), w_geo=dec("w_geo"),
         tier=meta["tier"], bn=meta["bn"], gsz_sem=meta["gsz_sem"],
         gsz_geo=meta["gsz_geo"], gsz_super=meta.get("gsz_super", 0),
         lr_rank=meta.get("lr_rank", 0),
+        res_rank=meta.get("res_rank", 0),
         sem_d=meta["sem_d"], cat_d=meta["cat_d"],
         t_real=meta["t_real"], t_pad=meta["t_pad"],
     )

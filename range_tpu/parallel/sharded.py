@@ -279,6 +279,10 @@ def shard_hier_bank(hb, mesh: Mesh, axis: str = "bank"):
         g_sup_vw=put(hb.g_sup_vw, rows),
         g_sem_vw_lr=put(hb.g_sem_vw_lr, rows),
         u_sem=put(hb.u_sem, rep),
+        z_sem=put(hb.z_sem, rows),
+        w_sem=put(hb.w_sem, rep),
+        z_geo=put(hb.z_geo, rows),
+        w_geo=put(hb.w_geo, rep),
     )
 
 
@@ -328,6 +332,9 @@ def sharded_retrieve_hier(
     t_local = hb.t_pad // n
     assert t_local % tc == 0, (hb.t_pad, n, tc)
     k_tiles = min(k_tiles, t_local)
+    if hb.res_rank and hb.z_sem is not None and not k_geo:
+        # residual-rank parts live in the family-split kernels only
+        k_geo = max(8, k_tiles // 2)
     k_geo = min(k_geo, t_local)
     if mode == "range":
         beta = 1.0
@@ -394,6 +401,8 @@ def _hier_bank_spec(hb, bank_axis: str):
         mask_neg=P(None, bank_axis),
         sem_centroid=P(), geo_centroid=P(), sem_radius=P(), geo_radius=P(),
         u_sem=P() if hb.u_sem is not None else None,
+        w_sem=P() if hb.w_sem is not None else None,
+        w_geo=P() if hb.w_geo is not None else None,
     )
 
 

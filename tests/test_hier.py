@@ -453,3 +453,74 @@ def test_hier_asymmetric_with_lr(bank, queries):
                                      bm=128, interpret=True))
     rel_p = (np.abs(out_p - ref) / np.maximum(np.abs(ref), 1e-1)).mean()
     assert rel_p < 0.2, rel_p
+
+
+def test_hier_res_rank_full_matches_plain(bank, queries):
+    """Residual-rank parts (mean + global rank-k residual basis replacing
+    the [bn, Dv] value matmul): at k = Dv the basis is complete, so the
+    family-split pipeline must match the plain family kernels; composes
+    with the low-rank sem tail.  (At partial rank the parts correction is
+    itself approximate — the all-tiles==exact invariant intentionally
+    holds only at full rank.)"""
+    from range_tpu.ops.retrieval_hier import build_hier_bank
+
+    q, q_xyz = queries
+    Dv = bank.value_dim
+    kw = dict(bn=BN, gsz_sem=8, gsz_geo=16, tier="exact",
+              value_dtype=jnp.float32)
+    hb0 = build_hier_bank(bank, **kw)
+    hbF = build_hier_bank(bank, res_rank=Dv, **kw)
+    assert hbF.res_rank == Dv and hbF.z_sem is not None
+    assert hbF.w_sem.shape[1] == Dv and hbF.z_geo.shape[0] == hbF.k_cat.shape[0]
+    a = np.asarray(retrieve_hier(q, q_xyz, hb0, k_tiles=12, k_geo=4, bm=128,
+                                 interpret=True))
+    b = np.asarray(retrieve_hier(q, q_xyz, hbF, k_tiles=12, k_geo=4, bm=128,
+                                 interpret=True))
+    assert _relerr(b, a).max() < 2e-2
+
+    hbL = build_hier_bank(bank, res_rank=Dv, lr_rank=Dv, **kw)
+    d = np.asarray(retrieve_hier(q, q_xyz, hbL, k_tiles=12, k_geo=4, bm=128,
+                                 interpret=True))
+    assert _relerr(d, a).max() < 2e-2
+
+
+def test_hier_res_rank_partial_stays_close(bank, queries):
+    """Partial-rank residuals degrade gracefully: mean relerr vs dense
+    within a modest factor of the plain family path at equal budgets, and
+    res banks auto-route to the family-split kernels when k_geo=0."""
+    from range_tpu.ops.retrieval_hier import build_hier_bank
+
+    q, q_xyz = queries
+    Dv = bank.value_dim
+    kw = dict(bn=BN, gsz_sem=8, gsz_geo=16, tier="exact",
+              value_dtype=jnp.float32)
+    hb0 = build_hier_bank(bank, **kw)
+    hbH = build_hier_bank(bank, res_rank=Dv // 2, **kw)
+    ref = np.asarray(retrieve(q, q_xyz, bank, sem_temp=12.0, geo_temp=40.0,
+                              beta=0.5, chunk=PAD))
+    a = np.asarray(retrieve_hier(q, q_xyz, hb0, k_tiles=12, k_geo=4, bm=128,
+                                 interpret=True))
+    c = np.asarray(retrieve_hier(q, q_xyz, hbH, k_tiles=12, k_geo=4, bm=128,
+                                 interpret=True))
+    rel_a, rel_c = _relerr(a, ref).mean(), _relerr(c, ref).mean()
+    assert rel_c < rel_a * 2 + 0.05, (rel_c, rel_a)
+    # k_geo=0 on a res bank must auto-split families (not the joint path)
+    e = np.asarray(retrieve_hier(q, q_xyz, hbH, k_tiles=12, bm=128,
+                                 interpret=True))
+    assert np.isfinite(e).all()
+
+
+def test_hier_res_rank_roundtrip(tmp_path, bank):
+    """save/load preserves the residual operands and res_rank meta."""
+    from range_tpu.ops.retrieval_hier import (build_hier_bank,
+                                              load_hier_bank,
+                                              save_hier_bank)
+
+    hb = build_hier_bank(bank, bn=BN, gsz_sem=8, gsz_geo=16, tier="exact",
+                         value_dtype=jnp.float32, res_rank=32)
+    p = str(tmp_path / "res.npz")
+    save_hier_bank(hb, p)
+    hb2 = load_hier_bank(p)
+    assert hb2.res_rank == 32
+    np.testing.assert_array_equal(np.asarray(hb.z_sem), np.asarray(hb2.z_sem))
+    np.testing.assert_array_equal(np.asarray(hb.w_geo), np.asarray(hb2.w_geo))

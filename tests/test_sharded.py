@@ -385,3 +385,53 @@ def test_sharded_hier2_two_level():
         qs, qs_xyz, shb, mesh, k=1, k_tiles=t_local, m_tiles=t_local,
         bm=128, tc=min(8, t_local), interpret=True))
     assert (got == true).mean() >= 0.995, (got != true).sum()
+
+
+def test_sharded_hier_res_rank_matches_single_device():
+    """Residual-rank parts through the mesh path: the sharded partials (az
+    in residual coords, alr in lr coords, both linear in bank rows) psum to
+    the single-device result; at res_rank >= Dv this also matches the plain
+    (non-res) sharded path."""
+    from range_tpu.ops.retrieval_hier import build_hier_bank, retrieve_hier
+    from range_tpu.parallel.sharded import (shard_hier_bank,
+                                            sharded_retrieve_hier)
+    from range_tpu.bank.bank import GeoBank
+    from range_tpu.geometry import lonlat_deg_to_xyz
+
+    bank = GeoBank.synthetic_informative(0, 6000, pad_to=512, value_dim=64)
+    Dv = bank.value_dim
+    hb = build_hier_bank(bank, bn=128, gsz_sem=8, gsz_geo=16, tier="exact",
+                         value_dtype=jnp.float32, shards=8,
+                         lr_rank=Dv, res_rank=Dv)
+    assert hb.res_rank == Dv and hb.z_sem is not None
+    mesh = make_mesh((8,), ("bank",))
+    shb = shard_hier_bank(hb, mesh)
+
+    rng = np.random.default_rng(4)
+    locs = np.stack([rng.uniform(-180, 180, 256),
+                     rng.uniform(-80, 80, 256)], 1).astype(np.float32)
+    q = rng.standard_normal((256, 256)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q = jnp.asarray(q)
+    q_xyz = lonlat_deg_to_xyz(jnp.asarray(locs))
+
+    single = np.asarray(retrieve_hier(q, q_xyz, hb, k_tiles=6, k_geo=4,
+                                      bm=128, interpret=True))
+    out = np.asarray(sharded_retrieve_hier(
+        q, q_xyz, shb, mesh, k_tiles=6, k_geo=4, bm=128, tc=8,
+        interpret=True))
+    # per-shard selection differs from single-device selection (finer
+    # union), so compare against the exact reference instead of bitwise
+    from range_tpu.ops.retrieval import retrieve
+
+    ref = np.asarray(retrieve(q, q_xyz, hb.bank, sem_temp=12.0,
+                              geo_temp=40.0, beta=0.5, chunk=512))
+
+    def relerr(a):
+        return (np.abs(a - ref) / np.maximum(np.abs(ref), 1e-1)).mean()
+
+    assert np.isfinite(out).all()
+    # sharded selection is strictly finer: its error must not exceed the
+    # single-device error by more than fp noise
+    assert relerr(out) <= relerr(single) * 1.05 + 1e-4, (
+        relerr(out), relerr(single))

@@ -75,6 +75,9 @@ def main():
         retrieval="hier",
         lr_rank=256, res_rank=128, gsz_sem=16,
         k_tiles=32, j_sem=3, k_geo=16, hier_scan_bm=512,
+        # bf16 inputs on the fused SH basis@W0 matmuls (f32 accumulate):
+        # tower 1.77 -> 1.17 ms, embedding cos vs f32 >= 0.999999
+        tower_matmul="bf16",
         chunk=4096,
         compute_dtype=jnp.float32,
         seed=0,

@@ -94,12 +94,20 @@ def _as_bank(db: Union[str, GeoBank, None], chunk: int) -> GeoBank:
     return GeoBank.from_npz(db, pad_to=chunk)
 
 
-def _satclip_tower(pretrained_path: Optional[str], dtype, seed: int):
+def _satclip_tower(pretrained_path: Optional[str], dtype, seed: int,
+                   tower_matmul: Optional[str] = None):
     if pretrained_path:
+        import dataclasses as _dc
+
         from .convert.satclip_ckpt import load_satclip_checkpoint
 
-        return load_satclip_checkpoint(pretrained_path, dtype=dtype)
-    encoder = SatClipLocationEncoder(SatClipLocationConfig())
+        encoder, params = load_satclip_checkpoint(pretrained_path, dtype=dtype)
+        if tower_matmul:
+            encoder.config = _dc.replace(encoder.config,
+                                         fused_matmul_dtype=tower_matmul)
+        return encoder, params
+    encoder = SatClipLocationEncoder(SatClipLocationConfig(
+        fused_matmul_dtype=tower_matmul))
     params = encoder.init(jax.random.PRNGKey(seed), dtype=dtype)
     return encoder, params
 
@@ -119,11 +127,13 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                  group_value_weight: float = 1.0,
                  lr_rank: Optional[int] = None,
                  res_rank: Optional[int] = None,
+                 tower_matmul: Optional[str] = None,
                  mesh=None, bank_axis: Optional[str] = None,
                  data_axis: Optional[str] = None, shard_bm: int = 512,
                  shard_bn: int = 1024,
                  **kw) -> GeoEncoder:
-    tower, params = _satclip_tower(pretrained_path, dtype, seed)
+    tower, params = _satclip_tower(pretrained_path, dtype, seed,
+                                   tower_matmul=tower_matmul)
     bank = _as_bank(db_path, chunk)
     if value_quant == "int8":
         # per-row int8 values + scale: ~half the bank HBM footprint, taken by
@@ -231,8 +241,10 @@ def _range_plus(pretrained_path=None, db_path=None, beta=0.5, **kw):
 
 
 @register("SatCLIP")
-def _satclip(pretrained_path=None, dtype=jnp.float32, seed: int = 0, **kw):
-    tower, params = _satclip_tower(pretrained_path, dtype, seed)
+def _satclip(pretrained_path=None, dtype=jnp.float32, seed: int = 0,
+             tower_matmul=None, **kw):
+    tower, params = _satclip_tower(pretrained_path, dtype, seed,
+                                   tower_matmul=tower_matmul)
     return GeoEncoder("SatCLIP", lambda p, c, e: tower.apply(p, c), params,
                       tower.embedding_dim, model=tower)
 

@@ -18,6 +18,8 @@ bit-level parity runs on CPU.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
+
 import jax.numpy as jnp
 
 from ..ops.nets import get_neural_network
@@ -39,6 +41,11 @@ class SatClipLocationConfig:
     harmonics_calculation: str = "analytic"
     num_hidden_layers: int = 2
     capacity: int = 256
+    # serving knob (not a checkpoint hyperparameter): dtype of the fused
+    # basis@W0 matmul INPUTS — "bf16" buys ~3x MXU rate on the tower's
+    # dominant matmuls at ~1e-3 relative embedding error (accumulation
+    # stays f32).  None keeps full f32 (the parity default).
+    fused_matmul_dtype: Optional[str] = None
 
     @classmethod
     def from_hyper_parameters(cls, hp: dict) -> "SatClipLocationConfig":
@@ -100,9 +107,12 @@ class SatClipLocationEncoder:
             layer0 = params["input"]
         else:
             return None
+        md = (jnp.bfloat16
+              if getattr(self.config, "fused_matmul_dtype", None) == "bf16"
+              else None)
         pre = spherical_harmonics_times(
             lonlat_deg, int(self.posenc.legendre_polys), layer0["w"],
-            self.posenc.convention)
+            self.posenc.convention, matmul_dtype=md)
         if "b" in layer0:
             pre = pre + layer0["b"]
         return pre

@@ -247,7 +247,8 @@ def _sh_times_plan(L: int, convention: str):
 
 def spherical_harmonics_times(lonlat_deg: jnp.ndarray, L: int,
                               w: jnp.ndarray,
-                              convention: str = "analytic") -> jnp.ndarray:
+                              convention: str = "analytic",
+                              matmul_dtype=None) -> jnp.ndarray:
     """``spherical_harmonics_basis(lonlat_deg, L, convention) @ w`` without
     materializing or permuting the [B, L*L] basis.
 
@@ -268,6 +269,11 @@ def spherical_harmonics_times(lonlat_deg: jnp.ndarray, L: int,
     Args:
       lonlat_deg: [B, 2] (lon, lat) degrees.
       L: Legendre degrees; ``w``: [L*L, D] weight matrix.
+      matmul_dtype: optional dtype for the three matmuls' INPUTS (the
+        recurrence and trig stay f32, accumulation stays f32 via
+        preferred_element_type).  bfloat16 trades ~1e-3 relative output
+        error for ~3x MXU rate — the serving opt-in
+        (`load_model(tower_matmul='bf16')`).
     Returns: [B, D].
     """
     if convention not in ("analytic", "closed-form"):
@@ -299,6 +305,7 @@ def spherical_harmonics_times(lonlat_deg: jnp.ndarray, L: int,
                   jnp.tile(jnp.sin(ang), (1, L)))
 
     KL = L * L
+    md = matmul_dtype or dtype
     out = None
     for cls, (j_idx, p_idx, sc) in enumerate(_sh_times_plan(L, convention)):
         if len(j_idx) == 0:
@@ -306,7 +313,8 @@ def spherical_harmonics_times(lonlat_deg: jnp.ndarray, L: int,
         wf = jnp.zeros((KL, w.shape[1]), w.dtype).at[jnp.asarray(p_idx)].set(
             jnp.asarray(sc, w.dtype)[:, None] * w[jnp.asarray(j_idx)])
         lhs = P_flat if trig_tiles[cls] is None else P_flat * trig_tiles[cls]
-        term = jnp.dot(lhs, wf, preferred_element_type=jnp.float32)
+        term = jnp.dot(lhs.astype(md), wf.astype(md),
+                       preferred_element_type=jnp.float32)
         out = term if out is None else out + term
     return out.astype(dtype)
 

@@ -162,3 +162,28 @@ def test_modulated_siren_parity():
         ref_same = net_t(wrapper.grid, wrapper.modulator(
             torch.from_numpy(z))).numpy()
     np.testing.assert_allclose(same_grid, ref_same, rtol=1e-9, atol=1e-9)
+
+
+def test_fused_tower_bf16_matmul_close_to_f32():
+    """The serving opt-in `fused_matmul_dtype='bf16'` (bf16 INPUTS on the
+    fused SH basis@W0 matmuls, f32 accumulation) must stay within bf16
+    rounding of the f32 tower — directionally the embeddings are nearly
+    identical (the 1600-term contraction averages the input rounding)."""
+    import numpy as np
+
+    from range_tpu.models.satclip import (SatClipLocationConfig,
+                                          SatClipLocationEncoder)
+
+    t32 = SatClipLocationEncoder(SatClipLocationConfig(legendre_polys=10))
+    tb = SatClipLocationEncoder(SatClipLocationConfig(
+        legendre_polys=10, fused_matmul_dtype="bf16"))
+    tp = t32.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    coords = jnp.asarray(np.stack([rng.uniform(-180, 180, 256),
+                                   rng.uniform(-90, 90, 256)], 1),
+                         jnp.float32)
+    a = np.asarray(t32.apply(tp, coords))
+    b = np.asarray(tb.apply(tp, coords))
+    an = a / np.linalg.norm(a, axis=1, keepdims=True)
+    bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+    assert (an * bn).sum(1).min() > 0.999

@@ -57,7 +57,11 @@ def autotune_retrieve(q_sem, q_xyz, bank, *,
                       beta: float = 0.5, mode: str = "range+",
                       tier: str = "fast",
                       candidates: Sequence[Tuple[int, int]] = DEFAULT_CANDIDATES,
-                      repeats: int = 3,
+                      # deep queue: the tunnel's dispatch feed rate is
+                      # ~3.5 ms/call at shallow queues (PERF.md round 3b) —
+                      # 3-deep probes of sub-10ms candidates measured the
+                      # HOST, not the kernels, and mis-ranked them
+                      repeats: int = 30,
                       cache: Optional[Dict] = None,
                       interpret: bool = False) -> Tuple[int, int]:
     """Returns the fastest (bm, bn) for this problem geometry, probing on
@@ -157,17 +161,23 @@ def retrieve_autotuned(q_sem, q_xyz, bank, **kwargs):
 # (n_queries_bucket, N, bn, gsz_sem, gsz_geo, tier, mode) -> (bm, tc)
 _HIER_CACHE: Dict[Tuple, Tuple[int, int]] = {}
 
-# bm x tc grid: bm >= 128 (transposed scan blocks need 128 query lanes),
-# tc must divide t_pad (build pads to a multiple of 32, so 8/16/32 all
-# divide); tc=32 doubles the scan's tile block and halves grid steps —
-# historically a flaky compile, which is exactly why it goes through the
-# compiler oracle here instead of being hand-blessed
+# bm x tc grid.  bm is NOT a pure perf knob — it widens the per-tile
+# selection union and measurably degrades relerr/recall (bm=512: relerr
+# 2.65% -> 3.01%, topk recall 0.9992 -> 0.9983, PERF.md round 3b) — so the
+# default grid holds serving bm=256 and races tc only (tc must divide
+# t_pad; build pads to a multiple of 32).  tc=32 halves grid steps and
+# probes FASTER but historically MISCOMPILES (5 corrupt tail rows out of
+# 10240 at bm=512 — caught only by output comparison, the compile
+# succeeds), which is why every candidate now passes a numeric gate
+# against the first survivor before it may win.
 DEFAULT_HIER_CANDIDATES: Sequence[Tuple[int, int]] = (
     (256, 16),  # the calibrated default
-    (256, 32),
+    # tc=32 is BLACKLISTED: the scan kernel's stats/tail corrupt at tc=32
+    # on Mosaic (worst maxrel 0.26 vs tc=16 across 8 trials at BOTH
+    # bm=256 and bm=512; r3b stress sweep) while compiling cleanly — and
+    # the end-to-end numeric gate below dilutes scan-level corruption
+    # under its 5% threshold, so the grid must not offer it at all
     (256, 8),
-    (512, 16),
-    (512, 32),
     (128, 16),
 )
 
@@ -183,7 +193,7 @@ def autotune_hier(q_sem, q_xyz, hb, *,
                   beta: float = 0.5, mode: str = "range+",
                   k_tiles: int = 16, j_sem: int = 2, j_geo: int = 2,
                   candidates: Sequence[Tuple[int, int]] = DEFAULT_HIER_CANDIDATES,
-                  repeats: int = 3, cache: Optional[Dict] = None,
+                  repeats: int = 30, cache: Optional[Dict] = None,
                   interpret: bool = False) -> Tuple[int, int]:
     """Fastest (bm, tc) for the hier pipeline at this problem geometry —
     the same compile-oracle probe as `autotune_retrieve` (Mosaic's own
@@ -205,6 +215,7 @@ def autotune_hier(q_sem, q_xyz, hb, *,
         return cache[key]
 
     best, best_t = None, float("inf")
+    ref_out = {}  # bm -> reference output of that bm's first survivor
     for bm, tc in candidates:
         if hb.t_pad % tc != 0:
             continue
@@ -215,7 +226,26 @@ def autotune_hier(q_sem, q_xyz, hb, *,
             mode=mode, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
             j_geo=j_geo, interpret=interpret))
         try:
-            float(jnp.sum(fn(q_sem, q_xyz, hb)))  # compile + warm
+            first = fn(q_sem, q_xyz, hb)
+            float(jnp.sum(first))  # compile + warm
+            # numeric gate: tc is semantics-free, so any same-bm deviation
+            # beyond fp noise is a MISCOMPILE (tc=32 has produced silently
+            # corrupt rows on Mosaic with a clean compile) — never let a
+            # broken-but-fast candidate win
+            import numpy as _np
+
+            a = _np.asarray(first)
+            if bm in ref_out:
+                rel = (_np.abs(a - ref_out[bm])
+                       / _np.maximum(_np.abs(ref_out[bm]), 1e-1))
+                if rel.max() > 0.05:
+                    log.warning(
+                        "autotune_hier: (bm=%d, tc=%d) NUMERIC MISMATCH "
+                        "(maxrel %.3g) — miscompile, rejected", bm, tc,
+                        float(rel.max()))
+                    continue
+            else:
+                ref_out[bm] = a
             t = float("inf")  # best-of-3 rounds (tunnel noise mis-ranks
             for _round in range(3):  # single-round probes; see above)
                 t0 = time.perf_counter()

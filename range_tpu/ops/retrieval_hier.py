@@ -1816,6 +1816,14 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
     if mode == "range":
         beta = 1.0
         q_xyz = None
+    if tc > 16:
+        import logging
+
+        logging.getLogger("range_tpu").warning(
+            "retrieve_hier: tc=%d — tc>16 has measured Mosaic MISCOMPILES "
+            "(silently corrupt scan stats/tail, worst maxrel 0.26 vs tc=16 "
+            "on v5e; PERF.md round 3b).  Verify outputs against tc=16 "
+            "before trusting this configuration.", tc)
     B = q_sem.shape[0]
     q_s, q_x = _pad_queries(q_sem, q_xyz, hb, bm)
     q_cat = pack_queries(q_s, q_x, sem_temp, geo_temp, tier=hb.tier)

@@ -119,7 +119,7 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                  value_quant: Optional[str] = None,
                  retrieval: str = "dense", k_tiles: int = 16,
                  m_tiles: Optional[int] = None, k_geo: int = 0,
-                 hier_min_batch: int = 2048,
+                 hier_min_batch: int = 0,
                  j_sem: int = 2, j_geo: int = 2, hier_bm: int = 256,
                  hier_scan_bm: int = 0,
                  hier_bn: int = 512, gsz_sem: int = 8, gsz_geo: int = 64,

@@ -73,14 +73,14 @@ class RangeConfig:
     # traffic scales as Bp/scan_bm (measured +3% e2e at 512 on the 100k
     # flagship); selection coherence is untouched (that's hier_bm's job)
     hier_scan_bm: int = 0
-    # hier: batches below this fall back to the dense exact kernel.  The
-    # selection stage's fidelity depends on spatial coherence of each
-    # bm-query tile, which small GLOBAL batches lack (see apply()); the
-    # joint-clustered group tail itself is per-query-exact, so
-    # latency-focused deployments can set 0 to serve ALL batch sizes
-    # hierarchically (measured r3: B=512 hier 4-6x dense throughput at
-    # feature relerr ~0.11 vs dense's 0; probe impact is tail-dominated)
-    hier_min_batch: int = 2048
+    # hier: batches below this fall back to the dense EXACT kernel (0%
+    # feature error, but the dense kernel streams the whole bank: ~28-39
+    # ms/call at ANY batch size).  Default 0: all batch sizes serve
+    # hierarchically, with apply() auto-widening the selection budget at
+    # small B to hold feature error flat (B=512 with 3x K matches the
+    # flagship's 2.65% relerr at 36x the dense throughput — PERF.md r3c).
+    # Set e.g. 2048 when small batches must be bit-exact instead of fast.
+    hier_min_batch: int = 0
     # Multi-chip serving: a jax.sharding.Mesh whose `bank_axis` shards the
     # bank rows (parallel/sharded.py).  The API layer shards the bank at
     # load; apply() routes to the sharded kernels (psum partial combine —
@@ -127,12 +127,11 @@ class RangeEncoder:
         if isinstance(bank, HierBank) and (cfg.retrieval != "hier"
                                            or lonlat_deg.shape[0]
                                            < cfg.hier_min_batch):
-            # hier fidelity depends on the SPATIAL COHERENCE of each
-            # bm-query tile (a shared K-tile selection must cover bm
-            # geographically-sorted queries).  Small global batches lack
-            # that coherence (measured: tile coverage 0.98 at B=10k but
-            # 0.25 at B=2k with bm=256), and the dense exact kernel is
-            # plenty fast at small B — route them to it.  B is static
+            # explicit opt-out: hier_min_batch > 0 routes batches below it
+            # to the EXACT dense kernel (0% feature error; ~28-39 ms/call
+            # regardless of batch — the dense kernel streams the whole
+            # bank).  The default is 0: small batches stay hierarchical
+            # with the selection budget auto-widened below.  B is static
             # under jit, so this is a compile-time branch.
             bank = bank.bank
         if cfg.retrieval == "hier" and isinstance(bank, HierBank):
@@ -140,6 +139,20 @@ class RangeEncoder:
             # (>= 128: transposed scan blocks need a 128-lane query dim)
             B = lonlat_deg.shape[0]
             bm = min(cfg.hier_bm, max(128, B // 40 // 128 * 128))
+            # small batches lack the spatial coherence the shared per-tile
+            # selection relies on (measured: tile coverage 0.98 at B=10k,
+            # 0.25 at B=2k with bm=256) — widen the selection budget to
+            # hold feature error FLAT instead of falling back to dense:
+            # at B=512, 3x K restores the flagship's 2.65% relerr at
+            # ~0.84 ms (36x the dense kernel's throughput); at B in
+            # [2048, 8192), 1.5x K suffices (PERF.md round 3c)
+            k_tiles, k_geo, j_sem = cfg.k_tiles, cfg.k_geo, cfg.j_sem
+            if B < 2048:
+                k_tiles, k_geo, j_sem = 3 * k_tiles, 3 * k_geo, j_sem + 2
+            elif B < 8192:
+                k_tiles = k_tiles + k_tiles // 2
+                k_geo = k_geo + k_geo // 2
+                j_sem = j_sem + 1
             if cfg.mesh is not None:
                 from ..parallel.sharded import sharded_retrieve_hier
 
@@ -148,11 +161,11 @@ class RangeEncoder:
                     q_sem, q_xyz, bank, cfg.mesh,
                     sem_temp=cfg.resolved_sem_temp(), geo_temp=cfg.geo_temp,
                     beta=cfg.beta, mode=cfg.mode,
-                    k_tiles=max(2, cfg.k_tiles // n), bm=bm,
+                    k_tiles=max(2, k_tiles // n), bm=bm,
                     m_tiles=(max(2, cfg.m_tiles // n)
                              if cfg.m_tiles else None),
-                    k_geo=max(1, cfg.k_geo // n) if cfg.k_geo else 0,
-                    j_sem=cfg.j_sem, j_geo=cfg.j_geo,
+                    k_geo=max(1, k_geo // n) if k_geo else 0,
+                    j_sem=j_sem, j_geo=cfg.j_geo,
                     bank_axis=cfg.bank_axis,
                     interpret=jax.default_backend() != "tpu")
             else:
@@ -161,9 +174,9 @@ class RangeEncoder:
                 retrieved = retrieve_hier(
                     q_sem, q_xyz, bank,
                     sem_temp=cfg.resolved_sem_temp(), geo_temp=cfg.geo_temp,
-                    beta=cfg.beta, mode=cfg.mode, k_tiles=cfg.k_tiles,
-                    m_tiles=cfg.m_tiles, k_geo=cfg.k_geo,
-                    bm=bm, j_sem=cfg.j_sem, j_geo=cfg.j_geo,
+                    beta=cfg.beta, mode=cfg.mode, k_tiles=k_tiles,
+                    m_tiles=cfg.m_tiles, k_geo=k_geo,
+                    bm=bm, j_sem=j_sem, j_geo=cfg.j_geo,
                     scan_bm=cfg.hier_scan_bm or None,
                     interpret=jax.default_backend() != "tpu",
                 )

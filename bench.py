@@ -74,6 +74,10 @@ def main():
         # round-3/3b sections; tools/r3_res + the r3b re-measurements)
         retrieval="hier",
         lr_rank=256, res_rank=128, gsz_sem=16,
+        # fine (gsz 8) stats-only centroids for the top-k endpoint: the
+        # coarse gsz16 feature tail would otherwise need K=64 to hold the
+        # recall bar; the 7 MB fine signal holds it at K=48 (2.5M q/s)
+        topk_gsz=8,
         k_tiles=32, j_sem=3, k_geo=16, hier_scan_bm=512,
         # bf16 inputs on the fused SH basis@W0 matmuls (f32 accumulate):
         # tower 1.77 -> 1.17 ms, embedding cos vs f32 >= 0.999999
@@ -149,10 +153,10 @@ def main():
         # row order (ops/retrieval.exact_nn defaults to HIGHEST)
         true = np.asarray(exact_nn(q, hb.bank, chunk=4096))
 
-        # serving top-k endpoint (the recall-critical path).  K=64 on the
-        # gsz16 bank: its coarser selection signal needs a wider union
-        # (K56 sits exactly at 0.9990; K64 = 0.9992 across query seeds)
-        TOPK_K = 64
+        # serving top-k endpoint (the recall-critical path).  K=48 with
+        # the fine topk_gsz=8 stats operand: recall 0.9994-0.9998 across
+        # query seeds (the coarse gsz16 signal alone needed K=64)
+        TOPK_K = 48
         got = np.asarray(hier_topk(q, q_xyz, hb, k_tiles=TOPK_K))
         rec_serve = float((got == true).mean())
         fid["recall_at1"] = round(rec_serve, 5)

@@ -127,6 +127,7 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                  group_value_weight: float = 1.0,
                  lr_rank: Optional[int] = None,
                  res_rank: Optional[int] = None,
+                 topk_gsz: int = 0,
                  tower_matmul: Optional[str] = None,
                  mesh=None, bank_axis: Optional[str] = None,
                  data_axis: Optional[str] = None, shard_bm: int = 512,
@@ -173,7 +174,8 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                                    group_by=group_by,
                                    group_value_weight=group_value_weight,
                                    lr_rank=lr_rank or 0,
-                                   res_rank=res_rank or 0)
+                                   res_rank=res_rank or 0,
+                                   topk_gsz=topk_gsz)
         cached = None
         if hier_cache and _os.path.exists(hier_cache):
             got = peek_hier_build(hier_cache)
@@ -191,6 +193,7 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                                    group_by=group_by,
                                    group_value_weight=group_value_weight,
                                    lr_rank=lr_rank, res_rank=res_rank,
+                                   topk_gsz=topk_gsz,
                                    tier=tier, seed=seed, shards=n_shards)
             if hier_cache:
                 save_hier_bank(bank, hier_cache, build=sig)

@@ -140,6 +140,13 @@ class HierBank:
     w_sem: Optional[jnp.ndarray] = None
     z_geo: Optional[jnp.ndarray] = None
     w_geo: Optional[jnp.ndarray] = None
+    # optional FINER sem group centroids for the top-k stats scan only
+    # (build_hier_bank(topk_gsz=...)): a coarse feature-tail granularity
+    # (gsz_sem=16 halves the fused scan) degrades the topk SELECTION
+    # signal, which otherwise needs a wider K to hold recall — a slim
+    # stats-only operand at gsz 8 restores the fine signal for ~7 MB at
+    # 100k rows and no feature-path cost
+    g_topk_cat: Optional[jnp.ndarray] = None
     tier: str = "fast"
     bn: int = 512
     gsz_sem: int = 8
@@ -147,6 +154,7 @@ class HierBank:
     gsz_super: int = 0
     lr_rank: int = 0
     res_rank: int = 0
+    topk_gsz: int = 0
     sem_d: int = 256
     cat_d: int = 384
     t_real: int = 0
@@ -167,9 +175,10 @@ jax.tree_util.register_dataclass(
                  "sem_centroid", "geo_centroid", "sem_radius", "geo_radius",
                  "g_sem_cat", "g_geo_cat", "g_sem_vw", "g_geo_vw", "khl_sem",
                  "g_sup_cat", "g_sup_vw", "g_sem_vw_lr", "u_sem",
-                 "z_sem", "w_sem", "z_geo", "w_geo"],
+                 "z_sem", "w_sem", "z_geo", "w_geo", "g_topk_cat"],
     meta_fields=["tier", "bn", "gsz_sem", "gsz_geo", "gsz_super", "lr_rank",
-                 "res_rank", "sem_d", "cat_d", "t_real", "t_pad"],
+                 "res_rank", "topk_gsz", "sem_d", "cat_d", "t_real",
+                 "t_pad"],
 )
 
 
@@ -237,6 +246,7 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                     group_value_weight: float = 1.0,
                     lr_rank: Optional[int] = None,
                     res_rank: Optional[int] = None,
+                    topk_gsz: int = 0,
                     n_clusters: Optional[int] = None, iters: int = 8,
                     seed: int = 0, value_dtype=None,
                     shards: int = 1) -> HierBank:
@@ -261,6 +271,8 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
     if gsz_super:
         assert (bn % gsz_super == 0 and gsz_super % gsz_sem == 0
                 and bn // gsz_super >= 8), (bn, gsz_super, gsz_sem)
+    if topk_gsz:
+        assert bn % topk_gsz == 0 and bn // topk_gsz >= 8, (bn, topk_gsz)
     if lr_rank:
         # rank can't exceed the value width: the Gram eigenbasis has at
         # most Dv vectors, so a larger request silently built a Dv-rank
@@ -465,13 +477,17 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
             zs, ws = fam_res(gsz_sem, lr_coef_u)
             zg, wg = fam_res(gsz_geo, None)
             g_res = (zs, ws, zg, wg)
+        # fine stats-only centroids for the top-k selection signal (no
+        # value sums needed: the topk path never touches values)
+        g_tk = (group_ops(cbank.keys_sem, vals_f32, mask, topk_gsz,
+                          geo=False)[0] if topk_gsz else None)
         kh, kl = _split_hilo(cbank.keys_sem.astype(jnp.float32))
         khl = jnp.concatenate([kh, kl], axis=1)  # [N, 2*Dk] bf16
-        return k_cat, mask_neg, g_s, g_g, g_sup, g_lr, g_res, khl
+        return k_cat, mask_neg, g_s, g_g, g_sup, g_lr, g_res, g_tk, khl
 
     (k_cat, mask_neg, (g_sem_cat, g_sem_vw), (g_geo_cat, g_geo_vw),
      (g_sup_cat, g_sup_vw), (g_sem_vw_lr, u_sem),
-     (z_sem, w_sem, z_geo, w_geo), khl_sem) = prep(cbank)
+     (z_sem, w_sem, z_geo, w_geo), g_topk_cat, khl_sem) = prep(cbank)
     if cbank.value_scale is not None:
         values, scale = cbank.values, cbank.value_scale.astype(jnp.float32)
     elif value_dtype is not None:
@@ -491,9 +507,10 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         g_sup_cat=g_sup_cat, g_sup_vw=g_sup_vw,
         g_sem_vw_lr=g_sem_vw_lr, u_sem=u_sem,
         z_sem=z_sem, w_sem=w_sem, z_geo=z_geo, w_geo=w_geo,
+        g_topk_cat=g_topk_cat,
         tier=tier, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
         gsz_super=gsz_super, lr_rank=lr_rank or 0,
-        res_rank=res_rank or 0,
+        res_rank=res_rank or 0, topk_gsz=topk_gsz,
         sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
     )
 
@@ -920,6 +937,13 @@ def hier_topk(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
         m_s, s_s, m_g, s_g = _hier_scan_stats_call(
             q_cat, hb.g_sup_cat, hb.g_geo_cat, bm=bm, tc=tc,
             gpt_s=hb.bn // hb.gsz_super, gpt_g=gpt_g, interpret=interpret)
+    elif hb.g_topk_cat is not None and hb.topk_gsz:
+        # fine stats-only centroids: restores the selection signal a
+        # coarse feature-tail gsz_sem costs (gsz16 needs K=64 for the
+        # 0.999 recall bar; gsz8 stats hold it at K=40)
+        m_s, s_s, m_g, s_g = _hier_scan_stats_call(
+            q_cat, hb.g_topk_cat, hb.g_geo_cat, bm=bm, tc=tc,
+            gpt_s=hb.bn // hb.topk_gsz, gpt_g=gpt_g, interpret=interpret)
     else:
         m_s, s_s, m_g, s_g = _hier_scan_stats_call(
             q_cat, hb.g_sem_cat, hb.g_geo_cat, bm=bm, tc=tc, gpt_s=gpt_s,
@@ -1968,7 +1992,8 @@ def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
                          shards: int, gsz_super: int = 0,
                          group_by: str = "key_value",
                          group_value_weight: float = 1.0,
-                         lr_rank: int = 0, res_rank: int = 0) -> dict:
+                         lr_rank: int = 0, res_rank: int = 0,
+                         topk_gsz: int = 0) -> dict:
     """The identity of a `build_hier_bank` run: source bank + every build
     parameter.  Stored in the disk cache and validated on load so a stale
     cache (different bank or params) is rebuilt, never silently served."""
@@ -1984,7 +2009,7 @@ def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
             "gsz_geo": gsz_geo, "gsz_super": gsz_super, "tier": tier,
             "seed": seed, "shards": shards, "group_by": group_by,
             "gvw": group_value_weight, "lr_rank": lr_rank,
-            "res_rank": res_rank, "fmt": 2}
+            "res_rank": res_rank, "topk_gsz": topk_gsz, "fmt": 2}
 
 
 def peek_hier_build(path: str) -> Optional[dict]:
@@ -2017,7 +2042,8 @@ def save_hier_bank(hb: HierBank, path: str, build: Optional[dict] = None
                   "sem_centroid", "geo_centroid", "sem_radius", "geo_radius",
                   "g_sem_cat", "g_geo_cat", "g_sem_vw", "g_geo_vw",
                   "khl_sem", "g_sup_cat", "g_sup_vw", "g_sem_vw_lr",
-                  "u_sem", "z_sem", "w_sem", "z_geo", "w_geo"):
+                  "u_sem", "z_sem", "w_sem", "z_geo", "w_geo",
+                  "g_topk_cat"):
         v = getattr(hb, field)
         if v is None:
             continue
@@ -2033,8 +2059,8 @@ def save_hier_bank(hb: HierBank, path: str, build: Optional[dict] = None
             hb.bank.value_scale)
     arrays["bank_n_valid"] = np.asarray(hb.bank.n_valid)
     for field in ("tier", "bn", "gsz_sem", "gsz_geo", "gsz_super",
-                  "lr_rank", "res_rank", "sem_d", "cat_d", "t_real",
-                  "t_pad"):
+                  "lr_rank", "res_rank", "topk_gsz", "sem_d", "cat_d",
+                  "t_real", "t_pad"):
         meta[field] = getattr(hb, field)
     if build is not None:
         meta["build"] = build
@@ -2080,10 +2106,12 @@ def load_hier_bank(path: str) -> HierBank:
         g_sem_vw_lr=dec("g_sem_vw_lr"), u_sem=dec("u_sem"),
         z_sem=dec("z_sem"), w_sem=dec("w_sem"),
         z_geo=dec("z_geo"), w_geo=dec("w_geo"),
+        g_topk_cat=dec("g_topk_cat"),
         tier=meta["tier"], bn=meta["bn"], gsz_sem=meta["gsz_sem"],
         gsz_geo=meta["gsz_geo"], gsz_super=meta.get("gsz_super", 0),
         lr_rank=meta.get("lr_rank", 0),
         res_rank=meta.get("res_rank", 0),
+        topk_gsz=meta.get("topk_gsz", 0),
         sem_d=meta["sem_d"], cat_d=meta["cat_d"],
         t_real=meta["t_real"], t_pad=meta["t_pad"],
     )

@@ -283,6 +283,7 @@ def shard_hier_bank(hb, mesh: Mesh, axis: str = "bank"):
         w_sem=put(hb.w_sem, rep),
         z_geo=put(hb.z_geo, rows),
         w_geo=put(hb.w_geo, rep),
+        g_topk_cat=put(hb.g_topk_cat, rows),
     )
 
 
@@ -494,6 +495,16 @@ def sharded_hier_topk(
                                       n_valid=B, j_sem=j_sem, j_geo=j_geo,
                                       mode="range")
             idx = jnp.take_along_axis(idx_m, idx_loc, axis=1)
+        elif hb.g_topk_cat is not None and hb.topk_gsz:
+            # fine stats-only centroids (see hier_topk): per-shard slab of
+            # the row-sharded operand, same t_local tile count
+            m_s, s_s, m_g, s_g = _hier_scan_stats_call(
+                q_cat_l, hb_l.g_topk_cat, hb_l.g_geo_cat, bm=bm, tc=tc,
+                gpt_s=hb.bn // hb.topk_gsz, gpt_g=gpt_g,
+                interpret=interpret)
+            idx, _ = select_tiles(m_s, s_s, m_g, s_g, t_real=t_local,
+                                  k_tiles=k_tiles, bm=bm, n_valid=B,
+                                  j_sem=j_sem, j_geo=j_geo, mode="range")
         else:
             m_s, s_s, m_g, s_g = _hier_scan_stats_call(
                 q_cat_l, hb_l.g_sem_cat, hb_l.g_geo_cat, bm=bm, tc=tc,

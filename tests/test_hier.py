@@ -524,3 +524,41 @@ def test_hier_res_rank_roundtrip(tmp_path, bank):
     assert hb2.res_rank == 32
     np.testing.assert_array_equal(np.asarray(hb.z_sem), np.asarray(hb2.z_sem))
     np.testing.assert_array_equal(np.asarray(hb.w_geo), np.asarray(hb2.w_geo))
+
+
+def test_hier_topk_fine_stats_operand(tmp_path, bank, queries):
+    """topk_gsz: a FINER stats-only centroid operand for the top-k
+    selection signal (the feature tail can then run coarse without
+    costing topk recall).  With every tile selected the argmax equals the
+    no-operand path exactly (selection saturated); at partial K the fine
+    signal must not do worse; save/load round-trips the operand."""
+    from range_tpu.ops.retrieval_hier import (build_hier_bank, hier_topk,
+                                              load_hier_bank,
+                                              save_hier_bank)
+
+    q, q_xyz = queries
+    hb16 = build_hier_bank(bank, bn=BN, gsz_sem=16, gsz_geo=16,
+                           tier="exact", value_dtype=jnp.float32)
+    hbf = build_hier_bank(bank, bn=BN, gsz_sem=16, gsz_geo=16,
+                          tier="exact", value_dtype=jnp.float32, topk_gsz=8)
+    assert hbf.g_topk_cat is not None and hbf.topk_gsz == 8
+    assert hbf.g_topk_cat.shape[0] == hbf.t_pad * (BN // 8)
+    a = np.asarray(hier_topk(q, q_xyz, hb16, k_tiles=hb16.t_real, bm=128,
+                             interpret=True))
+    b = np.asarray(hier_topk(q, q_xyz, hbf, k_tiles=hbf.t_real, bm=128,
+                             interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+    true = np.asarray(exact_nn(q, hbf.bank, chunk=PAD))
+    rec_f = float((np.asarray(hier_topk(q, q_xyz, hbf, k_tiles=8, bm=128,
+                                        interpret=True)) == true).mean())
+    rec_c = float((np.asarray(hier_topk(q, q_xyz, hb16, k_tiles=8, bm=128,
+                                        interpret=True)) == true).mean())
+    assert rec_f >= rec_c - 0.01, (rec_f, rec_c)
+
+    p = str(tmp_path / "tk.npz")
+    save_hier_bank(hbf, p)
+    hb2 = load_hier_bank(p)
+    assert hb2.topk_gsz == 8
+    np.testing.assert_array_equal(np.asarray(hbf.g_topk_cat),
+                                  np.asarray(hb2.g_topk_cat))

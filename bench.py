@@ -63,25 +63,15 @@ def main():
         "RANGE+",
         db_path=bank,
         beta=0.5,
-        # flagship serving config (round 3): joint key+value grouping
-        # (build default), low-rank sem tail, RESIDUAL-RANK parts (the
-        # [bn, Dv] value matmul leaves the parts kernels; probe-immune by
-        # construction on small-Dv banks, feat relerr ~2.6% on Dv=1024),
-        # gsz_sem=16 (halves the scan; probe holds at -0.0016), asymmetric
-        # family budgets (k_geo=16: kg<=8 starves the geo family and
-        # regresses the probe), decoupled 512-query scan blocks — the ONE
-        # config meeting throughput + recall + probe parity (PERF.md
-        # round-3/3b sections; tools/r3_res + the r3b re-measurements)
-        retrieval="hier",
-        lr_rank=256, res_rank=128, gsz_sem=16,
-        # fine (gsz 8) stats-only centroids for the top-k endpoint: the
-        # coarse gsz16 feature tail would otherwise need K=64 to hold the
-        # recall bar; the 7 MB fine signal holds it at K=48 (2.5M q/s)
-        topk_gsz=8,
-        k_tiles=32, j_sem=3, k_geo=16, hier_scan_bm=512,
-        # bf16 inputs on the fused SH basis@W0 matmuls (f32 accumulate):
-        # tower 1.77 -> 1.17 ms, embedding cos vs f32 >= 0.999999
-        tower_matmul="bf16",
+        # the SHIPPED flagship profile (api.SERVING_PROFILES['flagship']):
+        # joint key+value grouping (build default) + low-rank sem tail
+        # (lr256) + residual-rank parts (res128 — the [bn, Dv] value
+        # matmul leaves the parts kernels; probe-immune by construction
+        # on small-Dv banks) + gsz_sem=16 scan + fine topk_gsz=8 top-k
+        # stats + asymmetric budgets K32/j3/kg16 + scan_bm 512 + bf16
+        # fused-tower matmuls — the ONE config meeting throughput +
+        # recall + probe parity (PERF.md rounds 3-3c)
+        profile="flagship",
         chunk=4096,
         compute_dtype=jnp.float32,
         seed=0,

@@ -405,13 +405,42 @@ for _v in _S2VEC_PRESETS:
     _make_s2vec(_v)
 
 
+# Named serving profiles: the measured-kwarg bundles deployments should
+# reach for instead of hand-copying tuning flags.  Explicit kwargs win
+# over the profile's entries.
+SERVING_PROFILES: Dict[str, Dict[str, Any]] = {
+    # exact dense retrieval (the reference semantics; ~350k q/s at 100k
+    # rows — bank-stream-bound at any batch size)
+    "exact": {"retrieval": "dense"},
+    # the round-3 flagship: ONE config meeting throughput (1.6M q/s e2e
+    # single chip) + top-k recall >= 0.999 + downstream probe parity
+    # (PERF.md rounds 3-3c; bench.py runs exactly this)
+    "flagship": {
+        "retrieval": "hier", "lr_rank": 256, "res_rank": 128,
+        "gsz_sem": 16, "topk_gsz": 8, "k_tiles": 32, "j_sem": 3,
+        "k_geo": 16, "hier_scan_bm": 512, "tower_matmul": "bf16",
+    },
+    # maximum-throughput mode: ~3.5M q/s retrieval at ~3.6% feature
+    # relerr (PERF.md round-3c small-batch table, K8/kg4 row)
+    "turbo": {
+        "retrieval": "hier", "lr_rank": 256, "res_rank": 128,
+        "gsz_sem": 16, "topk_gsz": 8, "k_tiles": 8, "j_sem": 2,
+        "k_geo": 4, "hier_scan_bm": 512, "tower_matmul": "bf16",
+    },
+}
+
+
 def load_model(model_name: str = "RANGE+", pretrained_path: Optional[str] = None,
-               device=None, **kwargs) -> GeoEncoder:
+               device=None, profile: Optional[str] = None,
+               **kwargs) -> GeoEncoder:
     """Load a location encoder by reference name.
 
     Mirrors `range/load_model.py:16-51`.  kwargs: ``db_path`` (required for
     RANGE/RANGE+; npz path, GeoBank, or 'synthetic:N'), ``beta`` (default
     0.5), plus framework extras (dtype, seed, chunk, compute_dtype, mesh).
+
+    ``profile`` selects a named serving-kwarg bundle (SERVING_PROFILES:
+    'exact', 'flagship', 'turbo'); explicit kwargs override its entries.
 
     ``device`` accepts a jax.Device to place params on (default: first
     device); sharded placement is handled by `parallel/` helpers instead.
@@ -420,6 +449,14 @@ def load_model(model_name: str = "RANGE+", pretrained_path: Optional[str] = None
         raise NotImplementedError(
             f"{model_name} not implemented; available: {list_models()}"
         )
+    if profile is not None:
+        try:
+            base = SERVING_PROFILES[profile]
+        except KeyError:
+            raise ValueError(
+                f"unknown profile {profile!r}; available: "
+                f"{sorted(SERVING_PROFILES)}") from None
+        kwargs = {**base, **kwargs}
     if "RANGE" in model_name and "db_path" not in kwargs:
         raise AssertionError("db_path is required for RANGE model.")
     enc = _REGISTRY[model_name](pretrained_path=pretrained_path, **kwargs)

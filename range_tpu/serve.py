@@ -347,13 +347,22 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     ap.add_argument("--retrieval", default="dense", choices=["dense", "hier"],
                     help="hier = two-stage approximate serving "
                          "(ops/retrieval_hier.py; ~3x dense throughput)")
+    ap.add_argument("--profile", default=None,
+                    help="named serving-kwarg bundle (api.SERVING_PROFILES: "
+                         "exact | flagship | turbo); explicit flags win")
+    ap.add_argument("--hier-cache", default=None,
+                    help="persist the prepacked hier bank to this npz "
+                         "(validated build signature; serving restarts "
+                         "load in seconds instead of re-clustering)")
     args = ap.parse_args(argv)
     kw = {"db_path": args.db_path} if args.db_path else {}
     if args.value_quant:
         kw["value_quant"] = args.value_quant
     if args.retrieval != "dense":
         kw["retrieval"] = args.retrieval
-    encoder = load_model(args.model, **kw)
+    if args.hier_cache:
+        kw["hier_cache"] = args.hier_cache
+    encoder = load_model(args.model, profile=args.profile, **kw)
     serve_http(encoder, args.host, args.port, max_batch=args.max_batch)
 
 

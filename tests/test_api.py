@@ -299,3 +299,30 @@ def test_hier_min_batch_zero_serves_small_batches_hier(monkeypatch):
                                  hier_min_batch=2048)
     np.asarray(enc_x(coords))
     assert not calls, "hier_min_batch=2048 should fall back to dense"
+
+
+def test_serving_profiles():
+    """Named serving profiles apply the measured kwarg bundles; explicit
+    kwargs override; unknown names fail loud."""
+    import pytest as _pytest
+
+    from range_tpu.api import SERVING_PROFILES
+
+    assert {"exact", "flagship", "turbo"} <= set(SERVING_PROFILES)
+    bank = GeoBank.synthetic_informative(5, 3000, key_dim=256, value_dim=32,
+                                         pad_to=512)
+    enc = range_tpu.load_model("RANGE+", db_path=bank, profile="flagship",
+                               hier_bn=128, gsz_geo=16, chunk=512, seed=0)
+    hb = enc.extra
+    from range_tpu.ops.retrieval_hier import HierBank
+
+    assert isinstance(hb, HierBank)
+    assert hb.lr_rank == 32 and hb.res_rank == 32  # clamped to Dv
+    assert hb.gsz_sem == 16 and hb.topk_gsz == 8
+    # explicit kwarg beats the profile entry
+    enc2 = range_tpu.load_model("RANGE+", db_path=bank, profile="flagship",
+                                res_rank=None, hier_bn=128, gsz_geo=16,
+                                chunk=512, seed=0)
+    assert enc2.extra.res_rank == 0
+    with _pytest.raises(ValueError, match="unknown profile"):
+        range_tpu.load_model("RANGE+", db_path=bank, profile="nope")

@@ -363,3 +363,133 @@ def sh_interpolate(table: jnp.ndarray, lonlat_deg: jnp.ndarray) -> jnp.ndarray:
     top = t00 * (1 - fu) + t01 * fu
     bot = t10 * (1 - fu) + t11 * fu
     return top * (1 - fv) + bot * fv
+
+
+def spherical_harmonics_times_pallas(
+        lonlat_deg: jnp.ndarray, L: int, w: jnp.ndarray,
+        convention: str = "analytic", matmul_dtype=None, bm: int = 512,
+        interpret: bool = False) -> jnp.ndarray:
+    """Fully-fused Pallas variant of `spherical_harmonics_times`.
+
+    The XLA path's floor is the Legendre recurrence itself: 40 sequential
+    [B, L] steps each round-tripping HBM (~0.78 ms of the ~1.0 ms tower at
+    B=10k) — XLA cannot keep the chain resident because the concat
+    consumer materializes every row.  Here one kernel invocation computes,
+    per bm-query block entirely in VMEM: s^m powers, the normalized-
+    Legendre diagonal recurrence, the trig tiles, and the three folded
+    matmuls.  Everything runs TRANSPOSED ([m-or-row, queries] — the
+    recurrence rows stack along SUBLANES, which concatenates for free at
+    40 = 5*8 sublanes per piece, where the natural layout would pay a
+    lane relayout at every non-128-aligned column offset) and the matmuls
+    contract dim 0, like the hier scan's tail.  Same semantics as
+    `spherical_harmonics_times` up to f32 reassociation (and bf16 input
+    rounding when matmul_dtype asks)."""
+    import jax
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if convention not in ("analytic", "closed-form"):
+        raise ValueError(f"unknown SH convention: {convention}")
+    dtype = lonlat_deg.dtype
+    B = lonlat_deg.shape[0]
+    D = w.shape[1]
+    KL = L * L
+    md = matmul_dtype or dtype
+    assert 2 + 2 * L <= 128, L  # prep packs into one 128-sublane block
+
+    d_np, e_np, a_np, b_np, _, _, _, _ = _sh_plan(L, convention)
+
+    lon = lonlat_deg[..., 0]
+    lat = lonlat_deg[..., 1]
+    phi = (lon + 180.0) * (math.pi / 180.0)
+    theta = (lat + 90.0) * (math.pi / 180.0)
+    m_arr = jnp.arange(L, dtype=jnp.float32)
+    ang = phi[:, None] * m_arr
+    prep = jnp.concatenate(
+        [jnp.cos(theta)[:, None], jnp.sin(theta)[:, None],
+         jnp.cos(ang), jnp.sin(ang),
+         jnp.zeros((B, 128 - 2 - 2 * L), jnp.float32)], axis=1)
+    Bp = (B + bm - 1) // bm * bm
+    prep = jnp.pad(prep.astype(jnp.float32), ((0, Bp - B), (0, 0))).T
+
+    # scatter-folded weights, one per trig class (same fold as the XLA path)
+    wfs = []
+    for cls, (j_idx, p_idx, sc) in enumerate(_sh_times_plan(L, convention)):
+        wf = jnp.zeros((KL, D), jnp.float32).at[jnp.asarray(p_idx)].set(
+            jnp.asarray(sc, jnp.float32)[:, None] * w[jnp.asarray(j_idx)]
+            .astype(jnp.float32))
+        wfs.append(wf.astype(md))
+
+    # recurrence coefficient tables as ONE [128, 128] operand (Pallas
+    # kernels cannot capture traced constants), TRANSPOSED to match the
+    # kernel layout: coefficients indexed by m live on SUBLANES —
+    # col 0 = d, col 1 = e, col 2+k = a[k], col 2+L+k = b[k]
+    tab = np.zeros((128, 128), np.float32)
+    tab[:L, 0] = d_np
+    tab[:L, 1] = e_np
+    tab[:L, 2:2 + L] = a_np.T
+    tab[:L, 2 + L:2 + 2 * L] = b_np.T
+    tab = jnp.asarray(tab)
+
+    def kern(pp_ref, tab_ref, w0_ref, wc_ref, ws_ref, o_ref):
+        pp = pp_ref[:]                       # [128, bm]: x|s|cos_m|sin_m
+        t = tab_ref[:]                       # [128, 128]: d|e|a|b by m-rows
+        x = pp[0:1, :]
+        sl = pp[1:2, :]
+        cosm = pp[2:2 + L, :]                # [L, bm]
+        sinm = pp[2 + L:2 + 2 * L, :]
+        # s^m via exp(m log s): fully vectorized over the [L, bm] block
+        # (the sequential cumprod would serialize 40 sublane-rows); s = 0
+        # at the exact poles underflows to 0, matching s^m
+        logs = jnp.log(jnp.maximum(sl, 1e-30))
+        mcol = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0
+                                        ).astype(jnp.float32)
+        s_pows = jnp.exp(mcol * logs)        # [L, bm]
+        rows = [t[:L, 0:1] * s_pows]
+        rows.append(t[:L, 1:2] * x * rows[0])
+        for k in range(2, L):
+            rows.append(t[:L, 2 + k:3 + k]
+                        * (x * rows[-1]
+                           - t[:L, 2 + L + k:3 + L + k] * rows[-2]))
+        P = jnp.concatenate(rows, axis=0)    # [L*L, bm] f32, sublane concat
+        # NB products stay f32: a bf16 elementwise pass over the [L*L, bm]
+        # block measured SLOWER than f32 (0.88 vs 0.67 ms) and compounds
+        # rounding — only the dot INPUTS drop to md
+        ct = jnp.tile(cosm, (L, 1))          # [L*L, bm], sublane tile
+        st = jnp.tile(sinm, (L, 1))
+        dims = (((0,), (0,)), ((), ()))
+        o = jax.lax.dot_general(P.astype(md), w0_ref[:], dims,
+                                preferred_element_type=jnp.float32)
+        o += jax.lax.dot_general((P * ct).astype(md), wc_ref[:], dims,
+                                 preferred_element_type=jnp.float32)
+        o += jax.lax.dot_general((P * st).astype(md), ws_ref[:], dims,
+                                 preferred_element_type=jnp.float32)
+        o_ref[:] = o
+
+    out = pl.pallas_call(
+        kern,
+        grid=(Bp // bm,),
+        in_specs=[
+            pl.BlockSpec((128, bm), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KL, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KL, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KL, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * KL * D * 3,
+            bytes_accessed=Bp * (128 + D) * 4 + 3 * KL * D * 2,
+            transcendentals=Bp * L,
+        ),
+        interpret=interpret,
+    )(prep, tab, *wfs)
+    return out[:B].astype(dtype)

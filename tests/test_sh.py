@@ -181,3 +181,26 @@ def test_tower_fused_first_layer_matches_unfused():
     cos = np.sum(fused * unfused, 1) / (
         np.linalg.norm(fused, axis=1) * np.linalg.norm(unfused, axis=1))
     assert cos.min() > 0.99999, cos.min()
+
+
+def test_sh_times_pallas_matches_xla():
+    """The fully-fused Pallas first-layer kernel (interpret mode on CPU)
+    matches the XLA fused path within f32-reassociation tolerance, for
+    both conventions."""
+    import functools
+
+    import numpy as np
+
+    from range_tpu.ops.sh import (spherical_harmonics_times,
+                                  spherical_harmonics_times_pallas)
+
+    L = 12
+    rng = np.random.default_rng(0)
+    ll = jnp.asarray(np.stack([rng.uniform(-180, 180, 256),
+                               rng.uniform(-90, 90, 256)], 1), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((L * L, 64)).astype(np.float32))
+    for conv in ("analytic", "closed-form"):
+        a = np.asarray(spherical_harmonics_times(ll, L, w, conv))
+        b = np.asarray(spherical_harmonics_times_pallas(
+            ll, L, w, conv, bm=128, interpret=True))
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4 * np.abs(a).max())

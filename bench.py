@@ -212,5 +212,28 @@ def main():
     }))
 
 
+def _main_with_retry(attempts: int = 3) -> None:
+    # the tunneled TPU worker intermittently crashes/restarts mid-run
+    # (UNAVAILABLE; observed ~hourly on the shared chip, unrelated to any
+    # particular kernel) — a fresh process reconnects cleanly, so retry
+    # rather than record a crashed benchmark
+    import os
+    import subprocess
+    import time as _time
+
+    for attempt in range(attempts - 1):
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--once"])
+        if r.returncode == 0:
+            return
+        log(f"bench attempt {attempt + 1} failed (rc={r.returncode}) — "
+            f"retrying in 60s")
+        _time.sleep(60)
+    main()  # last attempt in-process: its exit code is the verdict
+
+
 if __name__ == "__main__":
-    main()
+    if "--once" in sys.argv:
+        main()
+    else:
+        _main_with_retry()

@@ -96,6 +96,11 @@ def _as_bank(db: Union[str, GeoBank, None], chunk: int) -> GeoBank:
 
 def _satclip_tower(pretrained_path: Optional[str], dtype, seed: int,
                    tower_matmul: Optional[str] = None):
+    if tower_matmul not in (None, "bf16"):
+        # only the exact string has an effect downstream — anything else
+        # would silently serve the full-f32 tower
+        raise ValueError(
+            f"tower_matmul must be None or 'bf16', got {tower_matmul!r}")
     if pretrained_path:
         import dataclasses as _dc
 

@@ -272,7 +272,11 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         assert (bn % gsz_super == 0 and gsz_super % gsz_sem == 0
                 and bn // gsz_super >= 8), (bn, gsz_super, gsz_sem)
     if topk_gsz:
-        assert bn % topk_gsz == 0 and bn // topk_gsz >= 8, (bn, topk_gsz)
+        # topk groups must nest inside the key-coherent gsz_sem windows
+        # the within-tile reorder produced, or the fine selection signal
+        # silently degrades
+        assert (bn % topk_gsz == 0 and bn // topk_gsz >= 8
+                and gsz_sem % topk_gsz == 0), (bn, topk_gsz, gsz_sem)
     if lr_rank:
         # rank can't exceed the value width: the Gram eigenbasis has at
         # most Dv vectors, so a larger request silently built a Dv-rank
@@ -378,8 +382,11 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
     Dvp = _round_up(Dv + 1, 128)
     vw_dtype = jnp.float32 if tier == "exact" else jnp.bfloat16
 
-    def group_ops(feats, vals_f32, mask, gsz, geo: bool):
-        """Packed centroids [G_pad, cat_d] + value-sum/count [G_pad, Dvp]."""
+    def group_ops(feats, vals_f32, mask, gsz, geo: bool,
+                  stats_only: bool = False):
+        """Packed centroids [G_pad, cat_d] + value-sum/count [G_pad, Dvp]
+        (vw is None under stats_only — the topk operand never needs the
+        N x Dv value einsum)."""
         G = N // gsz
         G_pad = t_pad * (bn // gsz)
         mg = mask.reshape(G, gsz)
@@ -387,7 +394,9 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         w = mg / jnp.maximum(cnt, 1.0)[:, None]
         cg = jnp.einsum("gi,gid->gd", w,
                         feats.astype(jnp.float32).reshape(G, gsz, -1))
-        vsum = jnp.einsum("gi,gid->gd", mg, vals_f32.reshape(G, gsz, -1))
+        vsum = (None if stats_only
+                else jnp.einsum("gi,gid->gd", mg,
+                                vals_f32.reshape(G, gsz, -1)))
 
         def padg(x):
             return jnp.pad(x, ((0, G_pad - G), (0, 0)))
@@ -405,6 +414,8 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         else:
             cat = pack_bank(padg(cg), jnp.zeros((G_pad, 3), jnp.float32),
                             tier=tier)[:, :sem_d]
+        if stats_only:
+            return cat, None
         vw = jnp.concatenate(
             [padg(vsum), jnp.pad(cnt, (0, G_pad - G))[:, None],
              jnp.zeros((G_pad, Dvp - Dv - 1), jnp.float32)], axis=1)
@@ -479,8 +490,9 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
             g_res = (zs, ws, zg, wg)
         # fine stats-only centroids for the top-k selection signal (no
         # value sums needed: the topk path never touches values)
-        g_tk = (group_ops(cbank.keys_sem, vals_f32, mask, topk_gsz,
-                          geo=False)[0] if topk_gsz else None)
+        g_tk = (group_ops(cbank.keys_sem, None, mask, topk_gsz,
+                          geo=False, stats_only=True)[0]
+                if topk_gsz else None)
         kh, kl = _split_hilo(cbank.keys_sem.astype(jnp.float32))
         khl = jnp.concatenate([kh, kl], axis=1)  # [N, 2*Dk] bf16
         return k_cat, mask_neg, g_s, g_g, g_sup, g_lr, g_res, g_tk, khl

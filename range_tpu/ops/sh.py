@@ -396,7 +396,15 @@ def spherical_harmonics_times_pallas(
     D = w.shape[1]
     KL = L * L
     md = matmul_dtype or dtype
-    assert 2 + 2 * L <= 128, L  # prep packs into one 128-sublane block
+    if not (2 <= L and 2 + 2 * L <= 128):
+        # prep packs into one 128-sublane block (L <= 63) and the
+        # recurrence emits >= 2 row pieces — outside that envelope the
+        # XLA fused path serves instead of crashing
+        return spherical_harmonics_times(lonlat_deg, L, w, convention,
+                                         matmul_dtype=matmul_dtype)
+    # clamp the block to the (padded) batch: small online batches should
+    # not pay a full 512-row recurrence + matmul
+    bm = min(bm, max(128, (B + 127) // 128 * 128))
 
     d_np, e_np, a_np, b_np, _, _, _, _ = _sh_plan(L, convention)
 

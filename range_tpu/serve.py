@@ -361,6 +361,16 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     if args.retrieval != "dense":
         kw["retrieval"] = args.retrieval
     if args.hier_cache:
+        from .api import SERVING_PROFILES
+
+        prof_retr = (SERVING_PROFILES.get(args.profile or "", {})
+                     .get("retrieval"))
+        if args.retrieval != "hier" and prof_retr != "hier":
+            import logging
+
+            logging.getLogger("range_tpu").warning(
+                "--hier-cache given but retrieval is dense (no --retrieval "
+                "hier / hier profile) — the cache will not be used")
         kw["hier_cache"] = args.hier_cache
     encoder = load_model(args.model, profile=args.profile, **kw)
     serve_http(encoder, args.host, args.port, max_batch=args.max_batch)

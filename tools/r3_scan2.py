@@ -33,17 +33,12 @@ def fence(out):
     return float(jnp.sum(leaf.reshape(-1)[:1].astype(jnp.float32)))
 
 
-def t(fn, *a, iters=10, **kw):
-    f = functools.partial(fn, **kw) if kw else fn
-    fence(f(*a))
-    best = float("inf")
-    for _ in range(3):
-        s = time.perf_counter()
-        for _ in range(iters):
-            out = f(*a)
-        fence(out)
-        best = min(best, (time.perf_counter() - s) / iters)
-    return best * 1e3
+def t(fn, *a, **kw):
+    # deep-queue timer: shallow loops measure the ~3.5 ms/call tunnel
+    # feed rate, not the device (PERF.md round 3b)
+    from _tpu_common import timeit
+
+    return timeit(fn, *a, **kw)
 
 
 def _tail_only_kernel(gpt_s, gpt_g, tc, qt_ref, gs_ref, gg_ref,

@@ -217,3 +217,28 @@ def test_topk_k_and_mesh_serving():
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(bad, timeout=60)
         assert e.value.code == 400
+
+
+def test_serve_cli_profile_kwargs(monkeypatch):
+    """`--profile` resolves through api.SERVING_PROFILES in serve's CLI
+    and merges under explicit flags; `--hier-cache` passes through."""
+    import range_tpu.serve as srv
+
+    seen = {}
+
+    def fake_load_model(model, profile=None, **kw):
+        seen["model"] = model
+        seen["profile"] = profile
+        seen.update(kw)
+        raise SystemExit(0)  # stop before binding a server
+
+    monkeypatch.setattr("range_tpu.api.load_model", fake_load_model)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        srv.main(["--model", "RANGE+", "--db-path", "bank.npz",
+                  "--profile", "flagship", "--hier-cache", "/tmp/hc.npz"])
+    assert seen["model"] == "RANGE+"
+    assert seen["profile"] == "flagship"
+    assert seen["db_path"] == "bank.npz"
+    assert seen["hier_cache"] == "/tmp/hc.npz"

@@ -311,17 +311,28 @@ def from_npz_device(path: str, *, pad_to: int = 1024,
         try:
             from ..native.bankio import load_npz_native
 
+            def ship(_name, arr):
+                # reader-thread hook: start the async device transfer the
+                # moment THIS member finishes inflating, overlapping it
+                # with the other members' decompression (ROADMAP item;
+                # jax.device_put dispatches without blocking)
+                if arr.dtype != np.float32:
+                    arr = np.ascontiguousarray(arr, np.float32)
+                return jax.device_put(arr)
+
             db = load_npz_native(
-                path, ["locs", "satclip_embeddings", "image_embeddings"])
+                path, ["locs", "satclip_embeddings", "image_embeddings"],
+                on_member=ship)
         except Exception:
             db = None
     if db is None:
         db = np.load(path, allow_pickle=True)
-    locs = jax.device_put(np.ascontiguousarray(db["locs"], np.float32))
-    keys = jax.device_put(
-        np.ascontiguousarray(db["satclip_embeddings"], np.float32))
-    vals = jax.device_put(
-        np.ascontiguousarray(db["image_embeddings"], np.float32))
+    def dev(x):
+        return x if hasattr(x, "devices") else jax.device_put(
+            np.ascontiguousarray(x, np.float32))
+    locs = dev(db["locs"])
+    keys = dev(db["satclip_embeddings"])
+    vals = dev(db["image_embeddings"])
     n = int(locs.shape[0])
     n_rows = _round_up(n, pad_to)
 

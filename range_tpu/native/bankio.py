@@ -62,13 +62,19 @@ def native_available() -> bool:
     return _get_lib() is not None
 
 
-def load_npz_native(path: str, names=None, parallel: bool = True
-                    ) -> Dict[str, np.ndarray]:
+def load_npz_native(path: str, names=None, parallel: bool = True,
+                    on_member=None) -> Dict[str, np.ndarray]:
     """Load npz members into numpy arrays via the native reader.
 
     Raises RuntimeError if the native library is unavailable (callers fall
     back to np.load); member loads run on one thread each (the C copy/inflate
-    releases the GIL)."""
+    releases the GIL).
+
+    `on_member(name, array)` (optional) is invoked ON THE READER THREAD as
+    soon as that member finishes — the pipeline hook that lets a caller
+    start an async `jax.device_put` while the OTHER members are still
+    inflating, overlapping decompression with device transfers.  Its return
+    value (when not None) replaces the array in the result dict."""
     lib = _get_lib()
     if lib is None:
         raise RuntimeError("bankio native library unavailable")
@@ -103,6 +109,10 @@ def load_npz_native(path: str, names=None, parallel: bool = True
                 h, name.encode(), arr.ctypes.data_as(ctypes.c_void_p))
             if rc != 0:
                 raise RuntimeError(f"bankio read failed for {name} (rc={rc})")
+            if on_member is not None:
+                replaced = on_member(name, arr)
+                if replaced is not None:
+                    out[name] = replaced
 
         if parallel and len(names) > 1:
             errors = []

@@ -64,9 +64,10 @@ def embed(enc, pts):
 
 results = {}
 for name, kw in (("dense", {}),
+                 # the SHIPPED serving bundle — this row is the headline
+                 # probe-parity claim (RESULTS.md: gap -0.0016)
+                 ("flagship", dict(profile="flagship")),
                  ("hier", dict(retrieval="hier")),
-                 ("hier-K24-g4", dict(retrieval="hier", k_tiles=24,
-                                      gsz_sem=4)),
                  ("hier-K32-g4", dict(retrieval="hier", k_tiles=32, j_sem=3,
                                       gsz_sem=4))):
     enc = range_tpu.load_model("RANGE+", db_path=bank, beta=0.5, chunk=4096,
@@ -77,6 +78,7 @@ for name, kw in (("dense", {}),
     results[name] = acc
     lap(f"{name}: probe acc {acc:.4f}")
 
-delta = max(results[k] for k in results if k != "dense") - results["dense"]
-print(f"PARITY delta (hier - dense): {delta:+.4f}", flush=True)
+delta = results["flagship"] - results["dense"]
+print(f"PARITY delta (flagship - dense): {delta:+.4f} (bar: within 0.005)",
+      flush=True)
 lap("DONE")

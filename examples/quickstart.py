@@ -64,7 +64,18 @@ def main():
                            rng.uniform(-90, 90, 4096)], 1)
         emb = np.asarray(model(coords))
         print(f"RANGE+ embeddings: {emb.shape} "
-              f"(= {bank.value_dim} retrieved + 256 neural field)")
+            f"(= {bank.value_dim} retrieved + 256 neural field)")
+
+        # the measured serving bundle (hier retrieval + all round-3
+        # levers; see api.SERVING_PROFILES / PERF.md) — one kwarg:
+        fast = range_tpu.load_model("RANGE+", db_path=db_path, beta=0.5,
+                                    chunk=1024, profile="flagship",
+                                    hier_bn=128, gsz_geo=16)  # tiny-bank
+        emb_fast = np.asarray(fast(coords))
+        rel = (np.abs(emb_fast - emb)
+               / np.maximum(np.abs(emb), 1e-1)).mean()
+        print(f"flagship profile embeddings: {emb_fast.shape} "
+              f"(feature relerr vs exact {rel:.3f})")
 
         # -- 3. downstream probe ---------------------------------------------
         from range_tpu.data.tasks import get_dataset

@@ -35,6 +35,7 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -366,6 +367,46 @@ def sh_interpolate(table: jnp.ndarray, lonlat_deg: jnp.ndarray) -> jnp.ndarray:
 
 
 def spherical_harmonics_times_pallas(
+        lonlat_deg: jnp.ndarray, L: int, w: jnp.ndarray,
+        convention: str = "analytic", matmul_dtype=None, bm: int = 512,
+        interpret: bool = False) -> jnp.ndarray:
+    """Differentiable wrapper: Pallas forward, XLA-path VJP.
+
+    The kernel itself has no autodiff rule; training (SatCLIP contrastive
+    fine-tuning differentiates the tower) takes the gradient of the
+    mathematically-equivalent `spherical_harmonics_times` instead — the
+    backward pass is off the serving hot path."""
+    return _sh_times_pallas_vjp(lonlat_deg, w, L, convention,
+                                matmul_dtype, bm, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _sh_times_pallas_vjp(lonlat_deg, w, L, convention, matmul_dtype, bm,
+                         interpret):
+    return _sh_times_pallas_impl(lonlat_deg, L, w, convention, matmul_dtype,
+                                 bm, interpret)
+
+
+def _sh_times_pallas_fwd(lonlat_deg, w, L, convention, matmul_dtype, bm,
+                         interpret):
+    out = _sh_times_pallas_impl(lonlat_deg, L, w, convention, matmul_dtype,
+                                bm, interpret)
+    return out, (lonlat_deg, w)
+
+
+def _sh_times_pallas_bwd(L, convention, matmul_dtype, bm, interpret, res, g):
+    lonlat_deg, w = res
+    _, vjp = jax.vjp(
+        lambda ll, ww: spherical_harmonics_times(
+            ll, L, ww, convention, matmul_dtype=matmul_dtype),
+        lonlat_deg, w)
+    return vjp(g)
+
+
+_sh_times_pallas_vjp.defvjp(_sh_times_pallas_fwd, _sh_times_pallas_bwd)
+
+
+def _sh_times_pallas_impl(
         lonlat_deg: jnp.ndarray, L: int, w: jnp.ndarray,
         convention: str = "analytic", matmul_dtype=None, bm: int = 512,
         interpret: bool = False) -> jnp.ndarray:

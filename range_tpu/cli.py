@@ -27,6 +27,9 @@ def get_args(argv=None):
                    help="RANGE database npz path or 'synthetic:N'")
     p.add_argument("--pretrained_path", type=str, default=None)
     p.add_argument("--beta", type=float, default=0.5)
+    p.add_argument("--profile", type=str, default=None,
+                   help="serving profile for RANGE models "
+                        "(api.SERVING_PROFILES: exact | flagship | turbo)")
     p.add_argument("--task_name", type=str, default="biome")
     p.add_argument("--eval_dir", type=str, default=".")
     p.add_argument("--batch_size", type=int, default=5000)
@@ -52,7 +55,9 @@ def main(argv=None):
         if "RANGE" in args.location_model_name:
             kwargs["db_path"] = args.range_db
             kwargs["beta"] = args.beta
-        enc = load_model(args.location_model_name,
+        # profiles are RANGE-serving bundles; other encoders ignore them
+        prof = args.profile if "RANGE" in args.location_model_name else None
+        enc = load_model(args.location_model_name, profile=prof,
                          pretrained_path=args.pretrained_path, **kwargs)
         train, val, n_cls = get_dataset(args.task_name, args.eval_dir,
                                         seed=args.seed)

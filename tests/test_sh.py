@@ -204,3 +204,35 @@ def test_sh_times_pallas_matches_xla():
         b = np.asarray(spherical_harmonics_times_pallas(
             ll, L, w, conv, bm=128, interpret=True))
         np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4 * np.abs(a).max())
+
+
+def test_sh_times_pallas_grad_matches_xla():
+    """The Pallas first-layer kernel is differentiable: its custom_vjp
+    backward is the XLA fused path, so grads must match the XLA path's
+    (training differentiates the tower through this function on TPU)."""
+    import functools
+
+    import numpy as np
+
+    from range_tpu.ops.sh import (spherical_harmonics_times,
+                                  spherical_harmonics_times_pallas)
+
+    L = 8
+    rng = np.random.default_rng(1)
+    ll = jnp.asarray(np.stack([rng.uniform(-180, 180, 128),
+                               rng.uniform(-85, 85, 128)], 1), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((L * L, 32)).astype(np.float32))
+
+    def loss_p(w):
+        return jnp.sum(spherical_harmonics_times_pallas(
+            ll, L, w, bm=128, interpret=True) ** 2)
+
+    def loss_x(w):
+        return jnp.sum(spherical_harmonics_times(ll, L, w) ** 2)
+
+    import jax
+
+    gp = np.asarray(jax.grad(loss_p)(w))
+    gx = np.asarray(jax.grad(loss_x)(w))
+    np.testing.assert_allclose(gp, gx, rtol=1e-3,
+                               atol=1e-3 * np.abs(gx).max())

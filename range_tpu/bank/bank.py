@@ -235,7 +235,19 @@ class GeoBank:
             basis = tower.posenc(locs)
             return tower.nnet.apply(params, basis)
 
-        f = feats(tower_params, locs)  # [n_rows, key_dim]
+        # chunked tower evaluation: the [rows, L*L] SH basis is ~6.4 GB
+        # f32 at 1M rows — evaluating all rows at once OOM'd HBM on the
+        # 16 GB chip; 64k-row chunks keep the intermediate under 0.5 GB
+        # with bit-identical output (the basis is per-row)
+        # (threshold above the standard 100k fixtures so their keys stay
+        # bit-identical to every previously recorded number/cache)
+        CH = 131_072
+        if n_rows <= CH:
+            f = feats(tower_params, locs)  # [n_rows, key_dim]
+        else:
+            f = jnp.concatenate(
+                [feats(tower_params, locs[lo:min(lo + CH, n_rows)])
+                 for lo in range(0, n_rows, CH)], axis=0)
         keys = f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
         keys = keys + key_noise * jax.random.normal(
             k5, (n_rows, key_dim), jnp.float32) / jnp.sqrt(float(key_dim))

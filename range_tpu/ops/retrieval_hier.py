@@ -209,17 +209,28 @@ def _order_rows_within_tiles(keys: jnp.ndarray, valid: jnp.ndarray, bn: int,
 
     N = keys.shape[0]
     T = N // bn
-    ks = keys.astype(jnp.float32).reshape(T, bn, -1)
     vs = valid.reshape(T, bn)
     tile_keys = jax.random.split(jax.random.PRNGKey(seed), T)
     stride = bn // n_groups
-    cent, assign = jax.vmap(
+    km = jax.jit(jax.vmap(
         # strided-row seeding skips the k-means++ sequential scan (rows are
         # already in geographic-cluster order, so strides are diverse)
         lambda k, p, v: kmeans(k, p, n_groups, iters=6, valid=v,
-                               init_points=p[::stride])
-    )(tile_keys, ks, vs)  # [T, n_groups, Dk], [T, bn]
-    assign = np.asarray(assign)
+                               init_points=p[::stride])))
+    # tiles are independent, so the vmap runs in tile chunks: the all-T
+    # f32 feature tensor is a 5 GB spike at 1M rows (OOM on the 16 GB
+    # chip), and chunking is bit-identical at every size
+    TC_ = 256
+    cs, as_ = [], []
+    for lo in range(0, T, TC_):
+        hi = min(lo + TC_, T)
+        ks_c = (keys[lo * bn:hi * bn].astype(jnp.float32)
+                .reshape(hi - lo, bn, -1))
+        c, a = km(tile_keys[lo:hi], ks_c, vs[lo:hi])
+        cs.append(c)
+        as_.append(np.asarray(a))
+    cent = jnp.concatenate(cs, axis=0)  # [T, n_groups, Dk]
+    assign = np.concatenate(as_, axis=0)
     vn = np.asarray(vs)
     if n_super:
         sup_keys = jax.random.split(jax.random.PRNGKey(seed + 101), T)
@@ -293,12 +304,34 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
     # default group_by='key_value' clusters on [key | lam * v/|v|] so group
     # value sums stay value-pure (the tail-fidelity lever, fidelity_lab.py)
     if group_by == "key_value":
-        vf = dequantize_values(cbank)
-        vn = vf / jnp.maximum(
-            jnp.linalg.norm(vf, axis=1, keepdims=True), 1e-9)
-        gfeat = jnp.concatenate(
-            [cbank.keys_sem.astype(jnp.float32),
-             group_value_weight * vn.astype(jnp.float32)], axis=1)
+        # above ~256k rows the joint [N, Dk+Dv] f32 clustering features are
+        # a multi-GB spike (5 GB at 1M — OOM on the 16 GB chip): window
+        # k-means in bf16 there (assignment-insensitive to the rounding);
+        # stay f32 at and below the recorded operating points so every
+        # measured ordering/probe/recall number is bit-stable
+        if cbank.num_rows > 262_144:
+            # chunked + bf16: the f32 dequant/normalize intermediates are
+            # themselves ~4 GB each at this scale
+            CH = 131_072
+            vparts = []
+            for lo in range(0, cbank.num_rows, CH):
+                vf = cbank.values[lo:lo + CH].astype(jnp.float32)
+                if cbank.value_scale is not None:
+                    vf = vf * cbank.value_scale[0, lo:lo + CH, None]
+                vn = vf / jnp.maximum(
+                    jnp.linalg.norm(vf, axis=1, keepdims=True), 1e-9)
+                vparts.append((group_value_weight * vn)
+                              .astype(jnp.bfloat16))
+            gfeat = jnp.concatenate(
+                [cbank.keys_sem.astype(jnp.bfloat16),
+                 jnp.concatenate(vparts, axis=0)], axis=1)
+        else:
+            vf = dequantize_values(cbank)
+            vn = vf / jnp.maximum(
+                jnp.linalg.norm(vf, axis=1, keepdims=True), 1e-9)
+            gfeat = jnp.concatenate(
+                [cbank.keys_sem.astype(jnp.float32),
+                 (group_value_weight * vn).astype(jnp.float32)], axis=1)
     elif group_by == "key":
         gfeat = cbank.keys_sem
     else:
@@ -396,7 +429,8 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                         feats.astype(jnp.float32).reshape(G, gsz, -1))
         vsum = (None if stats_only
                 else jnp.einsum("gi,gid->gd", mg,
-                                vals_f32.reshape(G, gsz, -1)))
+                                vals_f32.reshape(G, gsz, -1),
+                                preferred_element_type=jnp.float32))
 
         def padg(x):
             return jnp.pad(x, ((0, G_pad - G), (0, 0)))
@@ -428,7 +462,21 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         k_cat = pack_bank(cbank.keys_sem, cbank.xyz, tier=tier)
         mask = cbank.row_mask()
         mask_neg = (NEG * (1.0 - mask))[None, :].astype(jnp.float32)
-        vals_f32 = dequantize_values(cbank) * mask[:, None]
+        # above ~256k rows the [N, Dv] f32 value matrix is a 4+ GB
+        # resident through every einsum below (async OOM at 1M rows on
+        # the 16 GB chip, surfacing at the next sync): hold it bf16 there
+        # — the reductions accumulate f32 via preferred_element_type, the
+        # residual chunks upcast per 131k-row slice, and the serving vw
+        # operands are stored bf16 anyway.  At and below the recorded
+        # operating points everything stays f32/bit-stable.
+        big = cbank.num_rows > 262_144
+        if big and cbank.value_scale is None:
+            vals_f32 = (cbank.values.astype(jnp.bfloat16)
+                        * mask[:, None].astype(jnp.bfloat16))
+        else:
+            vals_f32 = dequantize_values(cbank) * mask[:, None]
+            if big:
+                vals_f32 = vals_f32.astype(jnp.bfloat16)
         g_s = group_ops(cbank.keys_sem, vals_f32, mask, gsz_sem, geo=False)
         g_g = group_ops(cbank.xyz, vals_f32, mask, gsz_geo, geo=True)
         g_sup = (group_ops(cbank.keys_sem, vals_f32, mask, gsz_super,
@@ -444,7 +492,8 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
             mg = mask.reshape(G, gsz_sem)
             cnt = mg.sum(axis=1)
             vsum = jnp.einsum("gi,gid->gd", mg,
-                              vals_f32.reshape(G, gsz_sem, -1))
+                              vals_f32.reshape(G, gsz_sem, -1),
+                              preferred_element_type=jnp.float32)
             gram = vsum.T @ vsum
             _, vecs = jnp.linalg.eigh(gram)      # ascending eigenvalues
             u = vecs[:, -lr_rank:].T             # [r, Dv]
@@ -467,6 +516,7 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
 
             def fam_res(gsz, mean_lr):
                 G = N // gsz
+                Dv_ = vals_f32.shape[1]
                 mg = mask.reshape(G, gsz)
                 cnt = jnp.maximum(mg.sum(axis=1), 1.0)
                 if mean_lr is not None:
@@ -474,14 +524,45 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                     vbar = (coef / jnp.maximum(cnt_lr, 1.0)[:, None]) @ u
                 else:
                     vsum = jnp.einsum("gi,gid->gd", mg,
-                                      vals_f32.reshape(G, gsz, -1))
+                                      vals_f32.reshape(G, gsz, -1),
+                                      preferred_element_type=jnp.float32)
                     vbar = vsum / cnt[:, None]
-                R = vals_f32.reshape(G, gsz, -1) - vbar[:, None, :]
-                R = (R * mg[:, :, None]).reshape(N, -1)
-                gram = R.T @ R
+                # chunked two-pass: the residual matrix R = (V - vbar_rep)
+                # * mask is [N, Dv] f32 — materializing it (plus R @ w)
+                # OOM'd HBM at 1M rows (two ~4 GB spikes on a 16 GB chip).
+                # Pass 1 accumulates the Gram chunk-by-chunk; pass 2 emits
+                # each chunk's rank-k coefficients.  Exact same math.
+                target = max(1, (1 << 17) // gsz)   # ~131k rows per chunk
+                gc = next(c for c in range(min(target, G), 0, -1)
+                          if G % c == 0)
+                n_ch = G // gc
+                Vc = vals_f32.reshape(n_ch, gc, gsz, Dv_)
+                mgc = mg.reshape(n_ch, gc, gsz)
+                vbc = vbar.reshape(n_ch, gc, Dv_)
+
+                def chunk_R(xs):
+                    V, m, vb = xs
+                    # per-chunk f32 upcast (V may be held bf16 at scale)
+                    R = (V.astype(jnp.float32) - vb[:, None, :]) \
+                        * m[..., None]
+                    return R.reshape(gc * gsz, Dv_)
+
+                def gpass(carry, xs):
+                    R = chunk_R(xs)
+                    return carry + R.T @ R, 0.0
+
+                gram, _ = jax.lax.scan(gpass,
+                                       jnp.zeros((Dv_, Dv_), jnp.float32),
+                                       (Vc, mgc, vbc))
                 _, vecs = jnp.linalg.eigh(gram)
                 w = vecs[:, -res_rank:].T            # [k, Dv]
-                z = jnp.pad(R @ w.T, ((0, 0), (0, rrp - res_rank)))
+
+                def zpass(carry, xs):
+                    return carry, chunk_R(xs) @ w.T
+
+                _, z = jax.lax.scan(zpass, 0.0, (Vc, mgc, vbc))
+                z = jnp.pad(z.reshape(N, res_rank),
+                            ((0, 0), (0, rrp - res_rank)))
                 w = jnp.pad(w, ((0, rrp - res_rank), (0, 0)))
                 return z.astype(vw_dtype), w.astype(jnp.float32)
 

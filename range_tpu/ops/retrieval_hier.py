@@ -51,6 +51,26 @@ HIGHEST-precision exact NN (>= 0.999 bar), feature error vs the exact dense
 path, and the feature path's reachable recall; `k_tiles`/`j_sem` trade
 throughput vs recall, `gsz_sem` tail cost vs feature error.  Fidelity also
 depends on BATCH spatial coherence — see retrieve_hier's docstring.
+
+Round-3 extensions (PERF.md rounds 3-3c; all default-on in the shipped
+`api.SERVING_PROFILES['flagship']`):
+  * `group_by='key_value'` (build default): groups cluster on
+    [key | v/|v|] so group value sums stay value-pure — the tail-fidelity
+    lever that closed the downstream-probe gap;
+  * `k_geo` asymmetric family budgets: sem-only + geo-only parts kernels
+    so the probe-critical K_sem grows without paying the geo value matmul
+    on every tile;
+  * `lr_rank`: low-rank sem TAIL (rank-r coefficients of the group value
+    sums; the scan's tail matmul contracts r instead of Dv+pad columns);
+  * `res_rank`: residual-rank PARTS — exact p@V computed as
+    (segsum(p)/cnt)@vsum + (p@z)@w against a global rank-k eigenbasis of
+    the within-group value residuals, so the [bn, Dv] value stream leaves
+    the parts kernels entirely (exact at k >= Dv);
+  * `topk_gsz`: a FINER stats-only centroid operand for the top-k
+    selection signal, decoupling the feature tail's granularity (coarse =
+    cheap scan) from the recall path's (fine = small K);
+  * small batches auto-widen the selection budget instead of falling back
+    to the (bank-stream-bound) dense kernel — models/range_encoder.py.
 """
 
 from __future__ import annotations

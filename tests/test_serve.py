@@ -242,3 +242,23 @@ def test_serve_cli_profile_kwargs(monkeypatch):
     assert seen["profile"] == "flagship"
     assert seen["db_path"] == "bank.npz"
     assert seen["hier_cache"] == "/tmp/hc.npz"
+
+
+def test_serve_cli_hier_cache_without_hier_warns(monkeypatch, caplog):
+    """--hier-cache with dense retrieval is silently unused by load_model;
+    the CLI must warn so operators don't assume fast restarts."""
+    import logging
+
+    import range_tpu.serve as srv
+
+    def fake_load_model(model, profile=None, **kw):
+        raise SystemExit(0)
+
+    monkeypatch.setattr("range_tpu.api.load_model", fake_load_model)
+    import pytest as _pytest
+
+    with caplog.at_level(logging.WARNING, logger="range_tpu"):
+        with _pytest.raises(SystemExit):
+            srv.main(["--model", "RANGE+", "--db-path", "b.npz",
+                      "--hier-cache", "/tmp/hc.npz"])
+    assert any("hier-cache" in r.message for r in caplog.records)

@@ -156,52 +156,23 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
         # `hier_cache=<path>` persists the prepacked operands — bank prep
         # (k-means + packing) costs minutes; serving restarts then load in
         # seconds
-        import logging as _logging
-        import os as _os
-
-        from .ops.retrieval_hier import (build_hier_bank,
-                                         hier_build_signature,
-                                         load_hier_bank, peek_hier_build,
-                                         save_hier_bank)
+        from .ops.retrieval_hier import prepare_hier_bank
 
         n_shards = 1
         if mesh is not None:
             bank_axis = bank_axis or mesh.axis_names[-1]
             n_shards = mesh.shape[bank_axis]
-        hier_cache = kw.pop("hier_cache", None)
-        # the cache is only trusted when its stored build signature (source
-        # bank fingerprint + every build param) matches this request — a
-        # stale cache (different bank, bn, gsz, tier, seed, or shards) is
-        # rebuilt, never silently served
-        sig = hier_build_signature(bank, bn=hier_bn, gsz_sem=gsz_sem,
-                                   gsz_geo=gsz_geo, gsz_super=gsz_super,
-                                   tier=tier, seed=seed, shards=n_shards,
-                                   group_by=group_by,
-                                   group_value_weight=group_value_weight,
-                                   lr_rank=lr_rank or 0,
-                                   res_rank=res_rank or 0,
-                                   topk_gsz=topk_gsz)
-        cached = None
-        if hier_cache and _os.path.exists(hier_cache):
-            got = peek_hier_build(hier_cache)
-            if got == sig:
-                cached = load_hier_bank(hier_cache)
-            else:
-                _logging.getLogger("range_tpu").warning(
-                    "hier_cache %s is stale (built %s, requested %s) — "
-                    "rebuilding", hier_cache, got, sig)
-        if cached is not None:
-            bank = cached
-        else:
-            bank = build_hier_bank(bank, bn=hier_bn, gsz_sem=gsz_sem,
-                                   gsz_geo=gsz_geo, gsz_super=gsz_super,
-                                   group_by=group_by,
-                                   group_value_weight=group_value_weight,
-                                   lr_rank=lr_rank, res_rank=res_rank,
-                                   topk_gsz=topk_gsz,
-                                   tier=tier, seed=seed, shards=n_shards)
-            if hier_cache:
-                save_hier_bank(bank, hier_cache, build=sig)
+        # prepare_hier_bank owns the signature-validated disk cache (shared
+        # with the offline CLI `python -m range_tpu.build_hier`, so a
+        # CLI-prepared cache hits here by construction)
+        bank = prepare_hier_bank(bank, bn=hier_bn, gsz_sem=gsz_sem,
+                                 gsz_geo=gsz_geo, gsz_super=gsz_super,
+                                 group_by=group_by,
+                                 group_value_weight=group_value_weight,
+                                 lr_rank=lr_rank, res_rank=res_rank,
+                                 topk_gsz=topk_gsz, tier=tier, seed=seed,
+                                 shards=n_shards,
+                                 cache_path=kw.pop("hier_cache", None))
         if mesh is not None:
             from .parallel.sharded import shard_hier_bank
 

@@ -237,8 +237,9 @@ class GeoBank:
 
         # chunked tower evaluation: the [rows, L*L] SH basis is ~6.4 GB
         # f32 at 1M rows — evaluating all rows at once OOM'd HBM on the
-        # 16 GB chip; 64k-row chunks keep the intermediate under 0.5 GB
-        # with bit-identical output (the basis is per-row)
+        # 16 GB chip; 128k-row chunks keep the intermediate under ~0.9 GB
+        # (131072 * 1600 * 4 B) with bit-identical output (the basis is
+        # per-row)
         # (threshold above the standard 100k fixtures so their keys stay
         # bit-identical to every previously recorded number/cache)
         CH = 131_072

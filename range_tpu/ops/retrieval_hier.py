@@ -308,6 +308,20 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         # silently degrades
         assert (bn % topk_gsz == 0 and bn // topk_gsz >= 8
                 and gsz_sem % topk_gsz == 0), (bn, topk_gsz, gsz_sem)
+        # both are hier_topk selection signals and its branch order would
+        # silently ignore the fine topk operand when gsz_super is present
+        # — building both wastes an operand and misleads (advisor r3 #3)
+        assert not gsz_super, (
+            "gsz_super and topk_gsz are mutually exclusive: both feed "
+            "hier_topk's selection stage and gsz_super would win, leaving "
+            "the topk_gsz operand built but unused")
+    if tier == "exact" and bank.values.shape[0] > 262_144:
+        import warnings
+        warnings.warn(
+            "tier='exact' keeps the [N, Dv] value intermediates f32 during "
+            "the build (no bf16 memory relief above 256k rows) — expect a "
+            "~2x higher HBM watermark than fast-tier builds at this scale",
+            stacklevel=2)
     if lr_rank:
         # rank can't exceed the value width: the Gram eigenbasis has at
         # most Dv vectors, so a larger request silently built a Dv-rank
@@ -488,8 +502,10 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         # — the reductions accumulate f32 via preferred_element_type, the
         # residual chunks upcast per 131k-row slice, and the serving vw
         # operands are stored bf16 anyway.  At and below the recorded
-        # operating points everything stays f32/bit-stable.
-        big = cbank.num_rows > 262_144
+        # operating points everything stays f32/bit-stable.  tier='exact'
+        # promises full-precision operands, so it never takes the bf16
+        # path (it pays the f32 HBM watermark instead — advisor r3 #1).
+        big = cbank.num_rows > 262_144 and tier != "exact"
         if big and cbank.value_scale is None:
             vals_f32 = (cbank.values.astype(jnp.bfloat16)
                         * mask[:, None].astype(jnp.bfloat16))
@@ -2228,3 +2244,47 @@ def load_hier_bank(path: str) -> HierBank:
         sem_d=meta["sem_d"], cat_d=meta["cat_d"],
         t_real=meta["t_real"], t_pad=meta["t_pad"],
     )
+
+def prepare_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
+                      gsz_geo: int = 64, gsz_super: int = 0,
+                      tier: str = "fast", group_by: str = "key_value",
+                      group_value_weight: float = 1.0,
+                      lr_rank: Optional[int] = None,
+                      res_rank: Optional[int] = None,
+                      topk_gsz: int = 0, seed: int = 0, shards: int = 1,
+                      cache_path: Optional[str] = None,
+                      force: bool = False) -> HierBank:
+    """Build a serving-ready HierBank, or load it from a signature-validated
+    disk cache.
+
+    The single entry point shared by `api.load_model(retrieval='hier',
+    hier_cache=...)` and the offline CLI (`python -m range_tpu.build_hier`)
+    so both sides compute the IDENTICAL build signature — a CLI-prepared
+    cache is guaranteed to hit at serving time.  A cache whose stored
+    signature doesn't match this request (different source bank or any
+    build param) is rebuilt, never silently served."""
+    import logging
+    import os
+
+    sig = hier_build_signature(bank, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
+                               gsz_super=gsz_super, tier=tier, seed=seed,
+                               shards=shards, group_by=group_by,
+                               group_value_weight=group_value_weight,
+                               lr_rank=lr_rank or 0, res_rank=res_rank or 0,
+                               topk_gsz=topk_gsz)
+    if cache_path and os.path.exists(cache_path) and not force:
+        got = peek_hier_build(cache_path)
+        if got == sig:
+            return load_hier_bank(cache_path)
+        logging.getLogger("range_tpu").warning(
+            "hier cache %s is stale (built %s, requested %s) — rebuilding",
+            cache_path, got, sig)
+    hb = build_hier_bank(bank, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
+                         gsz_super=gsz_super, group_by=group_by,
+                         group_value_weight=group_value_weight,
+                         lr_rank=lr_rank, res_rank=res_rank,
+                         topk_gsz=topk_gsz, tier=tier, seed=seed,
+                         shards=shards)
+    if cache_path:
+        save_hier_bank(hb, cache_path, build=sig)
+    return hb

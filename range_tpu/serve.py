@@ -344,9 +344,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                     help="retrieval bank npz for RANGE/RANGE+")
     ap.add_argument("--value-quant", default=None, choices=["int8"],
                     help="quantize bank values (halves bank HBM footprint)")
-    ap.add_argument("--retrieval", default="dense", choices=["dense", "hier"],
+    ap.add_argument("--retrieval", default=None, choices=["dense", "hier"],
                     help="hier = two-stage approximate serving "
-                         "(ops/retrieval_hier.py; ~3x dense throughput)")
+                         "(ops/retrieval_hier.py; ~3x dense throughput). "
+                         "Default: dense, or the --profile's choice; an "
+                         "explicit value overrides the profile")
     ap.add_argument("--profile", default=None,
                     help="named serving-kwarg bundle (api.SERVING_PROFILES: "
                          "exact | flagship | turbo); explicit flags win")
@@ -358,14 +360,17 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     kw = {"db_path": args.db_path} if args.db_path else {}
     if args.value_quant:
         kw["value_quant"] = args.value_quant
-    if args.retrieval != "dense":
+    if args.retrieval is not None:
+        # forwarded whenever the user passed it, so an explicit
+        # --retrieval dense genuinely overrides a hier profile
         kw["retrieval"] = args.retrieval
     if args.hier_cache:
         from .api import SERVING_PROFILES
 
         prof_retr = (SERVING_PROFILES.get(args.profile or "", {})
                      .get("retrieval"))
-        if args.retrieval != "hier" and prof_retr != "hier":
+        eff_retr = args.retrieval if args.retrieval is not None else prof_retr
+        if eff_retr != "hier":
             import logging
 
             logging.getLogger("range_tpu").warning(

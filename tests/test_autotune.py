@@ -111,3 +111,20 @@ def test_autotune_hier_picks_and_caches():
     # second call is a pure cache hit (same geometry key)
     assert autotune_hier(q, q_xyz, hb, candidates=(), cache=cache,
                          interpret=True) == (bm, tc)
+
+
+def test_arbitrate_mismatch_oracle_verdicts():
+    """The miscompile arbitration (advisor r3 #4) must pick whichever side
+    matches the interpret oracle — including demoting a DETERMINISTICALLY
+    miscompiled first survivor — and stay conservative when the oracle
+    can't separate them."""
+    from range_tpu.ops.autotune import _arbitrate_mismatch
+
+    gold = np.linspace(1.0, 2.0, 32).reshape(4, 8)
+    good = gold * 1.001            # fp noise, within tol
+    bad = gold.copy()
+    bad[2, 3] *= 1.5               # one corrupt element, tc=32 style
+    assert _arbitrate_mismatch(good, bad, gold) == "candidate"
+    assert _arbitrate_mismatch(bad, good, gold) == "reference"
+    assert _arbitrate_mismatch(good, gold, gold) == "unknown"   # both fine
+    assert _arbitrate_mismatch(bad, bad * 1.2, gold) == "unknown"  # neither

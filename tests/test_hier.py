@@ -562,3 +562,14 @@ def test_hier_topk_fine_stats_operand(tmp_path, bank, queries):
     assert hb2.topk_gsz == 8
     np.testing.assert_array_equal(np.asarray(hbf.g_topk_cat),
                                   np.asarray(hb2.g_topk_cat))
+
+
+def test_build_rejects_gsz_super_with_topk_gsz():
+    """gsz_super and topk_gsz both feed hier_topk's selection stage and the
+    branch order would silently ignore the fine topk operand — the build
+    must refuse the combination (advisor r3 #3)."""
+    bank = GeoBank.synthetic_device(0, 1024, key_dim=32, value_dim=16,
+                                    pad_to=256)
+    with pytest.raises(AssertionError, match="mutually exclusive"):
+        build_hier_bank(bank, bn=128, gsz_sem=8, gsz_geo=16,
+                        gsz_super=16, topk_gsz=8)

@@ -262,3 +262,32 @@ def test_serve_cli_hier_cache_without_hier_warns(monkeypatch, caplog):
             srv.main(["--model", "RANGE+", "--db-path", "b.npz",
                       "--hier-cache", "/tmp/hc.npz"])
     assert any("hier-cache" in r.message for r in caplog.records)
+
+
+def test_serve_cli_explicit_retrieval_overrides_profile(monkeypatch):
+    """An explicit --retrieval dense must reach load_model even though it
+    equals the argparse-era default, so it overrides a hier profile's
+    retrieval entry (advisor r3 #2)."""
+    import range_tpu.serve as srv
+
+    seen = {}
+
+    def fake_load_model(model, profile=None, **kw):
+        seen["profile"] = profile
+        seen.update(kw)
+        raise SystemExit(0)
+
+    monkeypatch.setattr("range_tpu.api.load_model", fake_load_model)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        srv.main(["--model", "RANGE+", "--db-path", "b.npz",
+                  "--profile", "flagship", "--retrieval", "dense"])
+    assert seen["retrieval"] == "dense"  # wins over the profile's 'hier'
+
+    # and when the user passes nothing, the profile's choice is untouched
+    seen.clear()
+    with _pytest.raises(SystemExit):
+        srv.main(["--model", "RANGE+", "--db-path", "b.npz",
+                  "--profile", "flagship"])
+    assert "retrieval" not in seen

@@ -45,32 +45,21 @@ class TileStats:
     geo_radius: jnp.ndarray  # [T]
 
 
-def cluster_bank(bank: GeoBank, bn: int = 1024, n_clusters: Optional[int] = None,
-                 iters: int = 8, seed: int = 0,
-                 rows_per_cluster: int = 256,
-                 pack: str = "pad") -> Tuple[GeoBank, TileStats]:
-    """Reorder bank rows cluster-contiguously and pack clusters into
-    bn-aligned tiles so that no kernel tile mixes geographically distant
-    clusters (mixing blows up the tile bounding radii and kills pruning).
-
-    Host-side (bank prep is offline): geographic k-means, clusters relabeled
-    along latitude bands, then greedy packing — whole clusters are appended
-    in order.  ``pack``:
-      'pad'   — zero-padding inserted whenever the next cluster would
-                straddle a tile boundary, so no tile mixes distant clusters
-                (best bounding radii; row count grows 10-30%; the pruned
-                path's choice).
-      'dense' — clusters packed back-to-back with padding only on the final
-                tile (a tile may span two ADJACENT clusters — still spatial
-                neighbors by the latitude-band relabeling); ~25% less kernel
-                work, the hierarchical path's choice.
-    The result carries an explicit scattered validity mask.
-    """
-    assert bank.num_rows % bn == 0, (bank.num_rows, bn)
+def geo_pack_order(xyz, valid, bn: int, *, n_clusters: Optional[int] = None,
+                   iters: int = 8, seed: int = 0,
+                   rows_per_cluster: int = 256,
+                   pack: str = "pad") -> np.ndarray:
+    """The cluster-contiguous row order cluster_bank applies: geographic
+    k-means over `xyz` (device; [N, 3] is small at any bank scale), cluster
+    relabeling along latitude bands, greedy bn-aligned packing (host).
+    Returns the packed row-index array (-1 = padding), length a multiple of
+    bn.  Split out of `cluster_bank` so the host-staged hier build
+    (ops/retrieval_hier.py) can compute the order without gathering the
+    value matrix on device."""
     assert pack in ("pad", "dense"), pack
+    num_rows = xyz.shape[0]
     if n_clusters is None:
-        n_clusters = max(8, min(8192, bank.num_rows // rows_per_cluster))
-    valid = bank.row_mask()
+        n_clusters = max(8, min(8192, num_rows // rows_per_cluster))
     # Fibonacci-lattice seeding: near-uniform sphere coverage is the ideal
     # init for geographic xyz AND skips k-means++'s n_clusters sequential
     # scan steps (the bottleneck of bank prep at large C — ~12 min -> tens
@@ -82,8 +71,9 @@ def cluster_bank(bank: GeoBank, bn: int = 1024, n_clusters: Optional[int] = None
     lons, lats, _ = fibonacci_lattice(n_clusters + (n_clusters % 2))
     seeds = lonlat_deg_to_xyz(jnp.asarray(
         np.stack([lons[:n_clusters], lats[:n_clusters]], 1), jnp.float32))
-    centroids, assign = kmeans(jax.random.PRNGKey(seed), bank.xyz, n_clusters,
-                               iters=iters, valid=valid, init_points=seeds)
+    centroids, assign = kmeans(jax.random.PRNGKey(seed), jnp.asarray(xyz),
+                               n_clusters, iters=iters,
+                               valid=jnp.asarray(valid), init_points=seeds)
     # geographic relabeling: latitude bands, longitude within band, so that
     # clusters adjacent in the packing order are spatial neighbors (same
     # ordering the pruned retrieval applies to queries — geometry.geo_sort_order)
@@ -109,8 +99,35 @@ def cluster_bank(bank: GeoBank, bn: int = 1024, n_clusters: Optional[int] = None
     if cur > 0:
         chunks.append(np.full(bn - cur, -1, np.int64))
     order = np.concatenate(chunks) if chunks else np.full(bn, -1, np.int64)
-    n_rows = len(order)
-    assert n_rows % bn == 0
+    assert len(order) % bn == 0
+    return order
+
+
+def cluster_bank(bank: GeoBank, bn: int = 1024, n_clusters: Optional[int] = None,
+                 iters: int = 8, seed: int = 0,
+                 rows_per_cluster: int = 256,
+                 pack: str = "pad") -> Tuple[GeoBank, TileStats]:
+    """Reorder bank rows cluster-contiguously and pack clusters into
+    bn-aligned tiles so that no kernel tile mixes geographically distant
+    clusters (mixing blows up the tile bounding radii and kills pruning).
+
+    Host-side (bank prep is offline): geographic k-means, clusters relabeled
+    along latitude bands, then greedy packing — whole clusters are appended
+    in order.  ``pack``:
+      'pad'   — zero-padding inserted whenever the next cluster would
+                straddle a tile boundary, so no tile mixes distant clusters
+                (best bounding radii; row count grows 10-30%; the pruned
+                path's choice).
+      'dense' — clusters packed back-to-back with padding only on the final
+                tile (a tile may span two ADJACENT clusters — still spatial
+                neighbors by the latitude-band relabeling); ~25% less kernel
+                work, the hierarchical path's choice.
+    The result carries an explicit scattered validity mask.
+    """
+    assert bank.num_rows % bn == 0, (bank.num_rows, bn)
+    order = geo_pack_order(bank.xyz, bank.row_mask(), bn,
+                           n_clusters=n_clusters, iters=iters, seed=seed,
+                           rows_per_cluster=rows_per_cluster, pack=pack)
 
     # gather ON DEVICE: pulling the bank to host numpy and back costs a
     # full round-trip of the value matrix over the (slow, tunneled)

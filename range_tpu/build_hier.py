@@ -77,6 +77,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--force", action="store_true",
                     help="rebuild even if the existing cache matches")
+    ap.add_argument("--host-stage", default=None,
+                    choices=["auto", "on", "off"],
+                    help="stage the build through host RAM (1M+-row banks; "
+                         "default auto: on above 500k rows)")
     # explicit build-param overrides (default: the profile's values)
     ap.add_argument("--bn", type=int, default=None)
     ap.add_argument("--gsz-sem", type=int, default=None)
@@ -131,8 +135,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             return
 
     t0 = time.time()
+    hs = {"auto": None, "on": True, "off": False}[args.host_stage or "auto"]
     hb = prepare_hier_bank(bank, seed=args.seed, shards=args.shards,
-                           cache_path=args.out, force=args.force, **kw)
+                           cache_path=args.out, force=args.force,
+                           host_stage=hs, **kw)
     t_build = time.time() - t0
     size_mb = os.path.getsize(args.out) / 1e6
     print(f"built + saved {args.out} ({size_mb:.0f} MB) in {t_build:.1f}s: "

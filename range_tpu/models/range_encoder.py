@@ -171,13 +171,17 @@ class RangeEncoder:
             else:
                 from ..ops.retrieval_hier import retrieve_hier
 
-                retrieved = retrieve_hier(
+                # concat_query moves the [retrieved | query] concat INSIDE
+                # retrieve_hier, where the flagship shape fuses it into the
+                # combine kernel's epilogue (one HBM pass instead of ~5)
+                return retrieve_hier(
                     q_sem, q_xyz, bank,
                     sem_temp=cfg.resolved_sem_temp(), geo_temp=cfg.geo_temp,
                     beta=cfg.beta, mode=cfg.mode, k_tiles=k_tiles,
                     m_tiles=cfg.m_tiles, k_geo=k_geo,
                     bm=bm, j_sem=j_sem, j_geo=cfg.j_geo,
                     scan_bm=cfg.hier_scan_bm or None,
+                    concat_query=q_sem,
                     interpret=jax.default_backend() != "tpu",
                 )
             return jnp.concatenate([retrieved, q_sem], axis=-1)

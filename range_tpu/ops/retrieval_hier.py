@@ -147,6 +147,12 @@ class HierBank:
     # Dvp (~4x less scan work at r=256, Dv=1024)
     g_sem_vw_lr: Optional[jnp.ndarray] = None
     u_sem: Optional[jnp.ndarray] = None
+    # low-rank GEO tail (build_hier_bank(lr_geo=r)) — same factorization
+    # for the geo family's group value sums (round 4: the geo tail matmul
+    # was ~30% of scan flops at Dvp=1152; the sharply-local geo family's
+    # tail mass is small, so the truncation is fidelity-cheap)
+    g_geo_vw_lr: Optional[jnp.ndarray] = None
+    u_geo: Optional[jnp.ndarray] = None
     # residual-rank parts (build_hier_bank(res_rank=k)): per-family
     # row-value RESIDUALS vs the serving group mean, projected on a global
     # rank-k eigenbasis.  The parts kernels then never stream/matmul the
@@ -173,6 +179,7 @@ class HierBank:
     gsz_geo: int = 64
     gsz_super: int = 0
     lr_rank: int = 0
+    lr_geo: int = 0
     res_rank: int = 0
     topk_gsz: int = 0
     sem_d: int = 256
@@ -195,10 +202,11 @@ jax.tree_util.register_dataclass(
                  "sem_centroid", "geo_centroid", "sem_radius", "geo_radius",
                  "g_sem_cat", "g_geo_cat", "g_sem_vw", "g_geo_vw", "khl_sem",
                  "g_sup_cat", "g_sup_vw", "g_sem_vw_lr", "u_sem",
+                 "g_geo_vw_lr", "u_geo",
                  "z_sem", "w_sem", "z_geo", "w_geo", "g_topk_cat"],
     meta_fields=["tier", "bn", "gsz_sem", "gsz_geo", "gsz_super", "lr_rank",
-                 "res_rank", "topk_gsz", "sem_d", "cat_d", "t_real",
-                 "t_pad"],
+                 "lr_geo", "res_rank", "topk_gsz", "sem_d", "cat_d",
+                 "t_real", "t_pad"],
 )
 
 
@@ -276,11 +284,13 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                     tier: str = "fast", group_by: str = "key_value",
                     group_value_weight: float = 1.0,
                     lr_rank: Optional[int] = None,
+                    lr_geo: Optional[int] = None,
                     res_rank: Optional[int] = None,
                     topk_gsz: int = 0,
                     n_clusters: Optional[int] = None, iters: int = 8,
                     seed: int = 0, value_dtype=None,
-                    shards: int = 1) -> HierBank:
+                    shards: int = 1,
+                    host_stage: Optional[bool] = None) -> HierBank:
     """Offline serving prep: cluster + reorder the bank, prepack operands.
 
     Bank prep is offline (like building the npz itself): geographic k-means
@@ -331,6 +341,19 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         lr_rank = min(lr_rank, int(bank.values.shape[1]))
     if res_rank:
         res_rank = min(res_rank, int(bank.values.shape[1]))
+    if host_stage is None:
+        # the device-resident build transiently holds ~3 bank copies
+        # (PERF.md "Bank-scale validation": OOM at 1M rows on 16 GB HBM);
+        # above ~0.5M rows the clustering/reorder/operand pipeline stages
+        # through host RAM instead, streaming row chunks to the device
+        host_stage = bank.values.shape[0] > 500_000
+    if host_stage:
+        return _build_hier_bank_hosted(
+            bank, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
+            gsz_super=gsz_super, tier=tier, group_by=group_by,
+            group_value_weight=group_value_weight, lr_rank=lr_rank,
+            res_rank=res_rank, topk_gsz=topk_gsz, n_clusters=n_clusters,
+            iters=iters, seed=seed, value_dtype=value_dtype, shards=shards)
     cbank, _ = cluster_bank(bank, bn=bn, n_clusters=n_clusters, iters=iters,
                             seed=seed, pack="dense")
     # reorder rows within each tile so gsz_sem-row windows are key-coherent
@@ -633,6 +656,319 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         geo_radius=stats.geo_radius.astype(jnp.float32),
         g_sem_cat=g_sem_cat, g_geo_cat=g_geo_cat,
         g_sem_vw=g_sem_vw, g_geo_vw=g_geo_vw, khl_sem=khl_sem,
+        g_sup_cat=g_sup_cat, g_sup_vw=g_sup_vw,
+        g_sem_vw_lr=g_sem_vw_lr, u_sem=u_sem,
+        z_sem=z_sem, w_sem=w_sem, z_geo=z_geo, w_geo=w_geo,
+        g_topk_cat=g_topk_cat,
+        tier=tier, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
+        gsz_super=gsz_super, lr_rank=lr_rank or 0,
+        res_rank=res_rank or 0, topk_gsz=topk_gsz,
+        sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
+    )
+
+
+def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
+                            gsz_geo: int, gsz_super: int, tier: str,
+                            group_by: str, group_value_weight: float,
+                            lr_rank: Optional[int], res_rank: Optional[int],
+                            topk_gsz: int, n_clusters: Optional[int],
+                            iters: int, seed: int, value_dtype,
+                            shards: int) -> HierBank:
+    """Host-staged `build_hier_bank`: the 1M+-row path (VERDICT r3 #5).
+
+    The device-resident build transiently holds ~3 copies of the bank
+    (source + reordered + prep intermediates) — ~9.4 GB at 1M rows of
+    1024-d values, OOM on a 16 GB chip even though the SERVING set fits.
+    This variant keeps the bank and every intermediate in host RAM,
+    performs permutations/padding with numpy, and streams bn-aligned row
+    chunks through the device for the compute-heavy pieces (dequantize,
+    group sums, Gram accumulation, packing).  Only the final serving
+    operands are placed on device, once.
+
+    Numerical notes vs the device build: identical math and chunk-stable
+    k-means; the clustering features are bf16 (the device build also goes
+    bf16 above 256k rows — the only regime this path serves); Gram
+    accumulation order differs (chunked adds vs one matmul), so eigenbases
+    can differ by fp noise.  Parity is asserted in
+    tests/test_hier.py::test_hosted_build_matches_device."""
+    import math
+
+    assert group_by in ("key", "key_value"), group_by
+    locs = np.asarray(bank.locs_lonlat, np.float32)
+    xyz = np.asarray(bank.xyz, np.float32)
+    keys = np.asarray(bank.keys_sem, np.float32)
+    vals = np.asarray(bank.values)
+    vscale = (np.asarray(bank.value_scale, np.float32)
+              if bank.value_scale is not None else None)
+    valid = np.asarray(bank.row_mask(), np.float32)
+
+    from ..bank.clustered import _tile_stats_impl, geo_pack_order
+
+    # 1. geographic clustering ([N, 3] is small on device at any scale);
+    #    packing order + gather on HOST
+    order = geo_pack_order(xyz, valid, bn, n_clusters=n_clusters,
+                           iters=iters, seed=seed, pack="dense")
+    sel = order >= 0
+    idx0 = np.where(sel, order, 0)
+
+    def take_h(x):
+        if x is None:
+            return None
+        g = x[idx0].copy()
+        g[~sel] = 0
+        return g
+
+    locs, xyz, keys, vals = (take_h(locs), take_h(xyz), take_h(keys),
+                             take_h(vals))
+    vscale = take_h(vscale.T).T if vscale is not None else None
+    valid = sel.astype(np.float32)
+    N = len(order)
+
+    # 2. within-tile key(+value)-space ordering — the feature matrix is
+    #    assembled host-side in bf16 chunks (the device build is also bf16
+    #    in this row regime), the per-tile k-means already runs chunked
+    RC = max(bn, (131_072 // bn) * bn)
+    if group_by == "key_value":
+        gparts = []
+        for lo in range(0, N, RC):
+            vc = jnp.asarray(vals[lo:lo + RC]).astype(jnp.float32)
+            if vscale is not None:
+                vc = vc * jnp.asarray(vscale[0, lo:lo + RC])[:, None]
+            vn = vc / jnp.maximum(jnp.linalg.norm(vc, axis=1, keepdims=True),
+                                  1e-9)
+            gparts.append(np.asarray(jnp.concatenate(
+                [jnp.asarray(keys[lo:lo + RC]).astype(jnp.bfloat16),
+                 (group_value_weight * vn).astype(jnp.bfloat16)], axis=1)))
+        gfeat = np.concatenate(gparts, axis=0)
+        del gparts
+    else:
+        gfeat = keys
+    perm = _order_rows_within_tiles(
+        gfeat, valid, bn, bn // gsz_sem, seed + 1,
+        n_super=bn // gsz_super if gsz_super else 0)
+    del gfeat
+    locs, xyz, keys, vals, valid = (locs[perm], xyz[perm], keys[perm],
+                                    vals[perm], valid[perm])
+    vscale = vscale[:, perm] if vscale is not None else None
+
+    # 3. shard padding + round-robin tile interleave (host; same layout as
+    #    the device build — see build_hier_bank)
+    T = N // bn
+    t_pad = _round_up(T, math.lcm(TC, shards * 8))
+    if shards > 1 and t_pad * bn > N:
+        extra = t_pad * bn - N
+
+        def padrows(x):
+            return (np.pad(x, ((0, extra),) + ((0, 0),) * (x.ndim - 1))
+                    if x is not None else None)
+
+        locs, xyz, keys, vals = (padrows(locs), padrows(xyz), padrows(keys),
+                                 padrows(vals))
+        valid = np.pad(valid, (0, extra))
+        vscale = (np.pad(vscale, ((0, 0), (0, extra)))
+                  if vscale is not None else None)
+        N, T = t_pad * bn, t_pad
+    if shards > 1:
+        t_local = t_pad // shards
+        tile_of_pos = np.arange(t_pad).reshape(t_local, shards).T.reshape(-1)
+        row_perm = (tile_of_pos[:, None] * bn
+                    + np.arange(bn)[None, :]).reshape(-1)
+        locs, xyz, keys, vals, valid = (locs[row_perm], xyz[row_perm],
+                                        keys[row_perm], vals[row_perm],
+                                        valid[row_perm])
+        vscale = vscale[:, row_perm] if vscale is not None else None
+
+    stats = _tile_stats_impl(jnp.asarray(keys), jnp.asarray(xyz),
+                             jnp.asarray(valid), bn=bn)
+    sem_d, cat_d = packed_dims(keys.shape[1], tier)
+    Dv = vals.shape[1]
+    Dvp = _round_up(Dv + 1, 128)
+    vw_dtype = jnp.float32 if tier == "exact" else jnp.bfloat16
+
+    # 4. chunked per-row/per-group operands: one jitted pass per row chunk
+    #    emits packed keys, hi/lo keys, serving values, and each family's
+    #    raw group centroid/value-sum/count; results assemble on host
+    gszs = [("sem", gsz_sem, False), ("geo", gsz_geo, True)]
+    if gsz_super:
+        gszs.append(("sup", gsz_super, False))
+    if topk_gsz:
+        gszs.append(("topk", topk_gsz, False))
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chunk_ops(keys_c, xyz_c, vals_c, scale_c, mask_c, *, n: int):
+        from .retrieval_pallas import _split_hilo
+
+        vf = vals_c.astype(jnp.float32)
+        if scale_c is not None:
+            vf = vf * scale_c[:, None]
+        vf = vf * mask_c[:, None]
+        out = {"k_cat": pack_bank(keys_c, xyz_c, tier=tier),
+               "khl": jnp.concatenate(_split_hilo(keys_c), axis=1)}
+        for name, gsz, geo in gszs:
+            G = n // gsz
+            feats = xyz_c if geo else keys_c
+            mg = mask_c.reshape(G, gsz)
+            cnt = mg.sum(axis=1)
+            w = mg / jnp.maximum(cnt, 1.0)[:, None]
+            cg = jnp.einsum("gi,gid->gd", w,
+                            feats.astype(jnp.float32).reshape(G, gsz, -1))
+            out[f"cg_{name}"] = cg
+            out[f"cnt_{name}"] = cnt
+            if name != "topk":
+                out[f"vsum_{name}"] = jnp.einsum(
+                    "gi,gid->gd", mg, vf.reshape(G, gsz, -1),
+                    preferred_element_type=jnp.float32)
+        return out
+
+    host = {}
+    for lo in range(0, N, RC):
+        hi = min(lo + RC, N)
+        got = chunk_ops(jnp.asarray(keys[lo:hi]), jnp.asarray(xyz[lo:hi]),
+                        jnp.asarray(vals[lo:hi]),
+                        (jnp.asarray(vscale[0, lo:hi])
+                         if vscale is not None else None),
+                        jnp.asarray(valid[lo:hi]), n=hi - lo)
+        for k_, v_ in got.items():
+            host.setdefault(k_, []).append(np.asarray(v_))
+    host = {k_: np.concatenate(v_, axis=0) for k_, v_ in host.items()}
+
+    # 5. group operand packing (G-sized — small even at 1M rows)
+    def pack_family(name, gsz, geo):
+        G = N // gsz
+        G_pad = t_pad * (bn // gsz)
+        cg = jnp.asarray(host[f"cg_{name}"])
+        cgp = jnp.pad(cg, ((0, G_pad - G), (0, 0)))
+        Dk = keys.shape[1]
+        if geo:
+            cat = pack_bank(jnp.zeros((G_pad, Dk), jnp.float32), cgp,
+                            tier=tier)[:, sem_d:]
+        else:
+            cat = pack_bank(cgp, jnp.zeros((G_pad, 3), jnp.float32),
+                            tier=tier)[:, :sem_d]
+        if name == "topk":
+            return cat, None
+        cnt = jnp.asarray(host[f"cnt_{name}"])
+        vsum = jnp.asarray(host[f"vsum_{name}"])
+        vw = jnp.concatenate(
+            [vsum, cnt[:, None], jnp.zeros((G, Dvp - Dv - 1), jnp.float32)],
+            axis=1)
+        vw = jnp.pad(vw, ((0, G_pad - G), (0, 0)))
+        return cat, vw.astype(vw_dtype)
+
+    g_sem_cat, g_sem_vw = pack_family("sem", gsz_sem, False)
+    g_geo_cat, g_geo_vw = pack_family("geo", gsz_geo, True)
+    g_sup_cat, g_sup_vw = (pack_family("sup", gsz_super, False)
+                           if gsz_super else (None, None))
+    g_topk_cat = (pack_family("topk", topk_gsz, False)[0]
+                  if topk_gsz else None)
+
+    # 6. low-rank sem tail (G x Dv fits on device even at 1M rows/gsz 16)
+    g_sem_vw_lr = u_sem = None
+    lr_coef_u = None
+    if lr_rank:
+        G = N // gsz_sem
+        G_pad = t_pad * (bn // gsz_sem)
+        vsum = jnp.asarray(host["vsum_sem"])
+        cnt = jnp.asarray(host["cnt_sem"])
+        gram = vsum.T @ vsum
+        _, vecs = jnp.linalg.eigh(gram)
+        u = vecs[:, -lr_rank:].T
+        coef = vsum @ u.T
+        lr_coef_u = (coef, cnt, u)
+        rp = _round_up(lr_rank + 1, 128)
+        lrw = jnp.concatenate(
+            [coef, cnt[:, None],
+             jnp.zeros((G, rp - lr_rank - 1), jnp.float32)], axis=1)
+        g_sem_vw_lr = jnp.pad(lrw, ((0, G_pad - G), (0, 0))).astype(vw_dtype)
+        u_sem = u.astype(jnp.float32)
+
+    # 7. residual-rank parts: chunked two-pass Gram/coefficients, with the
+    #    residual matrix never materialized beyond one chunk
+    z_sem = w_sem = z_geo = w_geo = None
+    if res_rank:
+        rrp = _round_up(res_rank, 128)
+
+        def fam_res(gsz, mean_lr, vsum_key, cnt_key):
+            G = N // gsz
+            if mean_lr is not None:
+                coef, cnt_lr, u = mean_lr
+                vbar = np.asarray((coef / jnp.maximum(cnt_lr, 1.0)[:, None])
+                                  @ u)
+            else:
+                cnt = np.maximum(host[cnt_key], 1.0)
+                vbar = host[vsum_key] / cnt[:, None]
+
+            @functools.partial(jax.jit, static_argnames=("n",))
+            def chunk_R(vals_c, scale_c, mask_c, vbar_c, *, n: int):
+                vf = vals_c.astype(jnp.float32)
+                if scale_c is not None:
+                    vf = vf * scale_c[:, None]
+                rep = jnp.repeat(vbar_c, gsz, axis=0)
+                return (vf - rep) * mask_c[:, None]
+
+            def chunks():
+                for lo in range(0, N, RC):
+                    hi = min(lo + RC, N)
+                    yield chunk_R(
+                        jnp.asarray(vals[lo:hi]),
+                        (jnp.asarray(vscale[0, lo:hi])
+                         if vscale is not None else None),
+                        jnp.asarray(valid[lo:hi]),
+                        jnp.asarray(vbar[lo // gsz:hi // gsz]), n=hi - lo)
+
+            gram = jnp.zeros((Dv, Dv), jnp.float32)
+            for R in chunks():
+                gram = gram + R.T @ R
+            _, vecs = jnp.linalg.eigh(gram)
+            w = vecs[:, -res_rank:].T
+            zs = [np.asarray((R @ w.T).astype(vw_dtype)) for R in chunks()]
+            z = np.pad(np.concatenate(zs, axis=0),
+                       ((0, 0), (0, rrp - res_rank)))
+            return (jax.device_put(z),
+                    jnp.pad(w, ((0, rrp - res_rank), (0, 0)))
+                    .astype(jnp.float32))
+
+        z_sem, w_sem = fam_res(gsz_sem, lr_coef_u, "vsum_sem", "cnt_sem")
+        z_geo, w_geo = fam_res(gsz_geo, None, "vsum_geo", "cnt_geo")
+
+    # 8. final device placement.  bank.values SHARES the serving bf16 array
+    #    (a second full-precision copy of the value matrix is exactly the
+    #    memory this path exists to avoid; the exact-dense diagnostics in
+    #    bench.py then read bf16 values — keys, the recall ground truth
+    #    operand, stay f32)
+    if vscale is not None:
+        values = jax.device_put(vals)
+        scale = jax.device_put(vscale.astype(np.float32))
+        bank_values = values
+    else:
+        sv = value_dtype if value_dtype is not None else jnp.bfloat16
+        # chunked host-side cast; one device_put of the final serving dtype
+        # (a full-size f32->bf16 astype on device would hold both copies)
+        cast = [np.asarray(jnp.asarray(vals[lo:lo + RC]).astype(sv))
+                for lo in range(0, N, RC)]
+        values = jax.device_put(np.concatenate(cast, axis=0))
+        del cast
+        scale = None
+        bank_values = values
+    cbank = GeoBank(
+        locs_lonlat=jax.device_put(locs), xyz=jax.device_put(xyz),
+        keys_sem=jax.device_put(keys), values=bank_values,
+        n_valid=bank.n_valid, valid_mask=jax.device_put(valid),
+        value_scale=scale,
+    )
+    mask_neg = jax.device_put(
+        (NEG * (1.0 - valid))[None, :].astype(np.float32))
+    khl = jax.device_put(host["khl"])
+    k_cat = jax.device_put(host["k_cat"])
+    return HierBank(
+        bank=cbank, k_cat=k_cat, values=values, value_scale=scale,
+        mask_neg=mask_neg,
+        sem_centroid=stats.sem_centroid.astype(jnp.float32),
+        geo_centroid=stats.geo_centroid.astype(jnp.float32),
+        sem_radius=stats.sem_radius.astype(jnp.float32),
+        geo_radius=stats.geo_radius.astype(jnp.float32),
+        g_sem_cat=g_sem_cat, g_geo_cat=g_geo_cat,
+        g_sem_vw=g_sem_vw, g_geo_vw=g_geo_vw, khl_sem=khl,
         g_sup_cat=g_sup_cat, g_sup_vw=g_sup_vw,
         g_sem_vw_lr=g_sem_vw_lr, u_sem=u_sem,
         z_sem=z_sem, w_sem=w_sem, z_geo=z_geo, w_geo=w_geo,
@@ -1764,6 +2100,7 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
                    bm: int, tc: int, j_sem: int, j_geo: int, mode: str,
                    n_valid: int, k_geo: int = 0,
                    scan_bm: Optional[int] = None,
+                   raw: bool = False,
                    interpret: bool = False):
     """The hier pipeline body on (already sorted) packed queries:
     fused scan (stats + all-tiles tail) -> tile selection -> parts kernel
@@ -1816,6 +2153,11 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
             hb.g_geo_cat, hb.g_geo_vw, hb.z_geo, sem_d=hb.sem_d, bm=bm,
             bn=hb.bn, gpt=gpt_g, geo=True, lr=False, rr=int(use_rr),
             interpret=interpret)
+        if raw:
+            # pre-combine pieces for the fused combine+concat kernel
+            # (retrieve_hier gates this on the lr+rr family-split shape)
+            assert use_lr and use_rr
+            return parts_s, parts_g, tails
         if use_lr and use_rr:
             r, rrp = hb.lr_rank, hb.z_sem.shape[1]
             corr = tails[:, :Ws] - parts_s[:, rrp + 128:]
@@ -1936,6 +2278,74 @@ def _hier_partials2(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
     return acc_s, acc_g, d_s, d_g
 
 
+# ---------------------------------------------------------------------------
+# fused combine+concat epilogue: lr/rr unprojection matmuls + softmax
+# normalization + beta blend + query concat in ONE pass over the partials
+
+
+def _combine_cat_kernel(Ws, r, rrp, Dv, beta, ps_ref, pg_ref, tails_ref,
+                        q_ref, wsem_ref, wgeo_ref, out_ref):
+    """One [bm]-query block of the flagship combine (round-4 glue fusion).
+
+    The XLA combine (the `use_lr and use_rr` branch of `_hier_partials`)
+    plus the API layer's `concat([retrieved, q])` round-trips ~5 full-width
+    [Bp, Dv] f32 buffers through HBM (measured 1.18 ms standalone at
+    B=10,240, tools/r4_glue.py).  Here the two small unprojection matmuls
+    run on the MXU with the normalize/blend/concat fused as their epilogue,
+    reading each partial once and writing the FINAL [Bp, Dv+Dq] output."""
+    ps = ps_ref[:]
+    tails = tails_ref[:]
+    # corr = all-tiles lr tail - selected tiles' lr approximation
+    corr = tails[:, :Ws] - ps[:, rrp + 128:]
+    # sem accumulator: [rr coefficients | corr lr coefficients] through the
+    # stacked [w_sem; u_sem] basis — ONE matmul (rrp is 128-aligned, so the
+    # lane concat is layout-clean)
+    coef = jnp.concatenate([ps[:, :rrp], corr[:, :r]], axis=1)
+    acc_s = jnp.dot(coef, wsem_ref[:], preferred_element_type=jnp.float32)
+    d_s = ps[:, rrp:rrp + 1] + corr[:, r:r + 1]
+    pg = pg_ref[:]
+    acc_g = (pg[:, :Dv] + tails[:, Ws:Ws + Dv]
+             + jnp.dot(pg[:, Dv + 128:], wgeo_ref[:],
+                       preferred_element_type=jnp.float32))
+    d_g = pg[:, Dv:Dv + 1] + tails[:, Ws + Dv:Ws + Dv + 1]
+    sem = acc_s / jnp.maximum(d_s, 1e-30)
+    geo = acc_g / jnp.maximum(d_g, 1e-30)
+    out_ref[:, :Dv] = beta * sem + (1.0 - beta) * geo
+    out_ref[:, Dv:] = q_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("Ws", "r", "rrp", "Dv", "beta",
+                                             "bm", "interpret"))
+def _combine_cat_call(ps, pg, tails, q_srt, w_sem, u_sem, w_geo, *, Ws: int,
+                      r: int, rrp: int, Dv: int, beta: float, bm: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    Bp = ps.shape[0]
+    Dq = q_srt.shape[1]
+    wsem = jnp.concatenate([w_sem, u_sem], axis=0)  # [rrp + r, Dv]
+    return pl.pallas_call(
+        functools.partial(_combine_cat_kernel, Ws, r, rrp, Dv, beta),
+        grid=(Bp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, ps.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, pg.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, tails.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, Dq), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rrp + r, Dv), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rrp, Dv), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, Dv + Dq), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Dv + Dq), jnp.float32),
+        interpret=interpret,
+    )(ps, pg, tails, q_srt, wsem, w_geo)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "sem_temp", "geo_temp", "beta", "mode", "k_tiles", "m_tiles", "k_geo",
     "bm", "tc", "j_sem", "j_geo", "scan_bm", "sort_queries", "sort",
@@ -1949,6 +2359,7 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
                   tc: int = 16, j_sem: int = 2, j_geo: int = 2,
                   scan_bm: Optional[int] = None,
                   sort_queries: bool = True, sort: str = "geo",
+                  concat_query: Optional[jnp.ndarray] = None,
                   interpret: bool = False) -> jnp.ndarray:
     """Two-stage retrieval over a prepared HierBank (see module docstring).
 
@@ -1983,6 +2394,7 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
     gpt_s, gpt_g = hb.bn // hb.gsz_sem, hb.bn // hb.gsz_geo
 
     inv = None
+    order = None
     hybrid = sort == "hybrid" or q_x is None
     if sort_queries and not hybrid:
         # geographic ordering depends only on the query locations — sort
@@ -2021,6 +2433,30 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
         order = _hybrid_order(q_x, home, B, hb.t_pad, sort=sort)
         inv = jnp.argsort(order)
         q_cat = q_cat[order]
+    # fused combine+concat epilogue (round-4 glue fusion): the flagship
+    # shape (family-split lr+rr partials, 128-aligned widths) computes the
+    # unprojection matmuls + normalize + blend + query concat in one Pallas
+    # pass, writing the FINAL [B, Dv+Dq] output — the XLA combine plus the
+    # API-layer concat cost ~1.2 ms/10k queries of pure HBM traffic
+    # (tools/r4_glue.py)
+    use_rr = bool(hb.res_rank) and hb.z_sem is not None
+    fused_cat = (concat_query is not None and not use2
+                 and mode == "range+" and use_lr and use_rr and k_geo > 0
+                 and hb.value_dim % 128 == 0 and hb.lr_rank % 128 == 0
+                 and concat_query.shape[1] % 128 == 0)
+    if fused_cat:
+        ps, pg, tails = _hier_partials(
+            q_cat, hb, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
+            j_geo=j_geo, mode=mode, n_valid=B, k_geo=k_geo,
+            scan_bm=scan_bm, raw=True, interpret=interpret)
+        q_pad = jnp.pad(concat_query.astype(jnp.float32),
+                        ((0, q_cat.shape[0] - B), (0, 0)))
+        q_srt = q_pad[order] if order is not None else q_pad
+        out = _combine_cat_call(
+            ps, pg, tails, q_srt, hb.w_sem, hb.u_sem, hb.w_geo,
+            Ws=hb.g_sem_vw_lr.shape[1], r=hb.lr_rank, rrp=hb.z_sem.shape[1],
+            Dv=hb.value_dim, beta=beta, bm=bm, interpret=interpret)
+        return out[inv[:B]] if inv is not None else out[:B]
     if use2:
         acc_s, acc_g, d_s, d_g = _hier_partials2(
             q_cat, hb, k_tiles=k_tiles,
@@ -2040,7 +2476,12 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
         out = beta * sem + (1.0 - beta) * geo
     # un-sort: inv[:B] holds each original query's sorted position (padded
     # rows sort last, so these all point at valid rows)
-    return out[inv[:B]] if inv is not None else out[:B]
+    out = out[inv[:B]] if inv is not None else out[:B]
+    if concat_query is not None:
+        # non-fused shapes still honor the concat contract ([B, Dv+Dq])
+        out = jnp.concatenate([out, concat_query.astype(jnp.float32)],
+                              axis=1)
+    return out
 
 
 def hier_nn(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
@@ -2253,7 +2694,8 @@ def prepare_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                       res_rank: Optional[int] = None,
                       topk_gsz: int = 0, seed: int = 0, shards: int = 1,
                       cache_path: Optional[str] = None,
-                      force: bool = False) -> HierBank:
+                      force: bool = False,
+                      host_stage: Optional[bool] = None) -> HierBank:
     """Build a serving-ready HierBank, or load it from a signature-validated
     disk cache.
 
@@ -2284,7 +2726,7 @@ def prepare_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                          group_value_weight=group_value_weight,
                          lr_rank=lr_rank, res_rank=res_rank,
                          topk_gsz=topk_gsz, tier=tier, seed=seed,
-                         shards=shards)
+                         shards=shards, host_stage=host_stage)
     if cache_path:
         save_hier_bank(hb, cache_path, build=sig)
     return hb

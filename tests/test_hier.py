@@ -18,7 +18,7 @@ from range_tpu.geometry import lonlat_deg_to_xyz
 from range_tpu.models.satclip import SatClipLocationConfig, SatClipLocationEncoder
 from range_tpu.ops.retrieval import exact_nn, retrieve
 from range_tpu.ops.retrieval_hier import (build_hier_bank, hier_nn,
-                                          retrieve_hier)
+                                          hier_topk, retrieve_hier)
 from range_tpu.ops.topk import recall_at_k
 
 N = 6000
@@ -573,3 +573,113 @@ def test_build_rejects_gsz_super_with_topk_gsz():
     with pytest.raises(AssertionError, match="mutually exclusive"):
         build_hier_bank(bank, bn=128, gsz_sem=8, gsz_geo=16,
                         gsz_super=16, topk_gsz=8)
+
+
+def test_hosted_build_matches_device():
+    """The host-staged build (`host_stage=True` — auto above 500k rows,
+    VERDICT r3 #5) must produce the same serving bank as the device build.
+    With `group_by='key'` the clustering features are identical f32 in both
+    paths, so the row order matches exactly and every operand must agree to
+    fp noise; serving outputs must match tightly."""
+    bank = GeoBank.synthetic_informative(3, 6000, value_dim=64, pad_to=512)
+    kw = dict(bn=128, gsz_sem=8, gsz_geo=16, group_by="key", lr_rank=32,
+              res_rank=16, topk_gsz=8, seed=0)
+    hb_d = build_hier_bank(bank, host_stage=False, **kw)
+    hb_h = build_hier_bank(bank, host_stage=True, **kw)
+
+    assert (hb_h.t_pad, hb_h.t_real, hb_h.sem_d, hb_h.cat_d) == \
+        (hb_d.t_pad, hb_d.t_real, hb_d.sem_d, hb_d.cat_d)
+    # identical row order -> rowwise operands agree exactly (mod dtype)
+    np.testing.assert_array_equal(np.asarray(hb_h.bank.valid_mask),
+                                  np.asarray(hb_d.bank.valid_mask))
+    np.testing.assert_allclose(np.asarray(hb_h.bank.keys_sem),
+                               np.asarray(hb_d.bank.keys_sem), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(hb_h.k_cat, np.float32),
+        np.asarray(hb_d.k_cat, np.float32), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(hb_h.khl_sem, np.float32),
+        np.asarray(hb_d.khl_sem, np.float32), atol=0)
+    # group sums: same per-group reduction, chunk boundaries never split a
+    # group -> tight
+    np.testing.assert_allclose(
+        np.asarray(hb_h.g_sem_vw, np.float32),
+        np.asarray(hb_d.g_sem_vw, np.float32), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(hb_h.g_geo_vw, np.float32),
+        np.asarray(hb_d.g_geo_vw, np.float32), rtol=1e-5, atol=1e-5)
+    # serving outputs (the contract): feature path + topk identical-ish
+    q, q_xyz = _make_queries(bank, regional=True, B=256, seed=9)
+    out_d = np.asarray(retrieve_hier(q, q_xyz, hb_d, k_tiles=8, bm=128,
+                                     tc=4, interpret=True))
+    out_h = np.asarray(retrieve_hier(q, q_xyz, hb_h, k_tiles=8, bm=128,
+                                     tc=4, interpret=True))
+    rel = np.abs(out_h - out_d) / np.maximum(np.abs(out_d), 1e-1)
+    assert rel.max() < 5e-3, rel.max()
+    tk_d = np.asarray(hier_topk(q, q_xyz, hb_d, k_tiles=8, bm=128, tc=4,
+                                interpret=True))
+    tk_h = np.asarray(hier_topk(q, q_xyz, hb_h, k_tiles=8, bm=128, tc=4,
+                                interpret=True))
+    assert (tk_d == tk_h).mean() > 0.99, (tk_d != tk_h).sum()
+
+
+def test_hosted_build_serves_key_value(tmp_path):
+    """group_by='key_value' (the build default): the hosted path's bf16
+    clustering features may order rows differently from the small-bank f32
+    device path, so parity is behavioral — both builds approximate the
+    dense reference equally well — and the hosted bank round-trips through
+    the save/load cache."""
+    bank = GeoBank.synthetic_informative(4, 6000, value_dim=64, pad_to=512)
+    kw = dict(bn=128, gsz_sem=8, gsz_geo=16, lr_rank=32, res_rank=16)
+    hb_d = build_hier_bank(bank, host_stage=False, **kw)
+    hb_h = build_hier_bank(bank, host_stage=True, **kw)
+    q, q_xyz = _make_queries(bank, regional=True, B=256, seed=10)
+
+    def relerr(hb):
+        ref = np.asarray(retrieve(q, q_xyz, hb.bank, sem_temp=12.0,
+                                  geo_temp=40.0, beta=0.5, chunk=512))
+        out = np.asarray(retrieve_hier(q, q_xyz, hb, k_tiles=8, bm=128,
+                                       tc=4, interpret=True))
+        return (np.abs(out - ref) / np.maximum(np.abs(ref), 1e-1)).mean()
+
+    r_d, r_h = relerr(hb_d), relerr(hb_h)
+    assert r_h < max(2 * r_d, 0.08), (r_h, r_d)
+
+    # cache round-trip: hosted banks persist/load like device-built ones
+    from range_tpu.ops.retrieval_hier import load_hier_bank, save_hier_bank
+    p = str(tmp_path / "hosted.npz")
+    save_hier_bank(hb_h, p)
+    hb2 = load_hier_bank(p)
+    out_a = np.asarray(retrieve_hier(q, q_xyz, hb_h, k_tiles=8, bm=128,
+                                     tc=4, interpret=True))
+    out_b = np.asarray(retrieve_hier(q, q_xyz, hb2, k_tiles=8, bm=128,
+                                     tc=4, interpret=True))
+    np.testing.assert_allclose(out_a, out_b, rtol=2e-2, atol=2e-3)
+
+
+def test_fused_combine_concat_matches_xla():
+    """retrieve_hier(concat_query=q) on the flagship shape (lr+rr family
+    split, 128-aligned widths) routes through the fused combine+concat
+    Pallas kernel; the output must equal concatenate([retrieve_hier(...),
+    q]) from the XLA combine to fp noise — and non-fusable shapes must
+    honor the same concat contract via the fallback."""
+    bank = GeoBank.synthetic_informative(5, 6000, value_dim=128, pad_to=512)
+    hb2 = build_hier_bank(bank, bn=128, gsz_sem=8, gsz_geo=16,
+                          lr_rank=128, res_rank=64, seed=0)
+    assert hb2.lr_rank == 128 and hb2.z_sem is not None
+    q, q_xyz = _make_queries(bank, regional=True, B=256, seed=13)
+    kw = dict(k_tiles=8, k_geo=4, bm=128, tc=4, j_sem=2, interpret=True)
+    ref = np.asarray(retrieve_hier(q, q_xyz, hb2, **kw))
+    fused = np.asarray(retrieve_hier(q, q_xyz, hb2, concat_query=q, **kw))
+    assert fused.shape == (256, 128 + q.shape[1])
+    np.testing.assert_allclose(fused[:, :128], ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(fused[:, 128:], np.asarray(q), atol=0)
+
+    # fallback contract: a bank without rr (no fused path) concatenates too
+    hb3 = build_hier_bank(bank, bn=128, gsz_sem=8, gsz_geo=16, seed=0)
+    ref3 = np.asarray(retrieve_hier(q, q_xyz, hb3, k_tiles=8, bm=128, tc=4,
+                                    interpret=True))
+    out3 = np.asarray(retrieve_hier(q, q_xyz, hb3, k_tiles=8, bm=128, tc=4,
+                                    concat_query=q, interpret=True))
+    np.testing.assert_allclose(out3[:, :128], ref3, atol=0)
+    np.testing.assert_allclose(out3[:, 128:], np.asarray(q), atol=0)

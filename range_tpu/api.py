@@ -131,6 +131,7 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                  gsz_super: int = 0, group_by: str = "key_value",
                  group_value_weight: float = 1.0,
                  lr_rank: Optional[int] = None,
+                 lr_geo: Optional[int] = None,
                  res_rank: Optional[int] = None,
                  topk_gsz: int = 0,
                  tower_matmul: Optional[str] = None,
@@ -169,7 +170,8 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                                  gsz_geo=gsz_geo, gsz_super=gsz_super,
                                  group_by=group_by,
                                  group_value_weight=group_value_weight,
-                                 lr_rank=lr_rank, res_rank=res_rank,
+                                 lr_rank=lr_rank, lr_geo=lr_geo,
+                                 res_rank=res_rank,
                                  topk_gsz=topk_gsz, tier=tier, seed=seed,
                                  shards=n_shards,
                                  cache_path=kw.pop("hier_cache", None))

@@ -28,7 +28,7 @@ _PROFILE_BUILD_KEYS = {
     "hier_bn": "bn", "gsz_sem": "gsz_sem", "gsz_geo": "gsz_geo",
     "gsz_super": "gsz_super", "tier": "tier", "group_by": "group_by",
     "group_value_weight": "group_value_weight", "lr_rank": "lr_rank",
-    "res_rank": "res_rank", "topk_gsz": "topk_gsz",
+    "lr_geo": "lr_geo", "res_rank": "res_rank", "topk_gsz": "topk_gsz",
 }
 
 
@@ -89,6 +89,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     ap.add_argument("--tier", default=None, choices=["fast", "high", "exact"])
     ap.add_argument("--group-by", default=None, choices=["key", "key_value"])
     ap.add_argument("--lr-rank", type=int, default=None)
+    ap.add_argument("--lr-geo", type=int, default=None)
     ap.add_argument("--res-rank", type=int, default=None)
     ap.add_argument("--topk-gsz", type=int, default=None)
     args = ap.parse_args(argv)
@@ -101,7 +102,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     for flag, key in (("bn", "bn"), ("gsz_sem", "gsz_sem"),
                       ("gsz_geo", "gsz_geo"), ("gsz_super", "gsz_super"),
                       ("tier", "tier"), ("group_by", "group_by"),
-                      ("lr_rank", "lr_rank"), ("res_rank", "res_rank"),
+                      ("lr_rank", "lr_rank"), ("lr_geo", "lr_geo"),
+                      ("res_rank", "res_rank"),
                       ("topk_gsz", "topk_gsz")):
         v = getattr(args, flag)
         if v is not None:
@@ -124,7 +126,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         tier=kw.get("tier", "fast"), seed=args.seed, shards=args.shards,
         group_by=kw.get("group_by", "key_value"),
         group_value_weight=kw.get("group_value_weight", 1.0),
-        lr_rank=kw.get("lr_rank") or 0, res_rank=kw.get("res_rank") or 0,
+        lr_rank=kw.get("lr_rank") or 0, lr_geo=kw.get("lr_geo") or 0,
+        res_rank=kw.get("res_rank") or 0,
         topk_gsz=kw.get("topk_gsz", 0))
     import os
 

@@ -339,6 +339,8 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         # (serving crash on small-Dv banks).  Clamp once; everything
         # downstream (layout, u_sem, the serialized meta) stays consistent.
         lr_rank = min(lr_rank, int(bank.values.shape[1]))
+    if lr_geo:
+        lr_geo = min(lr_geo, int(bank.values.shape[1]))
     if res_rank:
         res_rank = min(res_rank, int(bank.values.shape[1]))
     if host_stage is None:
@@ -352,8 +354,9 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
             bank, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
             gsz_super=gsz_super, tier=tier, group_by=group_by,
             group_value_weight=group_value_weight, lr_rank=lr_rank,
-            res_rank=res_rank, topk_gsz=topk_gsz, n_clusters=n_clusters,
-            iters=iters, seed=seed, value_dtype=value_dtype, shards=shards)
+            lr_geo=lr_geo, res_rank=res_rank, topk_gsz=topk_gsz,
+            n_clusters=n_clusters, iters=iters, seed=seed,
+            value_dtype=value_dtype, shards=shards)
     cbank, _ = cluster_bank(bank, bn=bn, n_clusters=n_clusters, iters=iters,
                             seed=seed, pack="dense")
     # reorder rows within each tile so gsz_sem-row windows are key-coherent
@@ -564,6 +567,30 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                  jnp.zeros((G, rp - lr_rank - 1), jnp.float32)], axis=1)
             lrw = jnp.pad(lrw, ((0, G_pad - G), (0, 0)))
             g_lr = (lrw.astype(vw_dtype), u.astype(jnp.float32))
+        g_lrg = (None, None)
+        lrg_coef_u = None
+        if lr_geo:
+            # low-rank GEO tail — same Gram factorization over the geo
+            # family's group value sums (round 4; the geo tail matmul was
+            # ~30% of scan flops at Dvp=1152)
+            G = N // gsz_geo
+            G_pad = t_pad * (bn // gsz_geo)
+            mg = mask.reshape(G, gsz_geo)
+            cnt = mg.sum(axis=1)
+            vsum = jnp.einsum("gi,gid->gd", mg,
+                              vals_f32.reshape(G, gsz_geo, -1),
+                              preferred_element_type=jnp.float32)
+            gram = vsum.T @ vsum
+            _, vecs = jnp.linalg.eigh(gram)
+            ug = vecs[:, -lr_geo:].T
+            coef = vsum @ ug.T
+            lrg_coef_u = (coef, cnt, ug)
+            rpg = _round_up(lr_geo + 1, 128)
+            lgw = jnp.concatenate(
+                [coef, cnt[:, None],
+                 jnp.zeros((G, rpg - lr_geo - 1), jnp.float32)], axis=1)
+            lgw = jnp.pad(lgw, ((0, G_pad - G), (0, 0)))
+            g_lrg = (lgw.astype(vw_dtype), ug.astype(jnp.float32))
         g_res = (None, None, None, None)
         if res_rank:
             # residual-rank parts operands: the parts kernels reconstruct
@@ -626,7 +653,7 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                 return z.astype(vw_dtype), w.astype(jnp.float32)
 
             zs, ws = fam_res(gsz_sem, lr_coef_u)
-            zg, wg = fam_res(gsz_geo, None)
+            zg, wg = fam_res(gsz_geo, lrg_coef_u)
             g_res = (zs, ws, zg, wg)
         # fine stats-only centroids for the top-k selection signal (no
         # value sums needed: the topk path never touches values)
@@ -635,10 +662,11 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                 if topk_gsz else None)
         kh, kl = _split_hilo(cbank.keys_sem.astype(jnp.float32))
         khl = jnp.concatenate([kh, kl], axis=1)  # [N, 2*Dk] bf16
-        return k_cat, mask_neg, g_s, g_g, g_sup, g_lr, g_res, g_tk, khl
+        return (k_cat, mask_neg, g_s, g_g, g_sup, g_lr, g_lrg, g_res,
+                g_tk, khl)
 
     (k_cat, mask_neg, (g_sem_cat, g_sem_vw), (g_geo_cat, g_geo_vw),
-     (g_sup_cat, g_sup_vw), (g_sem_vw_lr, u_sem),
+     (g_sup_cat, g_sup_vw), (g_sem_vw_lr, u_sem), (g_geo_vw_lr, u_geo),
      (z_sem, w_sem, z_geo, w_geo), g_topk_cat, khl_sem) = prep(cbank)
     if cbank.value_scale is not None:
         values, scale = cbank.values, cbank.value_scale.astype(jnp.float32)
@@ -658,10 +686,12 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         g_sem_vw=g_sem_vw, g_geo_vw=g_geo_vw, khl_sem=khl_sem,
         g_sup_cat=g_sup_cat, g_sup_vw=g_sup_vw,
         g_sem_vw_lr=g_sem_vw_lr, u_sem=u_sem,
+        g_geo_vw_lr=g_geo_vw_lr, u_geo=u_geo,
         z_sem=z_sem, w_sem=w_sem, z_geo=z_geo, w_geo=w_geo,
         g_topk_cat=g_topk_cat,
         tier=tier, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
         gsz_super=gsz_super, lr_rank=lr_rank or 0,
+        lr_geo=lr_geo or 0,
         res_rank=res_rank or 0, topk_gsz=topk_gsz,
         sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
     )
@@ -670,7 +700,9 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
 def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
                             gsz_geo: int, gsz_super: int, tier: str,
                             group_by: str, group_value_weight: float,
-                            lr_rank: Optional[int], res_rank: Optional[int],
+                            lr_rank: Optional[int],
+                            lr_geo: Optional[int],
+                            res_rank: Optional[int],
                             topk_gsz: int, n_clusters: Optional[int],
                             iters: int, seed: int, value_dtype,
                             shards: int) -> HierBank:
@@ -882,6 +914,25 @@ def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
         g_sem_vw_lr = jnp.pad(lrw, ((0, G_pad - G), (0, 0))).astype(vw_dtype)
         u_sem = u.astype(jnp.float32)
 
+    g_geo_vw_lr = u_geo = None
+    lrg_coef_u = None
+    if lr_geo:
+        G = N // gsz_geo
+        G_pad = t_pad * (bn // gsz_geo)
+        vsum = jnp.asarray(host["vsum_geo"])
+        cnt = jnp.asarray(host["cnt_geo"])
+        gram = vsum.T @ vsum
+        _, vecs = jnp.linalg.eigh(gram)
+        ug = vecs[:, -lr_geo:].T
+        coef = vsum @ ug.T
+        lrg_coef_u = (coef, cnt, ug)
+        rpg = _round_up(lr_geo + 1, 128)
+        lgw = jnp.concatenate(
+            [coef, cnt[:, None],
+             jnp.zeros((G, rpg - lr_geo - 1), jnp.float32)], axis=1)
+        g_geo_vw_lr = jnp.pad(lgw, ((0, G_pad - G), (0, 0))).astype(vw_dtype)
+        u_geo = ug.astype(jnp.float32)
+
     # 7. residual-rank parts: chunked two-pass Gram/coefficients, with the
     #    residual matrix never materialized beyond one chunk
     z_sem = w_sem = z_geo = w_geo = None
@@ -929,7 +980,7 @@ def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
                     .astype(jnp.float32))
 
         z_sem, w_sem = fam_res(gsz_sem, lr_coef_u, "vsum_sem", "cnt_sem")
-        z_geo, w_geo = fam_res(gsz_geo, None, "vsum_geo", "cnt_geo")
+        z_geo, w_geo = fam_res(gsz_geo, lrg_coef_u, "vsum_geo", "cnt_geo")
 
     # 8. final device placement.  bank.values SHARES the serving bf16 array
     #    (a second full-precision copy of the value matrix is exactly the
@@ -971,10 +1022,12 @@ def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
         g_sem_vw=g_sem_vw, g_geo_vw=g_geo_vw, khl_sem=khl,
         g_sup_cat=g_sup_cat, g_sup_vw=g_sup_vw,
         g_sem_vw_lr=g_sem_vw_lr, u_sem=u_sem,
+        g_geo_vw_lr=g_geo_vw_lr, u_geo=u_geo,
         z_sem=z_sem, w_sem=w_sem, z_geo=z_geo, w_geo=w_geo,
         g_topk_cat=g_topk_cat,
         tier=tier, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
         gsz_super=gsz_super, lr_rank=lr_rank or 0,
+        lr_geo=lr_geo or 0,
         res_rank=res_rank or 0, topk_gsz=topk_gsz,
         sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
     )
@@ -1356,14 +1409,33 @@ def _hier_argmax_call(q2, ql, khl, mask_neg, idx, *, Dk: int, bm: int,
     return out
 
 
+def _topk_budget(B: int, k_tiles: int, bm: int, j_sem: int
+                 ) -> Tuple[int, int, int]:
+    """Small-batch auto-widening for the top-k SERVING endpoint
+    (VERDICT r3 #4).  Selection tiles are shared by bm geographically-sorted
+    queries; small batches span too much sphere per tile and recall
+    collapses (measured on the 100k flagship bank, tools/r4_smallb_topk.py:
+    B=512 at the bench config K48/bm256 -> recall@1 0.539!).  The measured
+    restorative budget: bm=128 plus 3x tiles / j+4 below 2048 queries
+    (B=512: 1.0000 at 1.16 ms) and 2x tiles / j+2 below 8192 (B=2048:
+    0.9995); at serving scale the base budget already holds >= 0.999.
+    Returns (k_tiles, bm, j_sem)."""
+    if B < 2048:
+        return 3 * k_tiles, min(bm, 128), j_sem + 4
+    if B < 8192:
+        return 2 * k_tiles, min(bm, 128), j_sem + 2
+    return k_tiles, bm, j_sem
+
+
 @functools.partial(jax.jit, static_argnames=(
     "k", "k_tiles", "m_tiles", "bm", "tc", "j_sem", "j_geo", "mode", "sort",
-    "interpret"))
+    "auto_widen", "interpret"))
 def hier_topk(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
               *, k: int = 1, k_tiles: int = 56,
               m_tiles: Optional[int] = None, bm: int = 256, tc: int = 16,
               j_sem: int = 6, j_geo: int = 2, mode: str = "range",
-              sort: str = "geo", interpret: bool = False) -> jnp.ndarray:
+              sort: str = "geo", auto_widen: bool = True,
+              interpret: bool = False) -> jnp.ndarray:
     """Serving top-k retrieval: [B] int32 bank rows for k=1 (the default),
     [B, k] rows sorted by descending serving-tier logit for 2 <= k <= 8
     (the k-carry kernel `_hier_topk_kernel`; rows beyond the selected
@@ -1378,8 +1450,14 @@ def hier_topk(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
     K=56 (default) -> 0.9992 @ 1.46M q/s, K=80 -> 0.9994 @ 1.16M q/s).
     `mode='range'` spends every selected tile on the semantic family (the
     recall metric's family); q_xyz (when given) only drives the geographic
-    query sort."""
+    query sort.
+
+    `auto_widen` (default on) applies `_topk_budget`'s small-batch policy —
+    B is static under jit, so the widening is a compile-time choice exactly
+    like the feature path's (models/range_encoder.py)."""
     B = q_sem.shape[0]
+    if auto_widen:
+        k_tiles, bm, j_sem = _topk_budget(B, k_tiles, bm, j_sem)
     q_s, q_x = _pad_queries(q_sem, q_xyz, hb, bm)
     q_cat = pack_queries(q_s, None if mode == "range" else q_x, 12.0, 40.0,
                          tier=hb.tier)
@@ -2118,6 +2196,11 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
     gpt_s, gpt_g = hb.bn // hb.gsz_sem, hb.bn // hb.gsz_geo
     use_lr = hb.g_sem_vw_lr is not None and hb.lr_rank > 0
     sem_vw = hb.g_sem_vw_lr if use_lr else hb.g_sem_vw
+    # low-rank GEO tail rides the family-split path only (the merged parts
+    # kernel has no geo-lr combine); elsewhere the full-width operand runs
+    use_lrg = (hb.g_geo_vw_lr is not None and hb.lr_geo > 0
+               and bool(k_geo) and mode == "range+")
+    geo_vw = hb.g_geo_vw_lr if use_lrg else hb.g_geo_vw
     # the scan emits PER-QUERY stats/tails, so its query-block size is a
     # pure perf knob, independent of the bm that defines selection tiles —
     # a larger scan block streams the group operands Bp/scan_bm times
@@ -2126,7 +2209,7 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
     if q_cat.shape[0] % sb:
         sb = bm
     m_s, s_s, m_g, s_g, tails = _hier_scan_call(
-        q_cat, hb.g_sem_cat, hb.g_geo_cat, sem_vw, hb.g_geo_vw,
+        q_cat, hb.g_sem_cat, hb.g_geo_cat, sem_vw, geo_vw,
         bm=sb, tc=tc, gpt_s=gpt_s, gpt_g=gpt_g,
         has_geo=mode == "range+", interpret=interpret)
     Dv = hb.value_dim
@@ -2150,9 +2233,9 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
             lrr=hb.lr_rank, interpret=interpret)
         parts_g = _hier_parts_family_call(
             q_cat, hb.k_cat, hb.values, hb.value_scale, hb.mask_neg, idx_g,
-            hb.g_geo_cat, hb.g_geo_vw, hb.z_geo, sem_d=hb.sem_d, bm=bm,
-            bn=hb.bn, gpt=gpt_g, geo=True, lr=False, rr=int(use_rr),
-            interpret=interpret)
+            hb.g_geo_cat, geo_vw, hb.z_geo, sem_d=hb.sem_d, bm=bm,
+            bn=hb.bn, gpt=gpt_g, geo=True, lr=use_lrg, rr=int(use_rr),
+            lrr=hb.lr_geo, interpret=interpret)
         if raw:
             # pre-combine pieces for the fused combine+concat kernel
             # (retrieve_hier gates this on the lr+rr family-split shape)
@@ -2179,11 +2262,27 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
         else:
             acc_s = parts_s[:, :Dv] + tails[:, :Dv]
             d_s = parts_s[:, Dv:Dv + 1] + tails[:, Dv:Dv + 1]
-        acc_g = parts_g[:, :Dv] + tails[:, Ws:Ws + Dv]
-        if use_rr:
-            acc_g = acc_g + jnp.dot(parts_g[:, Dv + 128:], hb.w_geo,
-                                    preferred_element_type=jnp.float32)
-        d_g = parts_g[:, Dv:Dv + 1] + tails[:, Ws + Dv:Ws + Dv + 1]
+        if use_lrg and use_rr:
+            rg, rrp_g = hb.lr_geo, hb.z_geo.shape[1]
+            Wg = geo_vw.shape[1]
+            corr_g = tails[:, Ws:Ws + Wg] - parts_g[:, rrp_g + 128:]
+            acc_g = jnp.dot(parts_g[:, :rrp_g], hb.w_geo,
+                            preferred_element_type=jnp.float32) + jnp.dot(
+                corr_g[:, :rg], hb.u_geo, preferred_element_type=jnp.float32)
+            d_g = parts_g[:, rrp_g:rrp_g + 1] + corr_g[:, rg:rg + 1]
+        elif use_lrg:
+            rg = hb.lr_geo
+            Wg = geo_vw.shape[1]
+            corr_g = tails[:, Ws:Ws + Wg] - parts_g[:, Dv + 128:]
+            acc_g = parts_g[:, :Dv] + jnp.dot(
+                corr_g[:, :rg], hb.u_geo, preferred_element_type=jnp.float32)
+            d_g = parts_g[:, Dv:Dv + 1] + corr_g[:, rg:rg + 1]
+        else:
+            acc_g = parts_g[:, :Dv] + tails[:, Ws:Ws + Dv]
+            if use_rr:
+                acc_g = acc_g + jnp.dot(parts_g[:, Dv + 128:], hb.w_geo,
+                                        preferred_element_type=jnp.float32)
+            d_g = parts_g[:, Dv:Dv + 1] + tails[:, Ws + Dv:Ws + Dv + 1]
         return acc_s, acc_g, d_s, d_g
     idx, sel = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
                             k_tiles=k_tiles, bm=bm, n_valid=n_valid,
@@ -2283,8 +2382,8 @@ def _hier_partials2(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
 # normalization + beta blend + query concat in ONE pass over the partials
 
 
-def _combine_cat_kernel(Ws, r, rrp, Dv, beta, ps_ref, pg_ref, tails_ref,
-                        q_ref, wsem_ref, wgeo_ref, out_ref):
+def _combine_cat_kernel(Ws, r, rrp, Dv, beta, rg, Wg, ps_ref, pg_ref,
+                        tails_ref, q_ref, wsem_ref, wgeo_ref, out_ref):
     """One [bm]-query block of the flagship combine (round-4 glue fusion).
 
     The XLA combine (the `use_lr and use_rr` branch of `_hier_partials`)
@@ -2304,10 +2403,19 @@ def _combine_cat_kernel(Ws, r, rrp, Dv, beta, ps_ref, pg_ref, tails_ref,
     acc_s = jnp.dot(coef, wsem_ref[:], preferred_element_type=jnp.float32)
     d_s = ps[:, rrp:rrp + 1] + corr[:, r:r + 1]
     pg = pg_ref[:]
-    acc_g = (pg[:, :Dv] + tails[:, Ws:Ws + Dv]
-             + jnp.dot(pg[:, Dv + 128:], wgeo_ref[:],
-                       preferred_element_type=jnp.float32))
-    d_g = pg[:, Dv:Dv + 1] + tails[:, Ws + Dv:Ws + Dv + 1]
+    if rg:
+        # geo-lr: same one-matmul pattern through the stacked
+        # [w_geo; u_geo] basis
+        corr_g = tails[:, Ws:Ws + Wg] - pg[:, rrp + 128:]
+        coef_g = jnp.concatenate([pg[:, :rrp], corr_g[:, :rg]], axis=1)
+        acc_g = jnp.dot(coef_g, wgeo_ref[:],
+                        preferred_element_type=jnp.float32)
+        d_g = pg[:, rrp:rrp + 1] + corr_g[:, rg:rg + 1]
+    else:
+        acc_g = (pg[:, :Dv] + tails[:, Ws:Ws + Dv]
+                 + jnp.dot(pg[:, Dv + 128:], wgeo_ref[:],
+                           preferred_element_type=jnp.float32))
+        d_g = pg[:, Dv:Dv + 1] + tails[:, Ws + Dv:Ws + Dv + 1]
     sem = acc_s / jnp.maximum(d_s, 1e-30)
     geo = acc_g / jnp.maximum(d_g, 1e-30)
     out_ref[:, :Dv] = beta * sem + (1.0 - beta) * geo
@@ -2315,15 +2423,17 @@ def _combine_cat_kernel(Ws, r, rrp, Dv, beta, ps_ref, pg_ref, tails_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("Ws", "r", "rrp", "Dv", "beta",
-                                             "bm", "interpret"))
-def _combine_cat_call(ps, pg, tails, q_srt, w_sem, u_sem, w_geo, *, Ws: int,
-                      r: int, rrp: int, Dv: int, beta: float, bm: int,
+                                             "rg", "Wg", "bm", "interpret"))
+def _combine_cat_call(ps, pg, tails, q_srt, w_sem, u_sem, w_geo, u_geo=None,
+                      *, Ws: int, r: int, rrp: int, Dv: int, beta: float,
+                      bm: int, rg: int = 0, Wg: int = 0,
                       interpret: bool = False) -> jnp.ndarray:
     Bp = ps.shape[0]
     Dq = q_srt.shape[1]
     wsem = jnp.concatenate([w_sem, u_sem], axis=0)  # [rrp + r, Dv]
+    wgeo = jnp.concatenate([w_geo, u_geo], axis=0) if rg else w_geo
     return pl.pallas_call(
-        functools.partial(_combine_cat_kernel, Ws, r, rrp, Dv, beta),
+        functools.partial(_combine_cat_kernel, Ws, r, rrp, Dv, beta, rg, Wg),
         grid=(Bp // bm,),
         in_specs=[
             pl.BlockSpec((bm, ps.shape[1]), lambda i: (i, 0),
@@ -2336,14 +2446,14 @@ def _combine_cat_call(ps, pg, tails, q_srt, w_sem, u_sem, w_geo, *, Ws: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rrp + r, Dv), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rrp, Dv), lambda i: (0, 0),
+            pl.BlockSpec((rrp + rg, Dv), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, Dv + Dq), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, Dv + Dq), jnp.float32),
         interpret=interpret,
-    )(ps, pg, tails, q_srt, wsem, w_geo)
+    )(ps, pg, tails, q_srt, wsem, wgeo)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -2440,9 +2550,11 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
     # API-layer concat cost ~1.2 ms/10k queries of pure HBM traffic
     # (tools/r4_glue.py)
     use_rr = bool(hb.res_rank) and hb.z_sem is not None
+    use_lrg = hb.g_geo_vw_lr is not None and hb.lr_geo > 0
     fused_cat = (concat_query is not None and not use2
                  and mode == "range+" and use_lr and use_rr and k_geo > 0
                  and hb.value_dim % 128 == 0 and hb.lr_rank % 128 == 0
+                 and (not use_lrg or hb.lr_geo % 128 == 0)
                  and concat_query.shape[1] % 128 == 0)
     if fused_cat:
         ps, pg, tails = _hier_partials(
@@ -2454,8 +2566,12 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
         q_srt = q_pad[order] if order is not None else q_pad
         out = _combine_cat_call(
             ps, pg, tails, q_srt, hb.w_sem, hb.u_sem, hb.w_geo,
+            hb.u_geo if use_lrg else None,
             Ws=hb.g_sem_vw_lr.shape[1], r=hb.lr_rank, rrp=hb.z_sem.shape[1],
-            Dv=hb.value_dim, beta=beta, bm=bm, interpret=interpret)
+            Dv=hb.value_dim, beta=beta, bm=bm,
+            rg=hb.lr_geo if use_lrg else 0,
+            Wg=hb.g_geo_vw_lr.shape[1] if use_lrg else 0,
+            interpret=interpret)
         return out[inv[:B]] if inv is not None else out[:B]
     if use2:
         acc_s, acc_g, d_s, d_g = _hier_partials2(
@@ -2562,7 +2678,8 @@ def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
                          shards: int, gsz_super: int = 0,
                          group_by: str = "key_value",
                          group_value_weight: float = 1.0,
-                         lr_rank: int = 0, res_rank: int = 0,
+                         lr_rank: int = 0, lr_geo: int = 0,
+                         res_rank: int = 0,
                          topk_gsz: int = 0) -> dict:
     """The identity of a `build_hier_bank` run: source bank + every build
     parameter.  Stored in the disk cache and validated on load so a stale
@@ -2573,13 +2690,19 @@ def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
         # mirror build_hier_bank's clamp so the signature records the
         # EFFECTIVE rank (caches built before the clamp also miss)
         lr_rank = min(lr_rank, int(bank.values.shape[1]))
+    if lr_geo:
+        lr_geo = min(lr_geo, int(bank.values.shape[1]))
     if res_rank:
         res_rank = min(res_rank, int(bank.values.shape[1]))
-    return {"fp": bank_fingerprint(bank), "bn": bn, "gsz_sem": gsz_sem,
-            "gsz_geo": gsz_geo, "gsz_super": gsz_super, "tier": tier,
-            "seed": seed, "shards": shards, "group_by": group_by,
-            "gvw": group_value_weight, "lr_rank": lr_rank,
-            "res_rank": res_rank, "topk_gsz": topk_gsz, "fmt": 2}
+    sig = {"fp": bank_fingerprint(bank), "bn": bn, "gsz_sem": gsz_sem,
+           "gsz_geo": gsz_geo, "gsz_super": gsz_super, "tier": tier,
+           "seed": seed, "shards": shards, "group_by": group_by,
+           "gvw": group_value_weight, "lr_rank": lr_rank,
+           "res_rank": res_rank, "topk_gsz": topk_gsz, "fmt": 2}
+    if lr_geo:
+        # keyed only when active so pre-round-4 caches stay signature-valid
+        sig["lr_geo"] = lr_geo
+    return sig
 
 
 def peek_hier_build(path: str) -> Optional[dict]:
@@ -2612,7 +2735,8 @@ def save_hier_bank(hb: HierBank, path: str, build: Optional[dict] = None
                   "sem_centroid", "geo_centroid", "sem_radius", "geo_radius",
                   "g_sem_cat", "g_geo_cat", "g_sem_vw", "g_geo_vw",
                   "khl_sem", "g_sup_cat", "g_sup_vw", "g_sem_vw_lr",
-                  "u_sem", "z_sem", "w_sem", "z_geo", "w_geo",
+                  "u_sem", "g_geo_vw_lr", "u_geo",
+                  "z_sem", "w_sem", "z_geo", "w_geo",
                   "g_topk_cat"):
         v = getattr(hb, field)
         if v is None:
@@ -2629,8 +2753,8 @@ def save_hier_bank(hb: HierBank, path: str, build: Optional[dict] = None
             hb.bank.value_scale)
     arrays["bank_n_valid"] = np.asarray(hb.bank.n_valid)
     for field in ("tier", "bn", "gsz_sem", "gsz_geo", "gsz_super",
-                  "lr_rank", "res_rank", "topk_gsz", "sem_d", "cat_d",
-                  "t_real", "t_pad"):
+                  "lr_rank", "lr_geo", "res_rank", "topk_gsz", "sem_d",
+                  "cat_d", "t_real", "t_pad"):
         meta[field] = getattr(hb, field)
     if build is not None:
         meta["build"] = build
@@ -2674,12 +2798,14 @@ def load_hier_bank(path: str) -> HierBank:
         khl_sem=dec("khl_sem"),
         g_sup_cat=dec("g_sup_cat"), g_sup_vw=dec("g_sup_vw"),
         g_sem_vw_lr=dec("g_sem_vw_lr"), u_sem=dec("u_sem"),
+        g_geo_vw_lr=dec("g_geo_vw_lr"), u_geo=dec("u_geo"),
         z_sem=dec("z_sem"), w_sem=dec("w_sem"),
         z_geo=dec("z_geo"), w_geo=dec("w_geo"),
         g_topk_cat=dec("g_topk_cat"),
         tier=meta["tier"], bn=meta["bn"], gsz_sem=meta["gsz_sem"],
         gsz_geo=meta["gsz_geo"], gsz_super=meta.get("gsz_super", 0),
         lr_rank=meta.get("lr_rank", 0),
+        lr_geo=meta.get("lr_geo", 0),
         res_rank=meta.get("res_rank", 0),
         topk_gsz=meta.get("topk_gsz", 0),
         sem_d=meta["sem_d"], cat_d=meta["cat_d"],
@@ -2691,6 +2817,7 @@ def prepare_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                       tier: str = "fast", group_by: str = "key_value",
                       group_value_weight: float = 1.0,
                       lr_rank: Optional[int] = None,
+                      lr_geo: Optional[int] = None,
                       res_rank: Optional[int] = None,
                       topk_gsz: int = 0, seed: int = 0, shards: int = 1,
                       cache_path: Optional[str] = None,
@@ -2712,7 +2839,8 @@ def prepare_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                                gsz_super=gsz_super, tier=tier, seed=seed,
                                shards=shards, group_by=group_by,
                                group_value_weight=group_value_weight,
-                               lr_rank=lr_rank or 0, res_rank=res_rank or 0,
+                               lr_rank=lr_rank or 0, lr_geo=lr_geo or 0,
+                               res_rank=res_rank or 0,
                                topk_gsz=topk_gsz)
     if cache_path and os.path.exists(cache_path) and not force:
         got = peek_hier_build(cache_path)
@@ -2724,7 +2852,7 @@ def prepare_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
     hb = build_hier_bank(bank, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
                          gsz_super=gsz_super, group_by=group_by,
                          group_value_weight=group_value_weight,
-                         lr_rank=lr_rank, res_rank=res_rank,
+                         lr_rank=lr_rank, lr_geo=lr_geo, res_rank=res_rank,
                          topk_gsz=topk_gsz, tier=tier, seed=seed,
                          shards=shards, host_stage=host_stage)
     if cache_path:

@@ -279,6 +279,8 @@ def shard_hier_bank(hb, mesh: Mesh, axis: str = "bank"):
         g_sup_vw=put(hb.g_sup_vw, rows),
         g_sem_vw_lr=put(hb.g_sem_vw_lr, rows),
         u_sem=put(hb.u_sem, rep),
+        g_geo_vw_lr=put(hb.g_geo_vw_lr, rows),
+        u_geo=put(hb.u_geo, rep),
         z_sem=put(hb.z_sem, rows),
         w_sem=put(hb.w_sem, rep),
         z_geo=put(hb.z_geo, rows),
@@ -422,6 +424,7 @@ def sharded_hier_topk(
     j_geo: int = 2,
     sort: str = "geo",
     bank_axis: str = "bank",
+    auto_widen: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Multi-chip serving top-k: [B] int32 rows for k=1, else [B, k].
@@ -452,8 +455,15 @@ def sharded_hier_topk(
     n = mesh.shape[bank_axis]
     t_local = hb.t_pad // n
     assert t_local % tc == 0, (hb.t_pad, n, tc)
-    k_tiles = min(k_tiles, t_local)
     B = q_sem.shape[0]
+    if auto_widen:
+        # same measured small-batch budget as single-chip hier_topk
+        # (VERDICT r3 #4); k_tiles here is PER SHARD and clamps to the
+        # local slab below, so exactness configs stay exact
+        from ..ops.retrieval_hier import _topk_budget
+
+        k_tiles, bm, j_sem = _topk_budget(B, k_tiles, bm, j_sem)
+    k_tiles = min(k_tiles, t_local)
     q_s, q_x = _pad_queries(q_sem, q_xyz, hb, bm)
     q_cat = pack_queries(q_s, None, 12.0, 40.0, tier=hb.tier)
     qh, ql = _split_hilo(q_s)

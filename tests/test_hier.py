@@ -683,3 +683,46 @@ def test_fused_combine_concat_matches_xla():
                                     concat_query=q, interpret=True))
     np.testing.assert_allclose(out3[:, :128], ref3, atol=0)
     np.testing.assert_allclose(out3[:, 128:], np.asarray(q), atol=0)
+
+
+def test_geo_lr_tail():
+    """build_hier_bank(lr_geo=r): low-rank geo tail (round 4).  At full
+    rank (r >= Dv) the factorization is complete, so outputs must match the
+    full-width build to fp noise; truncated rank stays close (the sharply-
+    local geo family's tail mass is small); the fused combine+concat kernel
+    must agree with the XLA combine on geo-lr banks."""
+    bank = GeoBank.synthetic_informative(6, 6000, value_dim=128, pad_to=512)
+    kw = dict(bn=128, gsz_sem=8, gsz_geo=16, lr_rank=128, res_rank=64,
+              seed=0)
+    hb_full = build_hier_bank(bank, **kw)
+    hb_lrg = build_hier_bank(bank, lr_geo=128, **kw)     # complete basis
+    assert hb_lrg.g_geo_vw_lr is not None and hb_lrg.lr_geo == 128
+    q, q_xyz = _make_queries(bank, regional=True, B=256, seed=14)
+    skw = dict(k_tiles=8, k_geo=4, bm=128, tc=4, interpret=True)
+    ref = np.asarray(retrieve_hier(q, q_xyz, hb_full, **skw))
+    out = np.asarray(retrieve_hier(q, q_xyz, hb_lrg, **skw))
+    rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-1)
+    assert rel.max() < 5e-2 and rel.mean() < 5e-3, (rel.max(), rel.mean())
+
+    # truncated rank: still close to the full-width build
+    hb_t = build_hier_bank(bank, lr_geo=64, **kw)
+    out_t = np.asarray(retrieve_hier(q, q_xyz, hb_t, **skw))
+    rel_t = np.abs(out_t - ref) / np.maximum(np.abs(ref), 1e-1)
+    assert rel_t.mean() < 0.05, rel_t.mean()
+
+    # fused combine+concat parity on the geo-lr shape
+    fused = np.asarray(retrieve_hier(q, q_xyz, hb_lrg, concat_query=q,
+                                     **skw))
+    np.testing.assert_allclose(fused[:, :128], out, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(fused[:, 128:], np.asarray(q), atol=0)
+
+    # save/load round-trip carries the geo-lr operands
+    import tempfile, os
+    from range_tpu.ops.retrieval_hier import load_hier_bank, save_hier_bank
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "g.npz")
+        save_hier_bank(hb_lrg, p)
+        hb2 = load_hier_bank(p)
+        assert hb2.lr_geo == 128 and hb2.g_geo_vw_lr is not None
+        out2 = np.asarray(retrieve_hier(q, q_xyz, hb2, **skw))
+        np.testing.assert_allclose(out2, out, rtol=2e-2, atol=2e-3)

@@ -13,38 +13,43 @@ import jax.numpy as jnp
 
 
 def main():
-    import range_tpu
+    # NO load_model here: mixing the full flagship encoder with extra
+    # component-level jits in one process crashes the tunnel worker
+    # (PERF.md round 3; reproduced twice at this exact spot in round 4)
     from range_tpu.bank.bank import GeoBank
     from range_tpu.geometry import lonlat_deg_to_xyz
+    from range_tpu.models.satclip import (SatClipLocationConfig,
+                                          SatClipLocationEncoder)
     from range_tpu.ops.retrieval import exact_nn
-    from range_tpu.ops.retrieval_hier import hier_topk
+    from range_tpu.ops.retrieval_hier import hier_topk, prepare_hier_bank
 
     print("device:", jax.devices()[0])
     bank = GeoBank.synthetic_informative(0, 100_000, pad_to=4096,
                                          value_dtype=jnp.bfloat16)
-    enc = range_tpu.load_model(
-        "RANGE+", db_path=bank, beta=0.5, profile="flagship", chunk=4096,
-        compute_dtype=jnp.float32, seed=0,
-        hier_cache="/tmp/range_bench_hier_cache.npz")
-    hb = enc.extra
-    twr = jax.jit(enc.model.query_embedding)
+    hb = prepare_hier_bank(bank, bn=512, gsz_sem=16, gsz_geo=64,
+                           lr_rank=256, res_rank=128, topk_gsz=8, seed=0,
+                           cache_path="/tmp/range_bench_hier_cache.npz")
+    tower = SatClipLocationEncoder(SatClipLocationConfig())
+    tp = tower.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+
+    def twr(_, coords):
+        q = tower.apply(tp, coords)
+        return q / jnp.linalg.norm(q, axis=1, keepdims=True)
+
+    enc = None
 
     rng = np.random.default_rng(7)
     for B in (512, 2048, 10_240):
         coords = jnp.asarray(np.stack(
             [rng.uniform(-180, 180, B),
              np.degrees(np.arcsin(rng.uniform(-1, 1, B)))], 1), jnp.float32)
-        q = jnp.asarray(np.asarray(twr(enc.params, coords)))
+        q = jnp.asarray(np.asarray(twr(None, coords)).astype(np.float32))
         q_xyz = lonlat_deg_to_xyz(coords)
         true = np.asarray(exact_nn(q, hb.bank, chunk=4096))
         for tag, kw in (
-            ("K48 bm256 (bench cfg)", dict(k_tiles=48)),
-            ("K48 bm128", dict(k_tiles=48, bm=128)),
-            ("K96 bm128 j8", dict(k_tiles=96, bm=128, j_sem=8)),
-            ("K144 bm128 j10", dict(k_tiles=144, bm=128, j_sem=10)),
+            ("K48 bm256 NO widen", dict(k_tiles=48, auto_widen=False)),
+            ("K48 auto-widen (ship)", dict(k_tiles=48)),
         ):
-            if B == 10_240 and "K144" in tag:
-                continue
             got = np.asarray(hier_topk(q, q_xyz, hb, **kw))
             rec = float((got == true).mean())
             ms = C.timeit(hier_topk, q, q_xyz, hb, iters=50, **kw)

@@ -127,6 +127,7 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                  hier_min_batch: int = 0,
                  j_sem: int = 2, j_geo: int = 2, hier_bm: int = 256,
                  hier_scan_bm: int = 0,
+                 adaptive_frac: float = 0.0, adaptive_mult: int = 3,
                  hier_bn: int = 512, gsz_sem: int = 8, gsz_geo: int = 64,
                  gsz_super: int = 0, group_by: str = "key_value",
                  group_value_weight: float = 1.0,
@@ -199,7 +200,9 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                       k_tiles=k_tiles, m_tiles=m_tiles, k_geo=k_geo,
                       hier_min_batch=hier_min_batch,
                       j_sem=j_sem, j_geo=j_geo,
-                      hier_bm=hier_bm, hier_scan_bm=hier_scan_bm, mesh=mesh,
+                      hier_bm=hier_bm, hier_scan_bm=hier_scan_bm,
+                      adaptive_frac=adaptive_frac,
+                      adaptive_mult=adaptive_mult, mesh=mesh,
                       bank_axis=bank_axis or "bank", data_axis=data_axis,
                       shard_bm=shard_bm, shard_bn=shard_bn)
     enc = RangeEncoder(tower, bank, cfg)

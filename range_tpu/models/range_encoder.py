@@ -81,6 +81,13 @@ class RangeConfig:
     # flagship's 2.65% relerr at 36x the dense throughput — PERF.md r3c).
     # Set e.g. 2048 when small batches must be bit-exact instead of fast.
     hier_min_batch: int = 0
+    # hier: mass-bound-adaptive rescue fraction (0 = off).  The fraction of
+    # queries with the lowest selected-mass coverage re-run the parts
+    # kernels with an `adaptive_mult`x wider selection, capping the p99
+    # feature-error tail for ~frac*mult extra parts work (round 4 —
+    # ops/retrieval_hier.retrieve_hier docstring)
+    adaptive_frac: float = 0.0
+    adaptive_mult: int = 3
     # Multi-chip serving: a jax.sharding.Mesh whose `bank_axis` shards the
     # bank rows (parallel/sharded.py).  The API layer shards the bank at
     # load; apply() routes to the sharded kernels (psum partial combine —
@@ -182,6 +189,8 @@ class RangeEncoder:
                     bm=bm, j_sem=j_sem, j_geo=cfg.j_geo,
                     scan_bm=cfg.hier_scan_bm or None,
                     concat_query=q_sem,
+                    adaptive_frac=cfg.adaptive_frac,
+                    adaptive_mult=cfg.adaptive_mult,
                     interpret=jax.default_backend() != "tpu",
                 )
             return jnp.concatenate([retrieved, q_sem], axis=-1)

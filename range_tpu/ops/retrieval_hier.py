@@ -2179,6 +2179,7 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
                    n_valid: int, k_geo: int = 0,
                    scan_bm: Optional[int] = None,
                    raw: bool = False,
+                   adaptive_frac: float = 0.0, adaptive_mult: int = 3,
                    interpret: bool = False):
     """The hier pipeline body on (already sorted) packed queries:
     fused scan (stats + all-tiles tail) -> tile selection -> parts kernel
@@ -2219,12 +2220,12 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
         # knob) rides a sem-only parts kernel — no geo value matmul on
         # those tiles — while the sharply-local geo family gets its own
         # small exact list.  ~2x less parts work at equal K_sem.
-        idx_s, _ = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
-                                k_tiles=k_tiles, bm=bm, n_valid=n_valid,
-                                j_sem=j_sem, j_geo=j_geo, mode="range")
-        idx_g, _ = select_tiles(m_g, s_g, m_s, s_s, t_real=hb.t_real,
-                                k_tiles=k_geo, bm=bm, n_valid=n_valid,
-                                j_sem=j_geo, j_geo=j_sem, mode="range")
+        idx_s, sel_s = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
+                                    k_tiles=k_tiles, bm=bm, n_valid=n_valid,
+                                    j_sem=j_sem, j_geo=j_geo, mode="range")
+        idx_g, sel_g = select_tiles(m_g, s_g, m_s, s_s, t_real=hb.t_real,
+                                    k_tiles=k_geo, bm=bm, n_valid=n_valid,
+                                    j_sem=j_geo, j_geo=j_sem, mode="range")
         use_rr = bool(hb.res_rank) and hb.z_sem is not None
         parts_s = _hier_parts_family_call(
             q_cat, hb.k_cat, hb.values, hb.value_scale, hb.mask_neg, idx_s,
@@ -2236,6 +2237,55 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
             hb.g_geo_cat, geo_vw, hb.z_geo, sem_d=hb.sem_d, bm=bm,
             bn=hb.bn, gpt=gpt_g, geo=True, lr=use_lrg, rr=int(use_rr),
             lrr=hb.lr_geo, interpret=interpret)
+        # mass-bound-adaptive rescue (round 4): feature relerr concentrates
+        # in queries whose SELECTED tiles carry a small fraction of their
+        # total exp-mass (the tail approximation then dominates the blend).
+        # The scan stats already bound that un-selected mass per query, so
+        # the worst `adaptive_frac` of queries get a `adaptive_mult`x wider
+        # re-selection and a second pass through the PARTS kernels only —
+        # scan stats and tails are selection-independent, so no re-scan —
+        # and their per-query partial rows are substituted before the
+        # combine (covers the fused and the XLA combine identically).
+        bm_r = 128  # rescue blocks are small: gathered queries span sphere
+        Bp = q_cat.shape[0]
+        R = int(adaptive_frac * Bp) // bm_r * bm_r
+        if R and R < Bp:
+            def _cov(s, selm):
+                tot = jnp.maximum(jnp.sum(s, axis=1), 1e-30)
+                selq = jnp.einsum(
+                    "bqt,bt->bq", s.reshape(Bp // bm, bm, -1), selm,
+                    preferred_element_type=jnp.float32).reshape(Bp)
+                return selq / tot
+            c = _cov(s_s, sel_s)
+            if mode == "range+":
+                c = jnp.minimum(c, _cov(s_g, sel_g))
+            c = jnp.where(jnp.arange(Bp) < n_valid, c, jnp.inf)
+            # ascending re-sort keeps the rescue blocks in the original
+            # geographic order (coherent selection unions)
+            worst = jnp.sort(jax.lax.top_k(-c, R)[1].astype(jnp.int32))
+            q_r = q_cat[worst]
+            k2 = min(adaptive_mult * k_tiles, hb.t_real)
+            kg2 = min(adaptive_mult * k_geo, hb.t_real)
+            idx_s2, _ = select_tiles(
+                m_s[worst], s_s[worst], m_g[worst], s_g[worst],
+                t_real=hb.t_real, k_tiles=k2, bm=bm_r, n_valid=R,
+                j_sem=j_sem + 4, j_geo=j_geo, mode="range")
+            idx_g2, _ = select_tiles(
+                m_g[worst], s_g[worst], m_s[worst], s_s[worst],
+                t_real=hb.t_real, k_tiles=kg2, bm=bm_r, n_valid=R,
+                j_sem=j_geo + 4, j_geo=j_sem, mode="range")
+            ps2 = _hier_parts_family_call(
+                q_r, hb.k_cat, hb.values, hb.value_scale, hb.mask_neg,
+                idx_s2, hb.g_sem_cat, sem_vw, hb.z_sem, sem_d=hb.sem_d,
+                bm=bm_r, bn=hb.bn, gpt=gpt_s, geo=False, lr=use_lr,
+                rr=int(use_rr), lrr=hb.lr_rank, interpret=interpret)
+            pg2 = _hier_parts_family_call(
+                q_r, hb.k_cat, hb.values, hb.value_scale, hb.mask_neg,
+                idx_g2, hb.g_geo_cat, geo_vw, hb.z_geo, sem_d=hb.sem_d,
+                bm=bm_r, bn=hb.bn, gpt=gpt_g, geo=True, lr=use_lrg,
+                rr=int(use_rr), lrr=hb.lr_geo, interpret=interpret)
+            parts_s = parts_s.at[worst].set(ps2)
+            parts_g = parts_g.at[worst].set(pg2)
         if raw:
             # pre-combine pieces for the fused combine+concat kernel
             # (retrieve_hier gates this on the lr+rr family-split shape)
@@ -2459,7 +2509,7 @@ def _combine_cat_call(ps, pg, tails, q_srt, w_sem, u_sem, w_geo, u_geo=None,
 @functools.partial(jax.jit, static_argnames=(
     "sem_temp", "geo_temp", "beta", "mode", "k_tiles", "m_tiles", "k_geo",
     "bm", "tc", "j_sem", "j_geo", "scan_bm", "sort_queries", "sort",
-    "interpret"))
+    "adaptive_frac", "adaptive_mult", "interpret"))
 def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
                   hb: HierBank, *, sem_temp: float = 12.0,
                   geo_temp: float = 40.0, beta: float = 0.5,
@@ -2470,6 +2520,7 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
                   scan_bm: Optional[int] = None,
                   sort_queries: bool = True, sort: str = "geo",
                   concat_query: Optional[jnp.ndarray] = None,
+                  adaptive_frac: float = 0.0, adaptive_mult: int = 3,
                   interpret: bool = False) -> jnp.ndarray:
     """Two-stage retrieval over a prepared HierBank (see module docstring).
 
@@ -2479,6 +2530,13 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
     `k_tiles` + `j_sem`/`j_geo` (exact coverage — the recall knobs),
     `hb.gsz_sem` (tail granularity — the feature-error knob), `bm`
     (query-tile coherence).
+
+    `adaptive_frac > 0` enables the mass-bound-adaptive rescue (round 4):
+    the `adaptive_frac` fraction of queries with the lowest selected-mass
+    coverage (from the scan's exp-mass stats) re-run the parts kernels with
+    an `adaptive_mult`x wider selection — capping the p99 feature-error
+    tail for ~frac*mult extra parts work.  Family-split shapes only
+    (k_geo > 0, the flagship layout).
 
     Fidelity depends on the SPATIAL COHERENCE of each bm-query tile: the
     K selected tiles are shared by bm geographically-sorted queries, so a
@@ -2560,7 +2618,8 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
         ps, pg, tails = _hier_partials(
             q_cat, hb, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
             j_geo=j_geo, mode=mode, n_valid=B, k_geo=k_geo,
-            scan_bm=scan_bm, raw=True, interpret=interpret)
+            scan_bm=scan_bm, raw=True, adaptive_frac=adaptive_frac,
+            adaptive_mult=adaptive_mult, interpret=interpret)
         q_pad = jnp.pad(concat_query.astype(jnp.float32),
                         ((0, q_cat.shape[0] - B), (0, 0)))
         q_srt = q_pad[order] if order is not None else q_pad
@@ -2583,7 +2642,8 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
         acc_s, acc_g, d_s, d_g = _hier_partials(
             q_cat, hb, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
             j_geo=j_geo, mode=mode, n_valid=B, k_geo=k_geo,
-            scan_bm=scan_bm, interpret=interpret)
+            scan_bm=scan_bm, adaptive_frac=adaptive_frac,
+            adaptive_mult=adaptive_mult, interpret=interpret)
     sem = acc_s / jnp.maximum(d_s, 1e-30)
     if mode == "range":
         out = sem

@@ -726,3 +726,41 @@ def test_geo_lr_tail():
         assert hb2.lr_geo == 128 and hb2.g_geo_vw_lr is not None
         out2 = np.asarray(retrieve_hier(q, q_xyz, hb2, **skw))
         np.testing.assert_allclose(out2, out, rtol=2e-2, atol=2e-3)
+
+
+def test_adaptive_rescue_caps_error_tail():
+    """adaptive_frac > 0 (round 4): the worst-coverage queries re-run the
+    parts kernels with a wider selection.  Un-rescued rows must stay
+    bit-identical to the adaptive_frac=0 output; rescued rows must move
+    toward the exact dense reference (p99/max error shrinks, never grows),
+    and the fused combine path must agree with the XLA combine."""
+    from range_tpu.ops.retrieval import retrieve as retrieve_dense
+
+    bank = GeoBank.synthetic_informative(7, 8000, value_dim=256, pad_to=512)
+    hb = build_hier_bank(bank, bn=128, gsz_sem=8, gsz_geo=16, lr_rank=128,
+                         res_rank=128, seed=0)
+    q, q_xyz = _make_queries(bank, regional=False, B=512, seed=21)
+    skw = dict(k_tiles=4, k_geo=2, bm=128, tc=4, j_sem=2, interpret=True)
+    base = np.asarray(retrieve_hier(q, q_xyz, hb, **skw))
+    resc = np.asarray(retrieve_hier(q, q_xyz, hb, adaptive_frac=0.25,
+                                    adaptive_mult=4, **skw))
+    ref = np.asarray(retrieve_dense(q, q_xyz, bank, sem_temp=12.0,
+                                    geo_temp=40.0, beta=0.5, chunk=512))
+    den = np.maximum(np.abs(ref), 1e-1)
+    e_base = (np.abs(base - ref) / den).max(axis=1)   # per-query max relerr
+    e_resc = (np.abs(resc - ref) / den).max(axis=1)
+
+    changed = np.any(base != resc, axis=1)
+    assert changed.any(), "rescue substituted no rows"
+    # un-rescued rows bit-identical (substitution is surgical)
+    np.testing.assert_array_equal(base[~changed], resc[~changed])
+    # rescued rows moved toward exact: tail shrinks, never grows
+    assert e_resc[changed].mean() < e_base[changed].mean()
+    assert np.percentile(e_resc, 99) <= np.percentile(e_base, 99) * 1.001
+    assert e_resc.max() <= e_base.max() * 1.001
+
+    # fused combine+concat path sees the same rescued partials
+    fused = np.asarray(retrieve_hier(q, q_xyz, hb, concat_query=q,
+                                     adaptive_frac=0.25, adaptive_mult=4,
+                                     **skw))
+    np.testing.assert_allclose(fused[:, :256], resc, rtol=1e-5, atol=1e-5)

@@ -134,7 +134,7 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                  lr_rank: Optional[int] = None,
                  lr_geo: Optional[int] = None,
                  res_rank: Optional[int] = None,
-                 topk_gsz: int = 0,
+                 topk_gsz: int = 0, tail_super: int = 0, m_corr: int = 0,
                  tower_matmul: Optional[str] = None,
                  mesh=None, bank_axis: Optional[str] = None,
                  data_axis: Optional[str] = None, shard_bm: int = 512,
@@ -173,7 +173,8 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                                  group_value_weight=group_value_weight,
                                  lr_rank=lr_rank, lr_geo=lr_geo,
                                  res_rank=res_rank,
-                                 topk_gsz=topk_gsz, tier=tier, seed=seed,
+                                 topk_gsz=topk_gsz, tail_super=tail_super,
+                                 tier=tier, seed=seed,
                                  shards=n_shards,
                                  cache_path=kw.pop("hier_cache", None))
         if mesh is not None:
@@ -202,7 +203,7 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                       j_sem=j_sem, j_geo=j_geo,
                       hier_bm=hier_bm, hier_scan_bm=hier_scan_bm,
                       adaptive_frac=adaptive_frac,
-                      adaptive_mult=adaptive_mult, mesh=mesh,
+                      adaptive_mult=adaptive_mult, m_corr=m_corr, mesh=mesh,
                       bank_axis=bank_axis or "bank", data_axis=data_axis,
                       shard_bm=shard_bm, shard_bn=shard_bn)
     enc = RangeEncoder(tower, bank, cfg)

@@ -88,6 +88,10 @@ class RangeConfig:
     # ops/retrieval_hier.retrieve_hier docstring)
     adaptive_frac: float = 0.0
     adaptive_mult: int = 3
+    # hier: extra corrected tiles for tail_super banks (retrieve_hier's
+    # m_corr — fine-tail restoration beyond the K exact tiles at ~gpt/bn
+    # of an exact tile's cost each; ignored on non-tail_super banks)
+    m_corr: int = 0
     # Multi-chip serving: a jax.sharding.Mesh whose `bank_axis` shards the
     # bank rows (parallel/sharded.py).  The API layer shards the bank at
     # load; apply() routes to the sharded kernels (psum partial combine —
@@ -191,6 +195,7 @@ class RangeEncoder:
                     concat_query=q_sem,
                     adaptive_frac=cfg.adaptive_frac,
                     adaptive_mult=cfg.adaptive_mult,
+                    m_corr=cfg.m_corr,
                     interpret=jax.default_backend() != "tpu",
                 )
             return jnp.concatenate([retrieved, q_sem], axis=-1)

@@ -166,6 +166,21 @@ class HierBank:
     w_sem: Optional[jnp.ndarray] = None
     z_geo: Optional[jnp.ndarray] = None
     w_geo: Optional[jnp.ndarray] = None
+    # weighted-supergroup sem TAIL (build_hier_bank(tail_super=ts), round
+    # 4): the scan's sem tail matmul contracts SUPERGROUPS of ts rows
+    # (ratio = ts/gsz_sem fine groups each) instead of fine groups — the
+    # fine exp-mass segment-sums onto the supergroup (a free reshape-sum,
+    # like the stats) and the tail operand narrows gpt_s -> gpt_s/ratio
+    # rows per tile.  g_sem_ts_vw[s] = (sum of the member groups' vw) /
+    # ratio; g_sem_ts_dvw[g] = vw[g] - ts_vw[sup(g)] is the fine-minus-
+    # super CORRECTION operand: a cheap group-granularity kernel restores
+    # the exact fine tail on the selected K+M tiles (scan_super + dvw =
+    # fine there, so the parts kernel's fine subtraction stays exact).
+    # Error remains only on UNSELECTED tiles (supergroup-mean values under
+    # fine exp-mass weights; the count/denominator column is exact up to
+    # the masked pad rows of the final partial tile).
+    g_sem_ts_vw: Optional[jnp.ndarray] = None
+    g_sem_ts_dvw: Optional[jnp.ndarray] = None
     # optional FINER sem group centroids for the top-k stats scan only
     # (build_hier_bank(topk_gsz=...)): a coarse feature-tail granularity
     # (gsz_sem=16 halves the fused scan) degrades the topk SELECTION
@@ -182,6 +197,7 @@ class HierBank:
     lr_geo: int = 0
     res_rank: int = 0
     topk_gsz: int = 0
+    tail_super: int = 0
     sem_d: int = 256
     cat_d: int = 384
     t_real: int = 0
@@ -203,10 +219,11 @@ jax.tree_util.register_dataclass(
                  "g_sem_cat", "g_geo_cat", "g_sem_vw", "g_geo_vw", "khl_sem",
                  "g_sup_cat", "g_sup_vw", "g_sem_vw_lr", "u_sem",
                  "g_geo_vw_lr", "u_geo",
-                 "z_sem", "w_sem", "z_geo", "w_geo", "g_topk_cat"],
+                 "z_sem", "w_sem", "z_geo", "w_geo",
+                 "g_sem_ts_vw", "g_sem_ts_dvw", "g_topk_cat"],
     meta_fields=["tier", "bn", "gsz_sem", "gsz_geo", "gsz_super", "lr_rank",
-                 "lr_geo", "res_rank", "topk_gsz", "sem_d", "cat_d",
-                 "t_real", "t_pad"],
+                 "lr_geo", "res_rank", "topk_gsz", "tail_super", "sem_d",
+                 "cat_d", "t_real", "t_pad"],
 )
 
 
@@ -286,7 +303,7 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                     lr_rank: Optional[int] = None,
                     lr_geo: Optional[int] = None,
                     res_rank: Optional[int] = None,
-                    topk_gsz: int = 0,
+                    topk_gsz: int = 0, tail_super: int = 0,
                     n_clusters: Optional[int] = None, iters: int = 8,
                     seed: int = 0, value_dtype=None,
                     shards: int = 1,
@@ -325,6 +342,13 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
             "gsz_super and topk_gsz are mutually exclusive: both feed "
             "hier_topk's selection stage and gsz_super would win, leaving "
             "the topk_gsz operand built but unused")
+    if tail_super:
+        # the scan segment-sums fine-group exp-mass onto contiguous
+        # tail_super/gsz_sem-group windows; the within-tile reorder already
+        # makes consecutive fine groups key-coherent, so the windows are
+        # value-coherent too
+        assert (bn % tail_super == 0 and tail_super % gsz_sem == 0
+                and tail_super > gsz_sem), (bn, tail_super, gsz_sem)
     if tier == "exact" and bank.values.shape[0] > 262_144:
         import warnings
         warnings.warn(
@@ -355,6 +379,7 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
             gsz_super=gsz_super, tier=tier, group_by=group_by,
             group_value_weight=group_value_weight, lr_rank=lr_rank,
             lr_geo=lr_geo, res_rank=res_rank, topk_gsz=topk_gsz,
+            tail_super=tail_super,
             n_clusters=n_clusters, iters=iters, seed=seed,
             value_dtype=value_dtype, shards=shards)
     cbank, _ = cluster_bank(bank, bn=bn, n_clusters=n_clusters, iters=iters,
@@ -591,6 +616,21 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                  jnp.zeros((G, rpg - lr_geo - 1), jnp.float32)], axis=1)
             lgw = jnp.pad(lgw, ((0, G_pad - G), (0, 0)))
             g_lrg = (lgw.astype(vw_dtype), ug.astype(jnp.float32))
+        g_ts = (None, None)
+        if tail_super:
+            # weighted-supergroup sem tail operands (round 4): derived from
+            # whichever operand the sem tail actually contracts (lr coords
+            # when lr_rank is active — everything is linear).  ts_vw is the
+            # per-supergroup MEAN of the member groups' vw rows, so the
+            # scan's plain (unweighted) fine-exp segment-sum times ts_vw
+            # approximates the fine tail; dvw restores it exactly on the
+            # corrected tiles.
+            src = (g_lr[0] if lr_rank else g_s[1]).astype(jnp.float32)
+            ratio = tail_super // gsz_sem
+            Gp, Wt = src.shape
+            ts_vw = src.reshape(Gp // ratio, ratio, Wt).mean(axis=1)
+            dvw = src - jnp.repeat(ts_vw, ratio, axis=0)
+            g_ts = (ts_vw.astype(vw_dtype), dvw.astype(vw_dtype))
         g_res = (None, None, None, None)
         if res_rank:
             # residual-rank parts operands: the parts kernels reconstruct
@@ -662,11 +702,12 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                 if topk_gsz else None)
         kh, kl = _split_hilo(cbank.keys_sem.astype(jnp.float32))
         khl = jnp.concatenate([kh, kl], axis=1)  # [N, 2*Dk] bf16
-        return (k_cat, mask_neg, g_s, g_g, g_sup, g_lr, g_lrg, g_res,
+        return (k_cat, mask_neg, g_s, g_g, g_sup, g_lr, g_lrg, g_ts, g_res,
                 g_tk, khl)
 
     (k_cat, mask_neg, (g_sem_cat, g_sem_vw), (g_geo_cat, g_geo_vw),
      (g_sup_cat, g_sup_vw), (g_sem_vw_lr, u_sem), (g_geo_vw_lr, u_geo),
+     (g_sem_ts_vw, g_sem_ts_dvw),
      (z_sem, w_sem, z_geo, w_geo), g_topk_cat, khl_sem) = prep(cbank)
     if cbank.value_scale is not None:
         values, scale = cbank.values, cbank.value_scale.astype(jnp.float32)
@@ -688,11 +729,13 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         g_sem_vw_lr=g_sem_vw_lr, u_sem=u_sem,
         g_geo_vw_lr=g_geo_vw_lr, u_geo=u_geo,
         z_sem=z_sem, w_sem=w_sem, z_geo=z_geo, w_geo=w_geo,
+        g_sem_ts_vw=g_sem_ts_vw, g_sem_ts_dvw=g_sem_ts_dvw,
         g_topk_cat=g_topk_cat,
         tier=tier, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
         gsz_super=gsz_super, lr_rank=lr_rank or 0,
         lr_geo=lr_geo or 0,
         res_rank=res_rank or 0, topk_gsz=topk_gsz,
+        tail_super=tail_super,
         sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
     )
 
@@ -703,7 +746,8 @@ def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
                             lr_rank: Optional[int],
                             lr_geo: Optional[int],
                             res_rank: Optional[int],
-                            topk_gsz: int, n_clusters: Optional[int],
+                            topk_gsz: int, tail_super: int,
+                            n_clusters: Optional[int],
                             iters: int, seed: int, value_dtype,
                             shards: int) -> HierBank:
     """Host-staged `build_hier_bank`: the 1M+-row path (VERDICT r3 #5).
@@ -933,6 +977,18 @@ def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
         g_geo_vw_lr = jnp.pad(lgw, ((0, G_pad - G), (0, 0))).astype(vw_dtype)
         u_geo = ug.astype(jnp.float32)
 
+    # weighted-supergroup sem tail operands (round 4; same derivation as
+    # the device build — see build_hier_bank)
+    g_sem_ts_vw = g_sem_ts_dvw = None
+    if tail_super:
+        src = (g_sem_vw_lr if lr_rank else g_sem_vw).astype(jnp.float32)
+        ratio = tail_super // gsz_sem
+        Gp, Wt = src.shape
+        ts_vw = src.reshape(Gp // ratio, ratio, Wt).mean(axis=1)
+        g_sem_ts_vw = ts_vw.astype(vw_dtype)
+        g_sem_ts_dvw = (src - jnp.repeat(ts_vw, ratio, axis=0)
+                        ).astype(vw_dtype)
+
     # 7. residual-rank parts: chunked two-pass Gram/coefficients, with the
     #    residual matrix never materialized beyond one chunk
     z_sem = w_sem = z_geo = w_geo = None
@@ -1024,11 +1080,13 @@ def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
         g_sem_vw_lr=g_sem_vw_lr, u_sem=u_sem,
         g_geo_vw_lr=g_geo_vw_lr, u_geo=u_geo,
         z_sem=z_sem, w_sem=w_sem, z_geo=z_geo, w_geo=w_geo,
+        g_sem_ts_vw=g_sem_ts_vw, g_sem_ts_dvw=g_sem_ts_dvw,
         g_topk_cat=g_topk_cat,
         tier=tier, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
         gsz_super=gsz_super, lr_rank=lr_rank or 0,
         lr_geo=lr_geo or 0,
         res_rank=res_rank or 0, topk_gsz=topk_gsz,
+        tail_super=tail_super,
         sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
     )
 
@@ -1037,8 +1095,8 @@ def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
 # scan kernel: per-(query, tile) stats with no [B, G] HBM materialization
 
 
-def _hier_scan_kernel(gpt_s, gpt_g, tc, has_geo, qt_ref, gs_ref, gg_ref,
-                      vs_ref, vg_ref, ms_ref, ss_ref, mg_ref, sg_ref,
+def _hier_scan_kernel(gpt_s, gpt_g, tc, has_geo, sup_r_s, qt_ref, gs_ref,
+                      gg_ref, vs_ref, vg_ref, ms_ref, ss_ref, mg_ref, sg_ref,
                       tail_ref, accs_ref, accg_ref):
     """Both families' group logits for `tc` bank tiles; per-tile max logit
     (exp2 units, for the per-query argmax-tile signal) and exp-mass (for the
@@ -1083,9 +1141,19 @@ def _hier_scan_kernel(gpt_s, gpt_g, tc, has_geo, qt_ref, gs_ref, gg_ref,
     sg_ref[:] = jnp.sum(eg.reshape(tc, gpt_g, bm_), axis=1)
     # tail: contract the group dim of es [G_tc, bm] with vw [G_tc, Dvp]
     vs = vs_ref[:]
-    accs_ref[:] += jax.lax.dot_general(
-        es.astype(vs.dtype), vs, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if sup_r_s:
+        # weighted-supergroup tail (round 4): fine exp-mass segment-sums
+        # onto sup_r_s-group windows (splits the sublane dim only — free on
+        # Mosaic, like the stats) and the tail matmul contracts sup_r_s x
+        # fewer rows against the supergroup-mean operand g_sem_ts_vw
+        esup = es.reshape(tc * gpt_s // sup_r_s, sup_r_s, bm_).sum(axis=1)
+        accs_ref[:] += jax.lax.dot_general(
+            esup.astype(vs.dtype), vs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        accs_ref[:] += jax.lax.dot_general(
+            es.astype(vs.dtype), vs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     if has_geo:
         vg = vg_ref[:]
         accg_ref[:] += jax.lax.dot_general(
@@ -1103,10 +1171,15 @@ def _hier_scan_kernel(gpt_s, gpt_g, tc, has_geo, qt_ref, gs_ref, gg_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "tc", "gpt_s", "gpt_g",
-                                             "has_geo", "interpret"))
+                                             "has_geo", "sup_r_s",
+                                             "interpret"))
 def _hier_scan_call(q_cat, g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw, *,
                     bm: int, tc: int, gpt_s: int, gpt_g: int,
-                    has_geo: bool = True, interpret: bool = False):
+                    has_geo: bool = True, sup_r_s: int = 0,
+                    interpret: bool = False):
+    """sup_r_s > 0: g_sem_vw is the SUPERGROUP tail operand (gpt_s/sup_r_s
+    rows per tile — hb.g_sem_ts_vw); the kernel segment-sums the fine
+    exp-mass onto supergroups before the tail matmul (round 4)."""
     Bp, cat_d = q_cat.shape
     t_pad = g_sem_cat.shape[0] // gpt_s
     assert t_pad % tc == 0, (t_pad, tc)
@@ -1115,9 +1188,11 @@ def _hier_scan_call(q_cat, g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw, *,
     nB = Bp // bm
     grid = (nB, t_pad // tc)
     q_t = q_cat.T  # [cat_d, Bp]
+    gpt_vs = gpt_s // sup_r_s if sup_r_s else gpt_s
 
     out = pl.pallas_call(
-        functools.partial(_hier_scan_kernel, gpt_s, gpt_g, tc, has_geo),
+        functools.partial(_hier_scan_kernel, gpt_s, gpt_g, tc, has_geo,
+                          sup_r_s),
         grid=grid,
         in_specs=[
             pl.BlockSpec((cat_d, bm), lambda i, c: (0, i),
@@ -1126,7 +1201,7 @@ def _hier_scan_call(q_cat, g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw, *,
                          lambda i, c: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tc * gpt_g, g_geo_cat.shape[1]),
                          lambda i, c: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc * gpt_s, Ws), lambda i, c: (c, 0),
+            pl.BlockSpec((tc * gpt_vs, Ws), lambda i, c: (c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tc * gpt_g, Wg), lambda i, c: (c, 0),
                          memory_space=pltpu.VMEM),
@@ -1145,9 +1220,9 @@ def _hier_scan_call(q_cat, g_sem_cat, g_geo_cat, g_sem_vw, g_geo_vw, *,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * t_pad * (gpt_s * (cat_d + Ws)
+            flops=2 * Bp * t_pad * (gpt_s * cat_d + gpt_vs * Ws
                                     + gpt_g * (cat_d + Wg)),
-            bytes_accessed=(nB * t_pad * (gpt_s * (cat_d + Ws)
+            bytes_accessed=(nB * t_pad * (gpt_s * cat_d + gpt_vs * Ws
                                           + gpt_g * (cat_d + Wg)) * 2
                             + Bp * cat_d * 2 + 4 * Bp * t_pad * 4
                             + Bp * (Ws + Wg) * 4),
@@ -1727,6 +1802,79 @@ def _hier_refine_call(q_cat, idx, g_sem_cat, g_sup_cat, g_sem_vw, g_sup_vw,
     return stats[:, :M], stats[:, Mp:Mp + M], parts
 
 
+def _hier_corr_kernel(idx_ref, q_ref, g_ref, dvw_ref, out_ref, acc_ref):
+    """Fine-minus-supergroup tail correction over the scalar-prefetched
+    tile list (round 4, tail_super): acc += exp2(q . g_fine) @ dvw, where
+    dvw[g] = vw[g] - ts_vw[sup(g)].  On the corrected tiles
+    scan_supergroup_tail + this == the fine-group tail exactly, so the
+    parts kernel's fine-approximation subtraction stays telescopically
+    exact.  dvw's count column is 0 by construction: the correction never
+    touches the softmax denominator."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[:]
+    gw = g_ref.shape[1]
+    e = jnp.exp2(jnp.minimum(
+        jnp.dot(q[:, :gw], g_ref[:].T, preferred_element_type=jnp.float32),
+        CLAMP2))
+    dv = dvw_ref[:]
+    acc_ref[:] += jnp.dot(e.astype(dv.dtype), dv,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "gpt", "interpret"))
+def _hier_corr_call(q_cat, idx, g_cat, dvw, *, bm: int, gpt: int,
+                    interpret: bool = False) -> jnp.ndarray:
+    """[Bp, W] tail correction to ADD to the scan's supergroup sem tail —
+    one group-granularity pass over the M selected tiles (gpt rows each,
+    ~bn/gpt x cheaper per tile than an exact parts tile)."""
+    Bp, cat_d = q_cat.shape
+    W = dvw.shape[1]
+    nB = Bp // bm
+    M = idx.shape[1]
+    grid = (nB, M)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, cat_d), lambda i, g, idx_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpt, g_cat.shape[1]),
+                         lambda i, g, idx_: (idx_[i, g], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpt, W), lambda i, g, idx_: (idx_[i, g], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, W), lambda i, g, idx_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, W), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _hier_corr_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * M * gpt * (g_cat.shape[1] + W),
+            bytes_accessed=nB * M * gpt * (g_cat.shape[1] + W) * 2
+            + Bp * (cat_d + W) * 4,
+            transcendentals=Bp * M * gpt,
+        ),
+        interpret=interpret,
+    )(idx, q_cat, g_cat, dvw)
+
+
 def _hier_parts_family_kernel(sem_d, has_scale, lr, geo, rr, lrr, dv,
                               idx_ref, q_ref, k_ref, v_ref, gs_ref, vs_ref,
                               *rest):
@@ -2180,6 +2328,7 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
                    scan_bm: Optional[int] = None,
                    raw: bool = False,
                    adaptive_frac: float = 0.0, adaptive_mult: int = 3,
+                   m_corr: int = 0,
                    interpret: bool = False):
     """The hier pipeline body on (already sorted) packed queries:
     fused scan (stats + all-tiles tail) -> tile selection -> parts kernel
@@ -2202,6 +2351,18 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
     use_lrg = (hb.g_geo_vw_lr is not None and hb.lr_geo > 0
                and bool(k_geo) and mode == "range+")
     geo_vw = hb.g_geo_vw_lr if use_lrg else hb.g_geo_vw
+    # weighted-supergroup sem tail (round 4, build_hier_bank(tail_super=)):
+    # the scan contracts the narrow supergroup operand and a cheap
+    # group-granularity correction kernel restores the exact fine tail on
+    # the selected K + m_corr tiles (see _hier_corr_kernel)
+    use_ts = bool(hb.tail_super) and hb.g_sem_ts_vw is not None
+    if use_ts and not (k_geo and mode == "range+"):
+        raise ValueError(
+            "tail_super banks serve via the family-split path only: pass "
+            "k_geo > 0 with mode='range+' (the merged parts kernel has no "
+            "supergroup-tail correction)")
+    scan_sem_vw = hb.g_sem_ts_vw if use_ts else sem_vw
+    sup_r = hb.tail_super // hb.gsz_sem if use_ts else 0
     # the scan emits PER-QUERY stats/tails, so its query-block size is a
     # pure perf knob, independent of the bm that defines selection tiles —
     # a larger scan block streams the group operands Bp/scan_bm times
@@ -2210,9 +2371,9 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
     if q_cat.shape[0] % sb:
         sb = bm
     m_s, s_s, m_g, s_g, tails = _hier_scan_call(
-        q_cat, hb.g_sem_cat, hb.g_geo_cat, sem_vw, geo_vw,
+        q_cat, hb.g_sem_cat, hb.g_geo_cat, scan_sem_vw, geo_vw,
         bm=sb, tc=tc, gpt_s=gpt_s, gpt_g=gpt_g,
-        has_geo=mode == "range+", interpret=interpret)
+        has_geo=mode == "range+", sup_r_s=sup_r, interpret=interpret)
     Dv = hb.value_dim
     Ws = sem_vw.shape[1]
     if k_geo and mode == "range+":
@@ -2220,9 +2381,22 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
         # knob) rides a sem-only parts kernel — no geo value matmul on
         # those tiles — while the sharply-local geo family gets its own
         # small exact list.  ~2x less parts work at equal K_sem.
-        idx_s, sel_s = select_tiles(m_s, s_s, m_g, s_g, t_real=hb.t_real,
-                                    k_tiles=k_tiles, bm=bm, n_valid=n_valid,
-                                    j_sem=j_sem, j_geo=j_geo, mode="range")
+        if use_ts:
+            # ONE mass-ranked selection of K + m_corr tiles (top_k returns
+            # score-descending columns): the first K get exact parts
+            # treatment, ALL K + m_corr get the fine-tail correction — the
+            # K exact tiles MUST be corrected or the parts kernel's fine
+            # subtraction would not telescope against the supergroup tail
+            idx_sm, sel_s = select_tiles(
+                m_s, s_s, m_g, s_g, t_real=hb.t_real,
+                k_tiles=k_tiles + m_corr, bm=bm, n_valid=n_valid,
+                j_sem=j_sem, j_geo=j_geo, mode="range")
+            idx_s = idx_sm[:, :min(k_tiles, idx_sm.shape[1])]
+        else:
+            idx_s, sel_s = select_tiles(
+                m_s, s_s, m_g, s_g, t_real=hb.t_real,
+                k_tiles=k_tiles, bm=bm, n_valid=n_valid,
+                j_sem=j_sem, j_geo=j_geo, mode="range")
         idx_g, sel_g = select_tiles(m_g, s_g, m_s, s_s, t_real=hb.t_real,
                                     k_tiles=k_geo, bm=bm, n_valid=n_valid,
                                     j_sem=j_geo, j_geo=j_sem, mode="range")
@@ -2237,6 +2411,10 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
             hb.g_geo_cat, geo_vw, hb.z_geo, sem_d=hb.sem_d, bm=bm,
             bn=hb.bn, gpt=gpt_g, geo=True, lr=use_lrg, rr=int(use_rr),
             lrr=hb.lr_geo, interpret=interpret)
+        corr_ts = (_hier_corr_call(q_cat, idx_sm, hb.g_sem_cat,
+                                   hb.g_sem_ts_dvw, bm=bm, gpt=gpt_s,
+                                   interpret=interpret)
+                   if use_ts else None)
         # mass-bound-adaptive rescue (round 4): feature relerr concentrates
         # in queries whose SELECTED tiles carry a small fraction of their
         # total exp-mass (the tail approximation then dominates the blend).
@@ -2268,8 +2446,18 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
             kg2 = min(adaptive_mult * k_geo, hb.t_real)
             idx_s2, _ = select_tiles(
                 m_s[worst], s_s[worst], m_g[worst], s_g[worst],
-                t_real=hb.t_real, k_tiles=k2, bm=bm_r, n_valid=R,
+                t_real=hb.t_real,
+                k_tiles=k2 + (adaptive_mult * m_corr if use_ts else 0),
+                bm=bm_r, n_valid=R,
                 j_sem=j_sem + 4, j_geo=j_geo, mode="range")
+            if use_ts:
+                # the rescued queries' wider exact list needs its OWN
+                # fine-tail correction cover (telescope consistency)
+                corr2 = _hier_corr_call(q_r, idx_s2, hb.g_sem_cat,
+                                        hb.g_sem_ts_dvw, bm=bm_r,
+                                        gpt=gpt_s, interpret=interpret)
+                corr_ts = corr_ts.at[worst].set(corr2)
+                idx_s2 = idx_s2[:, :min(k2, idx_s2.shape[1])]
             idx_g2, _ = select_tiles(
                 m_g[worst], s_g[worst], m_s[worst], s_s[worst],
                 t_real=hb.t_real, k_tiles=kg2, bm=bm_r, n_valid=R,
@@ -2286,6 +2474,11 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
                 rr=int(use_rr), lrr=hb.lr_geo, interpret=interpret)
             parts_s = parts_s.at[worst].set(ps2)
             parts_g = parts_g.at[worst].set(pg2)
+        if use_ts:
+            # tails now carry the EXACT fine-group sem tail on every
+            # corrected tile (supergroup everywhere else); the count column
+            # was exact all along (dvw's count column is 0)
+            tails = tails.at[:, :Ws].add(corr_ts)
         if raw:
             # pre-combine pieces for the fused combine+concat kernel
             # (retrieve_hier gates this on the lr+rr family-split shape)
@@ -2509,7 +2702,7 @@ def _combine_cat_call(ps, pg, tails, q_srt, w_sem, u_sem, w_geo, u_geo=None,
 @functools.partial(jax.jit, static_argnames=(
     "sem_temp", "geo_temp", "beta", "mode", "k_tiles", "m_tiles", "k_geo",
     "bm", "tc", "j_sem", "j_geo", "scan_bm", "sort_queries", "sort",
-    "adaptive_frac", "adaptive_mult", "interpret"))
+    "adaptive_frac", "adaptive_mult", "m_corr", "interpret"))
 def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
                   hb: HierBank, *, sem_temp: float = 12.0,
                   geo_temp: float = 40.0, beta: float = 0.5,
@@ -2521,6 +2714,7 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
                   sort_queries: bool = True, sort: str = "geo",
                   concat_query: Optional[jnp.ndarray] = None,
                   adaptive_frac: float = 0.0, adaptive_mult: int = 3,
+                  m_corr: int = 0,
                   interpret: bool = False) -> jnp.ndarray:
     """Two-stage retrieval over a prepared HierBank (see module docstring).
 
@@ -2537,6 +2731,13 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
     an `adaptive_mult`x wider selection — capping the p99 feature-error
     tail for ~frac*mult extra parts work.  Family-split shapes only
     (k_geo > 0, the flagship layout).
+
+    Banks built with `tail_super` run the weighted-supergroup sem tail:
+    the scan's sem tail matmul contracts ratio = tail_super/gsz_sem fewer
+    rows, and the selected k_tiles + `m_corr` tiles get the exact
+    fine-group tail back through the cheap correction kernel (`m_corr`
+    extra corrected-but-not-exact tiles cost ~gpt/bn of an exact tile
+    each).  Family-split shapes only, like the rescue.
 
     Fidelity depends on the SPATIAL COHERENCE of each bm-query tile: the
     K selected tiles are shared by bm geographically-sorted queries, so a
@@ -2619,7 +2820,7 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
             q_cat, hb, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
             j_geo=j_geo, mode=mode, n_valid=B, k_geo=k_geo,
             scan_bm=scan_bm, raw=True, adaptive_frac=adaptive_frac,
-            adaptive_mult=adaptive_mult, interpret=interpret)
+            adaptive_mult=adaptive_mult, m_corr=m_corr, interpret=interpret)
         q_pad = jnp.pad(concat_query.astype(jnp.float32),
                         ((0, q_cat.shape[0] - B), (0, 0)))
         q_srt = q_pad[order] if order is not None else q_pad
@@ -2643,7 +2844,7 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
             q_cat, hb, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
             j_geo=j_geo, mode=mode, n_valid=B, k_geo=k_geo,
             scan_bm=scan_bm, adaptive_frac=adaptive_frac,
-            adaptive_mult=adaptive_mult, interpret=interpret)
+            adaptive_mult=adaptive_mult, m_corr=m_corr, interpret=interpret)
     sem = acc_s / jnp.maximum(d_s, 1e-30)
     if mode == "range":
         out = sem
@@ -2740,7 +2941,7 @@ def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
                          group_value_weight: float = 1.0,
                          lr_rank: int = 0, lr_geo: int = 0,
                          res_rank: int = 0,
-                         topk_gsz: int = 0) -> dict:
+                         topk_gsz: int = 0, tail_super: int = 0) -> dict:
     """The identity of a `build_hier_bank` run: source bank + every build
     parameter.  Stored in the disk cache and validated on load so a stale
     cache (different bank or params) is rebuilt, never silently served."""
@@ -2762,6 +2963,8 @@ def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
     if lr_geo:
         # keyed only when active so pre-round-4 caches stay signature-valid
         sig["lr_geo"] = lr_geo
+    if tail_super:
+        sig["tail_super"] = tail_super
     return sig
 
 
@@ -2797,6 +3000,7 @@ def save_hier_bank(hb: HierBank, path: str, build: Optional[dict] = None
                   "khl_sem", "g_sup_cat", "g_sup_vw", "g_sem_vw_lr",
                   "u_sem", "g_geo_vw_lr", "u_geo",
                   "z_sem", "w_sem", "z_geo", "w_geo",
+                  "g_sem_ts_vw", "g_sem_ts_dvw",
                   "g_topk_cat"):
         v = getattr(hb, field)
         if v is None:
@@ -2813,8 +3017,8 @@ def save_hier_bank(hb: HierBank, path: str, build: Optional[dict] = None
             hb.bank.value_scale)
     arrays["bank_n_valid"] = np.asarray(hb.bank.n_valid)
     for field in ("tier", "bn", "gsz_sem", "gsz_geo", "gsz_super",
-                  "lr_rank", "lr_geo", "res_rank", "topk_gsz", "sem_d",
-                  "cat_d", "t_real", "t_pad"):
+                  "lr_rank", "lr_geo", "res_rank", "topk_gsz", "tail_super",
+                  "sem_d", "cat_d", "t_real", "t_pad"):
         meta[field] = getattr(hb, field)
     if build is not None:
         meta["build"] = build
@@ -2861,6 +3065,7 @@ def load_hier_bank(path: str) -> HierBank:
         g_geo_vw_lr=dec("g_geo_vw_lr"), u_geo=dec("u_geo"),
         z_sem=dec("z_sem"), w_sem=dec("w_sem"),
         z_geo=dec("z_geo"), w_geo=dec("w_geo"),
+        g_sem_ts_vw=dec("g_sem_ts_vw"), g_sem_ts_dvw=dec("g_sem_ts_dvw"),
         g_topk_cat=dec("g_topk_cat"),
         tier=meta["tier"], bn=meta["bn"], gsz_sem=meta["gsz_sem"],
         gsz_geo=meta["gsz_geo"], gsz_super=meta.get("gsz_super", 0),
@@ -2868,6 +3073,7 @@ def load_hier_bank(path: str) -> HierBank:
         lr_geo=meta.get("lr_geo", 0),
         res_rank=meta.get("res_rank", 0),
         topk_gsz=meta.get("topk_gsz", 0),
+        tail_super=meta.get("tail_super", 0),
         sem_d=meta["sem_d"], cat_d=meta["cat_d"],
         t_real=meta["t_real"], t_pad=meta["t_pad"],
     )
@@ -2879,7 +3085,8 @@ def prepare_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                       lr_rank: Optional[int] = None,
                       lr_geo: Optional[int] = None,
                       res_rank: Optional[int] = None,
-                      topk_gsz: int = 0, seed: int = 0, shards: int = 1,
+                      topk_gsz: int = 0, tail_super: int = 0,
+                      seed: int = 0, shards: int = 1,
                       cache_path: Optional[str] = None,
                       force: bool = False,
                       host_stage: Optional[bool] = None) -> HierBank:
@@ -2901,7 +3108,7 @@ def prepare_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                                group_value_weight=group_value_weight,
                                lr_rank=lr_rank or 0, lr_geo=lr_geo or 0,
                                res_rank=res_rank or 0,
-                               topk_gsz=topk_gsz)
+                               topk_gsz=topk_gsz, tail_super=tail_super)
     if cache_path and os.path.exists(cache_path) and not force:
         got = peek_hier_build(cache_path)
         if got == sig:
@@ -2913,7 +3120,8 @@ def prepare_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                          gsz_super=gsz_super, group_by=group_by,
                          group_value_weight=group_value_weight,
                          lr_rank=lr_rank, lr_geo=lr_geo, res_rank=res_rank,
-                         topk_gsz=topk_gsz, tier=tier, seed=seed,
+                         topk_gsz=topk_gsz, tail_super=tail_super,
+                         tier=tier, seed=seed,
                          shards=shards, host_stage=host_stage)
     if cache_path:
         save_hier_bank(hb, cache_path, build=sig)

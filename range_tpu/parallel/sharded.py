@@ -285,6 +285,8 @@ def shard_hier_bank(hb, mesh: Mesh, axis: str = "bank"):
         w_sem=put(hb.w_sem, rep),
         z_geo=put(hb.z_geo, rows),
         w_geo=put(hb.w_geo, rep),
+        g_sem_ts_vw=put(hb.g_sem_ts_vw, rows),
+        g_sem_ts_dvw=put(hb.g_sem_ts_dvw, rows),
         g_topk_cat=put(hb.g_topk_cat, rows),
     )
 
@@ -306,6 +308,7 @@ def sharded_retrieve_hier(
     tc: int = 8,
     j_sem: int = 2,
     j_geo: int = 2,
+    m_corr: int = 0,
     bank_axis: str = "bank",
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -366,7 +369,7 @@ def sharded_retrieve_hier(
             acc_s, acc_g, d_s, d_g = _hier_partials(
                 q_cat_l, hb_loc, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
                 j_geo=j_geo, mode=mode, n_valid=B, k_geo=k_geo,
-                interpret=interpret)
+                m_corr=m_corr, interpret=interpret)
         acc_s = jax.lax.psum(acc_s, bank_axis)
         d_s = jax.lax.psum(d_s, bank_axis)
         sem = acc_s / jnp.maximum(d_s, 1e-30)

@@ -764,3 +764,100 @@ def test_adaptive_rescue_caps_error_tail():
                                      adaptive_frac=0.25, adaptive_mult=4,
                                      **skw))
     np.testing.assert_allclose(fused[:, :256], resc, rtol=1e-5, atol=1e-5)
+
+
+def test_tail_super_telescope():
+    """tail_super (round 4): the scan's supergroup sem tail + the fine-tail
+    correction on the selected K+m_corr tiles must telescope back to the
+    fine-tail pipeline.  With the correction covering EVERY tile the output
+    matches the baseline (up to the bf16 split of the tail operand); with
+    partial cover the error vs the exact dense reference decreases
+    monotonically in m_corr; and the fused combine sees the same tails."""
+    from range_tpu.ops.retrieval import retrieve as retrieve_dense
+
+    bank = GeoBank.synthetic_informative(7, 8000, value_dim=256, pad_to=512)
+    bkw = dict(bn=128, gsz_sem=8, gsz_geo=16, lr_rank=128, res_rank=128,
+               seed=0)
+    hb0 = build_hier_bank(bank, **bkw)
+    hb = build_hier_bank(bank, tail_super=32, **bkw)
+    assert hb.tail_super == 32 and hb.g_sem_ts_vw is not None
+    # ts operands: supergroup means + zero-count-column corrections
+    ratio = 32 // 8
+    src = np.asarray(hb.g_sem_vw_lr, np.float32)
+    tsv = np.asarray(hb.g_sem_ts_vw, np.float32)
+    np.testing.assert_allclose(
+        tsv, src.reshape(-1, ratio, src.shape[1]).mean(1), rtol=2e-2,
+        atol=2e-3)
+    dvw = np.asarray(hb.g_sem_ts_dvw, np.float32)
+    cnt_col = 128  # lr_rank column layout: [coef(128) | cnt | pad]
+    np.testing.assert_allclose(dvw[:, cnt_col], 0.0, atol=1e-6)
+
+    q, q_xyz = _make_queries(bank, regional=False, B=512, seed=23)
+    skw = dict(k_tiles=4, k_geo=2, bm=128, tc=4, j_sem=2, interpret=True)
+    base = np.asarray(retrieve_hier(q, q_xyz, hb0, **skw))
+    # full correction cover == the fine-tail baseline (telescope identity;
+    # tolerance = the bf16 ts_vw/dvw split of the bf16 tail operand)
+    full = np.asarray(retrieve_hier(q, q_xyz, hb, m_corr=hb.t_real, **skw))
+    np.testing.assert_allclose(full, base, rtol=2e-2, atol=2e-3)
+
+    ref = np.asarray(retrieve_dense(q, q_xyz, bank, sem_temp=12.0,
+                                    geo_temp=40.0, beta=0.5, chunk=512))
+    den = np.maximum(np.abs(ref), 1e-1)
+
+    def err(m_corr):
+        out = np.asarray(retrieve_hier(q, q_xyz, hb, m_corr=m_corr, **skw))
+        return np.abs(out - ref) / den
+
+    e0, e8, efull = err(0), err(8), np.abs(full - ref) / den
+    # more corrected tiles -> monotonically tighter tail approximation
+    assert e8.mean() <= e0.mean() + 1e-9
+    assert efull.mean() <= e8.mean() + 1e-9
+    # K exact tiles stay telescopically consistent even at m_corr=0: the
+    # m_corr=0 error must stay in the same regime as the fine baseline's
+    eb = np.abs(base - ref) / den
+    assert e0.mean() < 3 * eb.mean() + 1e-3
+
+    # fused combine+concat path sees the corrected tails identically
+    fused = np.asarray(retrieve_hier(q, q_xyz, hb, m_corr=8, concat_query=q,
+                                     **skw))
+    plain = np.asarray(retrieve_hier(q, q_xyz, hb, m_corr=8, **skw))
+    np.testing.assert_allclose(fused[:, :256], plain, rtol=1e-5, atol=1e-5)
+
+    # composition with the adaptive rescue (both substitute per-query rows)
+    resc = np.asarray(retrieve_hier(q, q_xyz, hb, m_corr=8,
+                                    adaptive_frac=0.25, adaptive_mult=3,
+                                    **skw))
+    er = np.abs(resc - ref) / den
+    assert np.percentile(er, 99) <= np.percentile(e8, 99) * 1.001
+
+    # family-split only (res_rank banks auto-assign k_geo, so exercise the
+    # gate on a plain tail_super bank where nothing forces the split)
+    hb_plain = build_hier_bank(bank, bn=128, gsz_sem=8, gsz_geo=16,
+                               tail_super=32, seed=0)
+    with pytest.raises(ValueError, match="family-split"):
+        retrieve_hier(q, q_xyz, hb_plain, k_tiles=4, bm=128, tc=4,
+                      interpret=True)
+
+
+def test_tail_super_save_load(tmp_path):
+    bank = GeoBank.synthetic_informative(7, 8000, value_dim=256, pad_to=512)
+    hb = build_hier_bank(bank, bn=128, gsz_sem=8, gsz_geo=16, lr_rank=128,
+                         res_rank=128, tail_super=32, seed=0)
+    from range_tpu.ops.retrieval_hier import (hier_build_signature,
+                                              load_hier_bank, save_hier_bank)
+
+    sig = hier_build_signature(bank, bn=128, gsz_sem=8, gsz_geo=16,
+                               tier="fast", seed=0, shards=1, lr_rank=128,
+                               res_rank=128, tail_super=32)
+    assert sig["tail_super"] == 32
+    p = str(tmp_path / "ts.npz")
+    save_hier_bank(hb, p, build=sig)
+    hb2 = load_hier_bank(p)
+    assert hb2.tail_super == 32
+    np.testing.assert_array_equal(np.asarray(hb2.g_sem_ts_vw, np.float32),
+                                  np.asarray(hb.g_sem_ts_vw, np.float32))
+    q, q_xyz = _make_queries(bank, regional=False, B=256, seed=5)
+    skw = dict(k_tiles=4, k_geo=2, bm=128, tc=4, m_corr=4, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(retrieve_hier(q, q_xyz, hb2, **skw)),
+        np.asarray(retrieve_hier(q, q_xyz, hb, **skw)))

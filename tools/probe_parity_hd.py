@@ -20,10 +20,17 @@ so lr_rank=256 genuinely truncates the group-value-sum Gram basis and
 res_rank=128 genuinely truncates the 1024-d within-group residuals, exactly
 as they do on the bench bank.  The flagship-vs-dense probe gap on THIS bank
 is the honest three-bars evidence (bar: within 0.005).
-"""
-import time
 
-from _tpu_common import jax, jnp, np
+Process structure: one SUBPROCESS per encoder config (`--embed NAME`) —
+building the dense + flagship + turbo encoders in one process is the known
+fatal pattern on the tunneled worker (full encoder + extra jits, PERF.md).
+The driver retries each config and evaluates the probes on CPU.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
 
 t0 = time.time()
 
@@ -32,22 +39,23 @@ def lap(m):
     print(f"[{time.time()-t0:6.1f}s] {m}", flush=True)
 
 
-import range_tpu
-from range_tpu.bank.bank import GeoBank
-from range_tpu.data.checkerboard import assign_closest_label, fibonacci_lattice
-from range_tpu.eval.probe import evaluate_arrays
-from range_tpu.geometry import lonlat_deg_to_xyz
-from range_tpu.models.satclip import (SatClipLocationConfig,
-                                      SatClipLocationEncoder)
-
 BANK_N = 102_400
 N_SUPPORT, N_CLASSES, DV = 100, 16, 1024
-rng = np.random.default_rng(3)
+BANK_NPZ = "/tmp/r4_hd_bank.npz"
+HIER_CACHE = "/tmp/r4_hd_hier_cache.npz"
+CONFIGS = {
+    "dense": {},
+    # the SHIPPED bundle, truncations ACTIVE (res128/lr256 on Dv=1024):
+    # the headline three-bars probe row
+    "flagship": dict(profile="flagship"),
+    "turbo": dict(profile="turbo"),
+}
 
-s_lon, s_lat, s_lab = fibonacci_lattice(N_SUPPORT, N_CLASSES)
 
+def sample_points(n, seed, s_lon, s_lat, s_lab):
+    import numpy as np
+    from range_tpu.data.checkerboard import assign_closest_label
 
-def sample_points(n, seed):
     r = np.random.default_rng(seed)
     lons = r.uniform(-180, 180, n)
     lats = np.degrees(np.arcsin(r.uniform(-1, 1, n)))
@@ -55,58 +63,124 @@ def sample_points(n, seed):
     return np.stack([lons, lats], 1).astype(np.float32), labs
 
 
-bank_locs, bank_labs = sample_points(BANK_N, 11)
-tower = SatClipLocationEncoder(SatClipLocationConfig())
-tp = tower.init(jax.random.PRNGKey(0), dtype=jnp.float32)
-k = tower.apply(tp, jnp.asarray(bank_locs))
-k = k / jnp.linalg.norm(k, axis=1, keepdims=True)
-k = k + 0.25 * jax.random.normal(jax.random.PRNGKey(5), k.shape)
-keys = np.asarray(k / jnp.linalg.norm(k, axis=1, keepdims=True))
+def build_bank_arrays():
+    """Bank keys (tower on device) + structured Dv=1024 values; cached."""
+    import _tpu_common as C  # noqa: F401  (comp cache + sys.path)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from range_tpu.data.checkerboard import fibonacci_lattice
+    from range_tpu.geometry import lonlat_deg_to_xyz
+    from range_tpu.models.satclip import (SatClipLocationConfig,
+                                          SatClipLocationEncoder)
 
-# class directions: one-hot rotated into DV dims (orthonormal via QR)
-R = np.linalg.qr(rng.standard_normal((DV, N_CLASSES)))[0].T  # [16, 1024]
-# smooth spectral field: random spherical frequencies of xyz -> DV dims
-xyz = np.asarray(lonlat_deg_to_xyz(jnp.asarray(bank_locs)))  # [N, 3]
-W = rng.standard_normal((3, 256)) * 3.0                       # ~continental
-phase = rng.uniform(0, 2 * np.pi, 256)
-phi = np.sin(xyz @ W + phase)                                 # [N, 256]
-P = rng.standard_normal((256, DV)).astype(np.float32) / np.sqrt(256)
-smooth = (phi @ P).astype(np.float32)
+    if os.path.exists(BANK_NPZ):
+        return
+    rng = np.random.default_rng(3)
+    s_lon, s_lat, s_lab = fibonacci_lattice(N_SUPPORT, N_CLASSES)
+    bank_locs, bank_labs = sample_points(BANK_N, 11, s_lon, s_lat, s_lab)
+    tower = SatClipLocationEncoder(SatClipLocationConfig())
+    tp = tower.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    k = tower.apply(tp, jnp.asarray(bank_locs))
+    k = k / jnp.linalg.norm(k, axis=1, keepdims=True)
+    k = k + 0.25 * jax.random.normal(jax.random.PRNGKey(5), k.shape)
+    keys = np.asarray(k / jnp.linalg.norm(k, axis=1, keepdims=True))
 
-values = (R[bank_labs]
-          + 0.5 * smooth
-          + 0.3 * rng.standard_normal((BANK_N, DV)).astype(np.float32))
-bank = GeoBank.from_arrays(bank_locs, keys, values.astype(np.float32),
-                           pad_to=4096)
-lap(f"bank built: Dv={DV} (class 16-dir + smooth rank-256 + full noise)")
-
-train_pts, train_y = sample_points(16384, 21)
-eval_pts, eval_y = sample_points(8192, 22)
-
-
-def embed(enc, pts):
-    outs = []
-    for lo in range(0, len(pts), 8192):
-        outs.append(np.asarray(enc(pts[lo:lo + 8192])))
-    return np.concatenate(outs, 0)
+    # class directions: one-hot rotated into DV dims (orthonormal via QR)
+    R = np.linalg.qr(rng.standard_normal((DV, N_CLASSES)))[0].T  # [16, DV]
+    # smooth spectral field: random spherical frequencies of xyz -> DV dims
+    xyz = np.asarray(lonlat_deg_to_xyz(jnp.asarray(bank_locs)))
+    W = rng.standard_normal((3, 256)) * 3.0                      # continental
+    phase = rng.uniform(0, 2 * np.pi, 256)
+    phi = np.sin(xyz @ W + phase)                                # [N, 256]
+    P = rng.standard_normal((256, DV)).astype(np.float32) / np.sqrt(256)
+    smooth = (phi @ P).astype(np.float32)
+    values = (R[bank_labs] + 0.5 * smooth
+              + 0.3 * rng.standard_normal((BANK_N, DV)).astype(np.float32))
+    np.savez(BANK_NPZ, locs=bank_locs, keys=keys,
+             values=values.astype(np.float32))
+    lap(f"bank arrays built + cached: Dv={DV}")
 
 
-results = {}
-for name, kw in (("dense", {}),
-                 # the SHIPPED bundle, truncations ACTIVE (res128/lr256 on
-                 # Dv=1024): the headline three-bars probe row
-                 ("flagship", dict(profile="flagship")),
-                 ("turbo", dict(profile="turbo"))):
+def run_embed(name):
+    """Subprocess body: one encoder config, embed train+eval, save npz."""
+    import _tpu_common as C  # noqa: F401
+    import numpy as np
+    import range_tpu
+    from range_tpu.bank.bank import GeoBank
+    from range_tpu.data.checkerboard import fibonacci_lattice
+
+    d = np.load(BANK_NPZ)
+    bank = GeoBank.from_arrays(d["locs"], d["keys"], d["values"],
+                               pad_to=4096)
+    lap(f"{name}: bank loaded")
+    kw = dict(CONFIGS[name])
+    if kw.get("profile") in ("flagship", "turbo"):
+        kw["hier_cache"] = HIER_CACHE  # same build params -> shared cache
     enc = range_tpu.load_model("RANGE+", db_path=bank, beta=0.5, chunk=4096,
                                seed=0, **kw)
-    tr = embed(enc, train_pts)
-    ev = embed(enc, eval_pts)
-    acc = evaluate_arrays(tr, train_y, ev, eval_y, "checker_100")
-    results[name] = acc
-    lap(f"{name}: probe acc {acc:.4f}")
+    lap(f"{name}: encoder ready")
+    s_lon, s_lat, s_lab = fibonacci_lattice(N_SUPPORT, N_CLASSES)
+    train_pts, train_y = sample_points(16384, 21, s_lon, s_lat, s_lab)
+    eval_pts, eval_y = sample_points(8192, 22, s_lon, s_lat, s_lab)
 
-delta = results["flagship"] - results["dense"]
-print(f"HD PARITY delta (flagship - dense, Dv=1024 active truncations): "
-      f"{delta:+.4f} (bar: within 0.005)", flush=True)
-print(f"turbo delta: {results['turbo'] - results['dense']:+.4f}", flush=True)
-lap("DONE")
+    def embed(pts):
+        outs = []
+        for lo in range(0, len(pts), 8192):
+            outs.append(np.asarray(enc(pts[lo:lo + 8192])))
+        return np.concatenate(outs, 0)
+
+    tr, ev = embed(train_pts), embed(eval_pts)
+    np.savez(f"/tmp/r4_hd_emb_{name}.npz", tr=tr, try_=train_y, ev=ev,
+             evy=eval_y)
+    lap(f"{name}: embeds saved")
+
+
+def main():
+    # phase 1: all embeds via subprocesses (driver stays jax-free so the
+    # children own the chip exclusively)
+    for name in CONFIGS:
+        out = f"/tmp/r4_hd_emb_{name}.npz"
+        for attempt in range(4):
+            if os.path.exists(out):
+                break
+            r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                "--embed", name])
+            if r.returncode == 0 and os.path.exists(out):
+                break
+            lap(f"{name}: attempt {attempt} failed (rc={r.returncode}); "
+                f"retrying in 60s")
+            time.sleep(60)
+        else:
+            raise RuntimeError(f"{name}: all embed attempts failed")
+        lap(f"{name}: embeds ready")
+    # phase 2: probes
+    results = {}
+    for name in CONFIGS:
+        import numpy as np
+        from range_tpu.eval.probe import evaluate_arrays
+
+        d = np.load(f"/tmp/r4_hd_emb_{name}.npz")
+        acc = evaluate_arrays(d["tr"], d["try_"], d["ev"], d["evy"],
+                              "checker_100")
+        results[name] = float(acc)
+        lap(f"{name}: probe acc {acc:.4f}")
+
+    delta = results["flagship"] - results["dense"]
+    print(f"HD PARITY delta (flagship - dense, Dv=1024 active truncations): "
+          f"{delta:+.4f} (bar: within 0.005)", flush=True)
+    print(f"turbo delta: {results['turbo'] - results['dense']:+.4f}",
+          flush=True)
+    print(json.dumps({"hd_probe": results}), flush=True)
+    lap("DONE")
+
+
+if __name__ == "__main__":
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.dirname(here))  # repo root (range_tpu)
+    sys.path.insert(0, here)                   # _tpu_common
+    if "--embed" in sys.argv:
+        build_bank_arrays()
+        run_embed(sys.argv[sys.argv.index("--embed") + 1])
+    else:
+        main()

@@ -66,11 +66,17 @@ def main():
                / np.maximum(np.abs(refb), 1e-1))
         ms = C.timeit(retrieve_hier, q, q_xyz, hb, iters=50,
                       concat_query=q, **kw)
-        ms1024 = C.timeit(retrieve_hier, q, q_xyz, hb, iters=50,
-                          concat_query=q, k_tiles=32, j_sem=3, k_geo=16,
-                          scan_bm=1024)
+        # scan_bm=1024 only fits VMEM with a NARROW geo tail (the
+        # full-width Wg=1025 scan block OOMs scoped vmem by 4 MB)
+        if hb.lr_geo:
+            ms1024 = C.timeit(retrieve_hier, q, q_xyz, hb, iters=50,
+                              concat_query=q, k_tiles=32, j_sem=3, k_geo=16,
+                              scan_bm=1024)
+            extra = f"[scan_bm=1024: {ms1024:5.2f}] "
+        else:
+            extra = ""
         print(f"{tag:24s} {ms:5.2f} ms ({B/ms*1e3/1e6:.2f}M q/s) "
-              f"[scan_bm=1024: {ms1024:5.2f}] relerr mean "
+              f"{extra}relerr mean "
               f"{rel.mean():.4f} p99 {np.percentile(rel, 99):.4f}",
               flush=True)
 

@@ -65,12 +65,13 @@ def main():
         beta=0.5,
         # the SHIPPED flagship profile (api.SERVING_PROFILES['flagship']):
         # joint key+value grouping (build default) + low-rank sem tail
-        # (lr256) + residual-rank parts (res128 — the [bn, Dv] value
-        # matmul leaves the parts kernels; probe-immune by construction
-        # on small-Dv banks) + gsz_sem=16 scan + fine topk_gsz=8 top-k
-        # stats + asymmetric budgets K32/j3/kg16 + scan_bm 512 + bf16
-        # fused-tower matmuls — the ONE config meeting throughput +
-        # recall + probe parity (PERF.md rounds 3-3c)
+        # (lr256) + low-rank geo tail (lr_geo384, round 4) + residual-rank
+        # parts (res128 — the [bn, Dv] value matmul leaves the parts
+        # kernels) + gsz_sem=16 scan + fine topk_gsz=8 top-k stats +
+        # asymmetric budgets K32/j3/kg16 + scan_bm 512 + bf16 fused-tower
+        # matmuls — the ONE config meeting throughput + recall + probe
+        # parity, now probed with the truncations ACTIVE (Dv=1024 bank,
+        # gap -0.0012; PERF.md rounds 3-4, RESULTS.md)
         profile="flagship",
         chunk=4096,
         compute_dtype=jnp.float32,
@@ -182,7 +183,13 @@ def main():
             np.abs(np.asarray(ref)), 1e-1)
         fid["feat_relerr_mean"] = round(float(rel.mean()), 5)
         fid["feat_relerr_p99"] = round(float(np.percentile(rel, 99)), 5)
-        fid["fidelity_ok"] = bool(rec_serve >= 0.999)
+        # the flagship row's bars, asserted machine-readably: serving
+        # recall >= 0.999 AND the feature error inside its measured band
+        # (mean 2.6-2.7% / p99 ~11%; 1.5x headroom for bank/query seeds —
+        # a regression past that is a real fidelity break, not noise)
+        fid["fidelity_ok"] = bool(rec_serve >= 0.999
+                                  and rel.mean() <= 0.04
+                                  and np.percentile(rel, 99) <= 0.165)
         log(f"hier feature relerr vs f32-exact dense: mean {rel.mean():.4f} "
             f"p99 {np.percentile(rel, 99):.4f}")
 

@@ -394,18 +394,22 @@ SERVING_PROFILES: Dict[str, Dict[str, Any]] = {
     # exact dense retrieval (the reference semantics; ~350k q/s at 100k
     # rows — bank-stream-bound at any batch size)
     "exact": {"retrieval": "dense"},
-    # the round-3 flagship: ONE config meeting throughput (1.6M q/s e2e
-    # single chip) + top-k recall >= 0.999 + downstream probe parity
-    # (PERF.md rounds 3-3c; bench.py runs exactly this)
+    # the flagship: ONE config meeting throughput + top-k recall >= 0.999
+    # + downstream probe parity (PERF.md rounds 3-4; bench.py runs exactly
+    # this).  Round 4 added lr_geo=384 (low-rank geo tail: retrieval 4.48
+    # -> 3.88 ms measured at flat fidelity; active-truncation probe gap
+    # -0.0012 on the Dv=1024 bank, RESULTS.md PROFILES table)
     "flagship": {
-        "retrieval": "hier", "lr_rank": 256, "res_rank": 128,
+        "retrieval": "hier", "lr_rank": 256, "lr_geo": 384, "res_rank": 128,
         "gsz_sem": 16, "topk_gsz": 8, "k_tiles": 32, "j_sem": 3,
         "k_geo": 16, "hier_scan_bm": 512, "tower_matmul": "bf16",
     },
-    # maximum-throughput mode: ~3.5M q/s retrieval at ~3.6% feature
-    # relerr (PERF.md round-3c small-batch table, K8/kg4 row)
+    # maximum-throughput mode — measured bars (round 4, B=10,240):
+    # features 3.66M q/s at relerr mean 6.9% (small batches auto-widen to
+    # flagship-grade relerr), topk K=24 recall@1 0.9926, active-truncation
+    # probe gap -0.0094..-0.0106.  Use flagship when the probe bar matters.
     "turbo": {
-        "retrieval": "hier", "lr_rank": 256, "res_rank": 128,
+        "retrieval": "hier", "lr_rank": 256, "lr_geo": 384, "res_rank": 128,
         "gsz_sem": 16, "topk_gsz": 8, "k_tiles": 8, "j_sem": 2,
         "k_geo": 4, "hier_scan_bm": 512, "tower_matmul": "bf16",
     },

@@ -409,6 +409,7 @@ def _hier_bank_spec(hb, bank_axis: str):
         u_sem=P() if hb.u_sem is not None else None,
         w_sem=P() if hb.w_sem is not None else None,
         w_geo=P() if hb.w_geo is not None else None,
+        u_geo=P() if hb.u_geo is not None else None,
     )
 
 

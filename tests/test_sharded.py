@@ -435,3 +435,49 @@ def test_sharded_hier_res_rank_matches_single_device():
     # single-device error by more than fp noise
     assert relerr(out) <= relerr(single) * 1.05 + 1e-4, (
         relerr(out), relerr(single))
+
+
+def test_sharded_hier_lr_geo_and_tail_super():
+    """Round-4 operands through the mesh path: lr_geo (caught a real bug —
+    u_geo must be REPLICATED in _hier_bank_spec, not row-sliced) and
+    tail_super (per-shard supergroup tail + per-shard correction cover;
+    partials stay linear, so the psum combine is unchanged)."""
+    from range_tpu.ops.retrieval import retrieve
+    from range_tpu.ops.retrieval_hier import build_hier_bank, retrieve_hier
+    from range_tpu.parallel.sharded import (shard_hier_bank,
+                                            sharded_retrieve_hier)
+    from range_tpu.bank.bank import GeoBank
+    from range_tpu.geometry import lonlat_deg_to_xyz
+
+    bank = GeoBank.synthetic_informative(0, 6000, pad_to=512, value_dim=64)
+    Dv = bank.value_dim
+    hb = build_hier_bank(bank, bn=128, gsz_sem=8, gsz_geo=16, tier="exact",
+                         value_dtype=jnp.float32, shards=8,
+                         lr_rank=Dv, lr_geo=Dv, res_rank=Dv, tail_super=32)
+    assert hb.lr_geo == Dv and hb.g_sem_ts_vw is not None
+    mesh = make_mesh((8,), ("bank",))
+    shb = shard_hier_bank(hb, mesh)
+
+    rng = np.random.default_rng(4)
+    locs = np.stack([rng.uniform(-180, 180, 256),
+                     rng.uniform(-80, 80, 256)], 1).astype(np.float32)
+    q = rng.standard_normal((256, 256)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q = jnp.asarray(q)
+    q_xyz = lonlat_deg_to_xyz(jnp.asarray(locs))
+
+    ref = np.asarray(retrieve(q, q_xyz, hb.bank, sem_temp=12.0,
+                              geo_temp=40.0, beta=0.5, chunk=512))
+    single = np.asarray(retrieve_hier(q, q_xyz, hb, k_tiles=6, k_geo=4,
+                                      m_corr=4, bm=128, interpret=True))
+    out = np.asarray(sharded_retrieve_hier(
+        q, q_xyz, shb, mesh, k_tiles=6, k_geo=4, m_corr=4, bm=128, tc=8,
+        interpret=True))
+
+    def relerr(a):
+        return (np.abs(a - ref) / np.maximum(np.abs(ref), 1e-1)).mean()
+
+    # per-shard union selection is strictly finer than single-device at
+    # the same per-shard K
+    assert relerr(out) <= relerr(single) + 1e-6
+    assert relerr(out) < 0.08, relerr(out)

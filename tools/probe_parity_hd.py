@@ -49,6 +49,12 @@ CONFIGS = {
     # the headline three-bars probe row
     "flagship": dict(profile="flagship"),
     "turbo": dict(profile="turbo"),
+    # round-4 adoption candidate: the low-rank GEO tail (retrieval 4.48 ->
+    # 3.88 ms measured) — lr_geo truncates the geo family's group value
+    # sums, which the checker probe leans on, so it must pass THIS probe
+    # (where Dv=1024 makes the truncation active) before the profile
+    # adopts it
+    "flagship_lrg384": dict(profile="flagship", lr_geo=384),
 }
 
 
@@ -116,7 +122,11 @@ def run_embed(name):
     lap(f"{name}: bank loaded")
     kw = dict(CONFIGS[name])
     if kw.get("profile") in ("flagship", "turbo"):
-        kw["hier_cache"] = HIER_CACHE  # same build params -> shared cache
+        # flagship/turbo share build params -> shared cache; configs with
+        # extra BUILD kwargs (lr_geo) get their own file (the signature
+        # would rebuild-and-overwrite the shared one otherwise)
+        kw["hier_cache"] = (HIER_CACHE if len(kw) == 1
+                            else f"/tmp/r4_hd_hier_{name}.npz")
     enc = range_tpu.load_model("RANGE+", db_path=bank, beta=0.5, chunk=4096,
                                seed=0, **kw)
     lap(f"{name}: encoder ready")

@@ -32,10 +32,13 @@ def main():
     den = np.maximum(np.abs(ref), 1e-1)
     true = np.asarray(exact_nn(q, hb.bank, chunk=4096))
 
-    # exact profile: dense fused retrieval throughput
-    ms = C.timeit(retrieve_ref, q, q_xyz, bank, iters=50, sem_temp=12.0,
-                  geo_temp=40.0, beta=0.5, chunk=4096)
-    print(f"exact   dense retrieval      {ms:6.2f} ms ({B/ms*1e3/1e6:.3f}M "
+    # exact profile: the SERVING dense path is the fused Pallas kernel
+    # (retrieval_pallas.retrieve_pallas), not the XLA reference
+    from range_tpu.ops.retrieval_pallas import retrieve_pallas
+
+    ms = C.timeit(retrieve_pallas, q, q_xyz, bank, iters=50, sem_temp=12.0,
+                  geo_temp=40.0, beta=0.5)
+    print(f"exact   dense fused kernel   {ms:6.2f} ms ({B/ms*1e3/1e6:.3f}M "
           f"q/s) relerr 0 recall 1.0 (by construction)", flush=True)
 
     # turbo profile: feature path K8/j2/kg4 (api.SERVING_PROFILES['turbo'])

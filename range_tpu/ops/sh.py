@@ -235,15 +235,67 @@ def spherical_harmonics_basis(
 @functools.lru_cache(maxsize=8)
 def _sh_times_plan(L: int, convention: str):
     """Static scatter indices for the gather-free fused `basis @ W` path:
-    for each trig class (const / cos / sin), the P_flat column p each
-    output column j reads, and the scale to fold into W's row j."""
+    per trig class, the P_flat column p each output column j reads, and
+    the scale to fold into W's row j.
+
+    TWO classes, not three: the const class (m = 0, trig factor 1) folds
+    into the cos class exactly — cos(0*phi) = 1 — and their scatter
+    targets cannot collide (const reads p = k*L + 0, cos reads
+    p = k*L + m with m >= 1), so `basis @ W` is TWO full-KL matmuls
+    (cos-with-const, sin) instead of three: 2/3 the MXU flops and one
+    fewer [KL, D] folded-weight operand."""
     _, _, _, _, gather, trig_sel, _, scale = _sh_plan(L, convention)
     out = []
-    for cls in (0, 1, 2):
-        j_idx = np.nonzero(trig_sel == cls)[0].astype(np.int32)
+    for classes in ((0, 1), (2,)):
+        j_idx = np.nonzero(np.isin(trig_sel, classes))[0].astype(np.int32)
         out.append((j_idx, gather[j_idx].astype(np.int32),
                     scale[j_idx].copy()))
     return out
+
+
+@functools.lru_cache(maxsize=8)
+def _sh_fourier_plan(L: int) -> np.ndarray:
+    """[2L, L*L] trig-synthesis table replacing the sequential recurrence:
+
+        P_flat[:, p] = sum_j cos(j th) * ftab[j, p] + sin(j th) * ftab[L+j, p]
+
+    Every fully-normalized Pbar_{m+k,m}(cos th) is a FINITE trigonometric
+    polynomial of degree <= l in th (s^m = sin^m th makes it a pure cosine
+    series for even m and a pure sine series for odd m), so the whole
+    [B, L*L] P_flat block is ONE [B, 2L] @ [2L, L*L] matmul — MXU work
+    instead of L data-dependent sequential VPU steps.  Coefficients come
+    from an exact DFT of the f64 recurrence sampled on the full circle
+    (s = sin th kept SIGNED so the circle continuation is the analytic
+    one).  Measured at L=40: spectral tail beyond degree L-1 < 1e-11,
+    max |coef| 0.49, f32 synthesis error ~5e-7 absolute (P max 2.5) —
+    same precision class as the recurrence, and exact at the poles (no
+    s^m underflow games needed).
+
+    Convention-independent: 'analytic' vs 'closed-form' only rescale the
+    output assembly (`_sh_times_plan`), not P_flat.
+    """
+    _, _, a_np, b_np, _, _, _, _ = _sh_plan(L, "analytic")
+    N = 4 * L
+    th = 2 * np.pi * np.arange(N) / N
+    x, s = np.cos(th), np.sin(th)
+    d = np.full(L, 1.0 / math.sqrt(4 * math.pi))
+    for m in range(1, L):
+        d[m] = d[m - 1] * math.sqrt((2 * m + 1) / (2 * m))
+    e = np.sqrt(2 * np.arange(L) + 3.0)
+    spow = s[:, None] ** np.arange(L)[None, :]
+    rows = [d * spow, e * x[:, None] * (d * spow)]
+    for k in range(2, L):
+        rows.append(a_np[k] * (x[:, None] * rows[-1] - b_np[k] * rows[-2]))
+    P = np.concatenate(rows, axis=1)          # [N, L*L], col p = k*L + m
+    P[:, 2 * L - 1] = 0.0  # k=1 junk column (m = L-1, never gathered):
+    #                        degree L would break the bandlimit below
+    F = np.fft.rfft(P, axis=0) / N
+    assert np.abs(F[L:]).max() < 1e-9, "spectral tail: recurrence not bandlimited?"
+    ftab = np.zeros((2 * L, L * L))
+    ftab[0] = F[0].real
+    ftab[1:L] = 2 * F[1:L].real               # cos(j th) coefficients
+    ftab[L + 1:2 * L] = -2 * F[1:L].imag      # sin(j th) coefficients
+    return ftab
 
 
 def spherical_harmonics_times(lonlat_deg: jnp.ndarray, L: int,
@@ -255,23 +307,25 @@ def spherical_harmonics_times(lonlat_deg: jnp.ndarray, L: int,
 
     The basis column j is ``P_flat[:, g_j] * trig_j(phi) * scale_j`` where
     trig is 1, cos(m phi) or sin(m phi) and m = g_j % L — so the product
-    folds into three matmuls on P_flat with W's rows scatter-folded into
+    folds into TWO matmuls on P_flat with W's rows scatter-folded into
     P_flat coordinates and the trig factor applied as a TILED elementwise
     multiply (cos/sin of m*phi repeat over the recurrence row k):
 
-        basis @ W = P_flat @ W0' + (P_flat * cos_tile) @ Wc'
-                    + (P_flat * sin_tile) @ Ws'
+        basis @ W = (P_flat * cos_tile) @ Wc' + (P_flat * sin_tile) @ Ws'
 
-    3x the MXU flops of the plain [B,L*L] @ W matmul but ZERO [B, L*L]
-    gathers — measured ~4x faster end-to-end on the v5e tunnel at L=40,
-    B=10k (the gathers, not the matmul, dominated the SH tower).  Exact
-    same semantics as the basis-then-matmul path up to f32 reassociation.
+    (the const class m = 0 rides the cos fold: cos(0*phi) = 1 exactly,
+    and its scatter targets p = k*L are disjoint from the cos entries'
+    p = k*L + m, m >= 1 — see _sh_times_plan).  2x the MXU flops of the
+    plain [B,L*L] @ W matmul but ZERO [B, L*L] gathers — measured ~4x
+    faster end-to-end on the v5e tunnel at L=40, B=10k (the gathers, not
+    the matmul, dominated the SH tower).  Exact same semantics as the
+    basis-then-matmul path up to f32 reassociation.
 
     Args:
       lonlat_deg: [B, 2] (lon, lat) degrees.
       L: Legendre degrees; ``w``: [L*L, D] weight matrix.
-      matmul_dtype: optional dtype for the three matmuls' INPUTS (the
-        recurrence and trig stay f32, accumulation stays f32 via
+      matmul_dtype: optional dtype for the folded matmuls' INPUTS (the
+        trig synthesis stays f32, accumulation stays f32 via
         preferred_element_type).  bfloat16 trades ~1e-3 relative output
         error for ~3x MXU rate — the serving opt-in
         (`load_model(tower_matmul='bf16')`).
@@ -280,29 +334,25 @@ def spherical_harmonics_times(lonlat_deg: jnp.ndarray, L: int,
     if convention not in ("analytic", "closed-form"):
         raise ValueError(f"unknown SH convention: {convention}")
     dtype = lonlat_deg.dtype
-    d_np, e_np, a_np, b_np, _, _, _, _ = _sh_plan(L, convention)
     lon = lonlat_deg[..., 0]
     lat = lonlat_deg[..., 1]
     phi = (lon + 180.0) * (math.pi / 180.0)
     theta = (lat + 90.0) * (math.pi / 180.0)
-    x = jnp.cos(theta)[:, None]
-    s = jnp.sin(theta)[:, None]
-    d = jnp.asarray(d_np, dtype)
-    e = jnp.asarray(e_np, dtype)
-    s_pows = jnp.cumprod(
-        jnp.concatenate([jnp.ones_like(s), jnp.tile(s, (1, L - 1))], 1), 1)
-    P0 = d * s_pows
-    P1 = e * x * P0
-    rows = [P0, P1]
-    for k in range(2, L):
-        a_k = jnp.asarray(a_np[k], dtype)
-        b_k = jnp.asarray(b_np[k], dtype)
-        rows.append(a_k * (x * rows[-1] - b_k * rows[-2]))
-    P_flat = jnp.concatenate(rows, axis=-1)  # [B, K*L], K = L
+    # trig synthesis: P_flat is ONE [B, 2L] @ [2L, KL] matmul (the L
+    # sequential recurrence steps each round-tripped HBM under XLA;
+    # see _sh_fourier_plan for the exactness argument)
+    ftab = jnp.asarray(_sh_fourier_plan(L), dtype)
+    j_arr = jnp.arange(L, dtype=dtype)
+    angt = theta[:, None] * j_arr
+    fth = jnp.concatenate([jnp.cos(angt), jnp.sin(angt)], axis=1)  # [B, 2L]
+    acc = dtype if dtype == jnp.float64 else jnp.float32
+    P_flat = jnp.dot(fth, ftab, preferred_element_type=acc).astype(dtype)
 
     m_arr = jnp.arange(L, dtype=dtype)
     ang = phi[:, None] * m_arr
-    trig_tiles = (None, jnp.tile(jnp.cos(ang), (1, L)),
+    # two trig classes: cos (which carries the m=0 / const entries — the
+    # m=0 tile columns are cos(0*phi) = 1 exactly) and sin
+    trig_tiles = (jnp.tile(jnp.cos(ang), (1, L)),
                   jnp.tile(jnp.sin(ang), (1, L)))
 
     KL = L * L
@@ -313,7 +363,7 @@ def spherical_harmonics_times(lonlat_deg: jnp.ndarray, L: int,
             continue
         wf = jnp.zeros((KL, w.shape[1]), w.dtype).at[jnp.asarray(p_idx)].set(
             jnp.asarray(sc, w.dtype)[:, None] * w[jnp.asarray(j_idx)])
-        lhs = P_flat if trig_tiles[cls] is None else P_flat * trig_tiles[cls]
+        lhs = P_flat * trig_tiles[cls]
         term = jnp.dot(lhs.astype(md), wf.astype(md),
                        preferred_element_type=jnp.float32)
         out = term if out is None else out + term
@@ -412,19 +462,16 @@ def _sh_times_pallas_impl(
         interpret: bool = False) -> jnp.ndarray:
     """Fully-fused Pallas variant of `spherical_harmonics_times`.
 
-    The XLA path's floor is the Legendre recurrence itself: 40 sequential
-    [B, L] steps each round-tripping HBM (~0.78 ms of the ~1.0 ms tower at
-    B=10k) — XLA cannot keep the chain resident because the concat
-    consumer materializes every row.  Here one kernel invocation computes,
-    per bm-query block entirely in VMEM: s^m powers, the normalized-
-    Legendre diagonal recurrence, the trig tiles, and the three folded
-    matmuls.  Everything runs TRANSPOSED ([m-or-row, queries] — the
-    recurrence rows stack along SUBLANES, which concatenates for free at
-    40 = 5*8 sublanes per piece, where the natural layout would pay a
-    lane relayout at every non-128-aligned column offset) and the matmuls
-    contract dim 0, like the hier scan's tail.  Same semantics as
-    `spherical_harmonics_times` up to f32 reassociation (and bf16 input
-    rounding when matmul_dtype asks)."""
+    One kernel invocation computes, per bm-query block entirely in VMEM:
+    the Fourier synthesis of the normalized-Legendre block (ONE
+    [KL, 2L] @ [2L, bm] matmul — `_sh_fourier_plan`; this replaced the
+    L-step sequential recurrence, which was ~0.6 ms of serialized VPU
+    latency at L=40), the phi-trig tiles, and the two folded matmuls.
+    Everything runs TRANSPOSED ([row, queries] — the synthesis output
+    rows stack along SUBLANES) and the matmuls contract dim 0, like the
+    hier scan's tail.  Same semantics as `spherical_harmonics_times` up
+    to f32 reassociation (and bf16 input rounding when matmul_dtype
+    asks)."""
     import jax
 
     from jax.experimental import pallas as pl
@@ -437,17 +484,16 @@ def _sh_times_pallas_impl(
     D = w.shape[1]
     KL = L * L
     md = matmul_dtype or dtype
-    if not (2 <= L and 2 + 2 * L <= 128):
-        # prep packs into one 128-sublane block (L <= 63) and the
-        # recurrence emits >= 2 row pieces — outside that envelope the
-        # XLA fused path serves instead of crashing
+    Sp = max(8, (4 * L + 7) // 8 * 8)  # prep sublane block, padded to 8
+    if not (2 <= L and Sp <= 256):
+        # prep packs the four trig blocks into one <= 256-sublane operand
+        # (L <= 64) — outside that envelope the XLA fused path serves
+        # instead of crashing
         return spherical_harmonics_times(lonlat_deg, L, w, convention,
                                          matmul_dtype=matmul_dtype)
     # clamp the block to the (padded) batch: small online batches should
-    # not pay a full 512-row recurrence + matmul
+    # not pay a full 512-row synthesis + matmul
     bm = min(bm, max(128, (B + 127) // 128 * 128))
-
-    d_np, e_np, a_np, b_np, _, _, _, _ = _sh_plan(L, convention)
 
     lon = lonlat_deg[..., 0]
     lat = lonlat_deg[..., 1]
@@ -455,10 +501,11 @@ def _sh_times_pallas_impl(
     theta = (lat + 90.0) * (math.pi / 180.0)
     m_arr = jnp.arange(L, dtype=jnp.float32)
     ang = phi[:, None] * m_arr
+    angt = theta[:, None] * m_arr
     prep = jnp.concatenate(
-        [jnp.cos(theta)[:, None], jnp.sin(theta)[:, None],
-         jnp.cos(ang), jnp.sin(ang),
-         jnp.zeros((B, 128 - 2 - 2 * L), jnp.float32)], axis=1)
+        [jnp.cos(angt), jnp.sin(angt),     # Fourier synthesis inputs in th
+         jnp.cos(ang), jnp.sin(ang),       # phi tiles for the output fold
+         jnp.zeros((B, Sp - 4 * L), jnp.float32)], axis=1)
     Bp = (B + bm - 1) // bm * bm
     prep = jnp.pad(prep.astype(jnp.float32), ((0, Bp - B), (0, 0))).T
 
@@ -470,48 +517,35 @@ def _sh_times_pallas_impl(
             .astype(jnp.float32))
         wfs.append(wf.astype(md))
 
-    # recurrence coefficient tables as ONE [128, 128] operand (Pallas
-    # kernels cannot capture traced constants), TRANSPOSED to match the
-    # kernel layout: coefficients indexed by m live on SUBLANES —
-    # col 0 = d, col 1 = e, col 2+k = a[k], col 2+L+k = b[k]
-    tab = np.zeros((128, 128), np.float32)
-    tab[:L, 0] = d_np
-    tab[:L, 1] = e_np
-    tab[:L, 2:2 + L] = a_np.T
-    tab[:L, 2 + L:2 + 2 * L] = b_np.T
-    tab = jnp.asarray(tab)
+    # Fourier synthesis table, TRANSPOSED to the kernel layout:
+    # P^T [KL, bm] = ftabT [KL, 2L] @ Fth [2L, bm] — stored bf16 (see the
+    # in-kernel precision note)
+    ftabT = jnp.asarray(_sh_fourier_plan(L).T, jnp.bfloat16)
 
-    def kern(pp_ref, tab_ref, w0_ref, wc_ref, ws_ref, o_ref):
-        pp = pp_ref[:]                       # [128, bm]: x|s|cos_m|sin_m
-        t = tab_ref[:]                       # [128, 128]: d|e|a|b by m-rows
-        x = pp[0:1, :]
-        sl = pp[1:2, :]
-        cosm = pp[2:2 + L, :]                # [L, bm]
-        sinm = pp[2 + L:2 + 2 * L, :]
-        # s^m via exp(m log s): fully vectorized over the [L, bm] block
-        # (the sequential cumprod would serialize 40 sublane-rows); s = 0
-        # at the exact poles underflows to 0, matching s^m
-        logs = jnp.log(jnp.maximum(sl, 1e-30))
-        mcol = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0
-                                        ).astype(jnp.float32)
-        s_pows = jnp.exp(mcol * logs)        # [L, bm]
-        rows = [t[:L, 0:1] * s_pows]
-        rows.append(t[:L, 1:2] * x * rows[0])
-        for k in range(2, L):
-            rows.append(t[:L, 2 + k:3 + k]
-                        * (x * rows[-1]
-                           - t[:L, 2 + L + k:3 + L + k] * rows[-2]))
-        P = jnp.concatenate(rows, axis=0)    # [L*L, bm] f32, sublane concat
+    def kern(pp_ref, ft_ref, wc_ref, ws_ref, o_ref):
+        pp = pp_ref[:]                       # [Sp, bm]: cos/sin jth | cos/sin mphi
+        fth = pp[0:2 * L, :]                 # [2L, bm]
+        cosm = pp[2 * L:3 * L, :]            # [L, bm]
+        sinm = pp[3 * L:4 * L, :]
+        # synthesis INPUTS in bf16 regardless of md: on the MXU the
+        # kernel's "f32" dots already run at default single-pass-bf16
+        # precision (measured maxrel ~3.5e-3 either way at L=40), so the
+        # cast buys MXU rate for free in this kernel's precision class;
+        # accumulation stays f32.  Exact-f32 synthesis lives on the XLA
+        # path (CPU / parity).
+        P = jax.lax.dot_general(ft_ref[:], fth.astype(jnp.bfloat16),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
         # NB products stay f32: a bf16 elementwise pass over the [L*L, bm]
         # block measured SLOWER than f32 (0.88 vs 0.67 ms) and compounds
         # rounding — only the dot INPUTS drop to md
         ct = jnp.tile(cosm, (L, 1))          # [L*L, bm], sublane tile
         st = jnp.tile(sinm, (L, 1))
         dims = (((0,), (0,)), ((), ()))
-        o = jax.lax.dot_general(P.astype(md), w0_ref[:], dims,
+        # TWO folded matmuls, not three: the const (m=0) class rides the
+        # cos fold — cosm row 0 is cos(0*phi) = 1 exactly (_sh_times_plan)
+        o = jax.lax.dot_general((P * ct).astype(md), wc_ref[:], dims,
                                 preferred_element_type=jnp.float32)
-        o += jax.lax.dot_general((P * ct).astype(md), wc_ref[:], dims,
-                                 preferred_element_type=jnp.float32)
         o += jax.lax.dot_general((P * st).astype(md), ws_ref[:], dims,
                                  preferred_element_type=jnp.float32)
         o_ref[:] = o
@@ -520,11 +554,10 @@ def _sh_times_pallas_impl(
         kern,
         grid=(Bp // bm,),
         in_specs=[
-            pl.BlockSpec((128, bm), lambda i: (0, i),
+            pl.BlockSpec((Sp, bm), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i: (0, 0),
+            pl.BlockSpec((KL, 2 * L), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((KL, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KL, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KL, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -535,10 +568,10 @@ def _sh_times_pallas_impl(
             dimension_semantics=("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * KL * D * 3,
-            bytes_accessed=Bp * (128 + D) * 4 + 3 * KL * D * 2,
-            transcendentals=Bp * L,
+            flops=2 * Bp * KL * (2 * L + D * 2),
+            bytes_accessed=Bp * (Sp + D) * 4 + KL * (2 * L * 4 + 2 * D * 2),
+            transcendentals=0,
         ),
         interpret=interpret,
-    )(prep, tab, *wfs)
+    )(prep, ftabT, *wfs)
     return out[:B].astype(dtype)

@@ -185,8 +185,15 @@ def test_tower_fused_first_layer_matches_unfused():
 
 def test_sh_times_pallas_matches_xla():
     """The fully-fused Pallas first-layer kernel (interpret mode on CPU)
-    matches the XLA fused path within f32-reassociation tolerance, for
-    both conventions."""
+    matches the XLA fused path within the kernel's documented precision
+    class, for both conventions.
+
+    Tolerance note: the kernel feeds its Fourier-synthesis matmul bf16
+    INPUTS by design — on the MXU even "f32" dots round inputs to bf16 at
+    default precision, so the explicit cast makes interpret mode faithful
+    to hardware behavior (ops/sh.py kernel comment).  The bound is
+    therefore bf16-input class (~4e-3), not f32 reassociation; exact-f32
+    semantics are pinned by the XLA-path tests above at 1e-9."""
     import functools
 
     import numpy as np
@@ -203,7 +210,7 @@ def test_sh_times_pallas_matches_xla():
         a = np.asarray(spherical_harmonics_times(ll, L, w, conv))
         b = np.asarray(spherical_harmonics_times_pallas(
             ll, L, w, conv, bm=128, interpret=True))
-        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4 * np.abs(a).max())
+        np.testing.assert_allclose(b, a, rtol=8e-3, atol=8e-3 * np.abs(a).max())
 
 
 def test_sh_times_pallas_grad_matches_xla():
@@ -234,5 +241,9 @@ def test_sh_times_pallas_grad_matches_xla():
 
     gp = np.asarray(jax.grad(loss_p)(w))
     gx = np.asarray(jax.grad(loss_x)(w))
-    np.testing.assert_allclose(gp, gx, rtol=1e-3,
-                               atol=1e-3 * np.abs(gx).max())
+    # the backward IS the XLA path (exact); the residual difference is the
+    # bf16-input Fourier-synthesis FORWARD feeding sum(y^2)'s cotangent
+    # 2*y — same precision class as the kernel itself (see the matching
+    # tolerance note in test_sh_times_pallas_matches_xla)
+    np.testing.assert_allclose(gp, gx, rtol=2e-2,
+                               atol=2e-2 * np.abs(gx).max())

@@ -80,12 +80,38 @@ class SatClipLocationEncoder:
 
     def apply(self, params, lonlat_deg: jnp.ndarray, *, training: bool = False,
               rng=None) -> jnp.ndarray:
+        if not training and self._full_tower_ok(lonlat_deg):
+            # round 5 (VERDICT r4 #8): the WHOLE SIREN stack in one Pallas
+            # kernel — the post-first-layer sines/matmuls were ~6 [B, 256]
+            # HBM round trips (tower 1.17 -> ~0.7 ms at B=10k, PERF.md r5);
+            # backward is the XLA compose, so training still differentiates
+            import jax as _jax
+
+            from ..ops.sh import siren_tower_pallas
+
+            return siren_tower_pallas(
+                lonlat_deg, int(self.posenc.legendre_polys), params,
+                self.posenc.convention,
+                matmul_dtype=(jnp.bfloat16 if getattr(
+                    self.config, "fused_matmul_dtype", None) == "bf16"
+                    else None),
+                w0_initial=self.nnet.w0_initial, w0=self.nnet.w0,
+                interpret=_jax.default_backend() != "tpu")
         pre = self._fused_first_preact(params, lonlat_deg)
         if pre is not None:
             return self.nnet.apply(params, lonlat_deg, training=training,
                                    rng=rng, first_preact=pre)
         basis = self.posenc(lonlat_deg)
         return self.nnet.apply(params, basis, training=training, rng=rng)
+
+    def _full_tower_ok(self, lonlat_deg) -> bool:
+        from ..ops.nets import SirenNet
+        from ..ops.posenc import SphericalHarmonics
+
+        return (isinstance(self.posenc, SphericalHarmonics)
+                and isinstance(self.nnet, SirenNet)
+                and self.nnet.final_activation == "identity"
+                and lonlat_deg.dtype == jnp.float32)
 
     def _fused_first_preact(self, params, lonlat_deg):
         """Gather-free fused ``basis @ W0`` (ops/sh.spherical_harmonics_times)

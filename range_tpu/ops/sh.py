@@ -267,9 +267,10 @@ def _sh_fourier_plan(L: int) -> np.ndarray:
     from an exact DFT of the f64 recurrence sampled on the full circle
     (s = sin th kept SIGNED so the circle continuation is the analytic
     one).  Measured at L=40: spectral tail beyond degree L-1 < 1e-11,
-    max |coef| 0.49, f32 synthesis error ~5e-7 absolute (P max 2.5) —
-    same precision class as the recurrence, and exact at the poles (no
-    s^m underflow games needed).
+    max |coef| 0.49, f32 synthesis error ~2e-5 absolute worst-case over
+    random inputs incl. near-pole latitudes (P max 2.5; beats the f32
+    recurrence's ~6e-5), and exact at the poles (no s^m underflow games
+    needed).
 
     Convention-independent: 'analytic' vs 'closed-form' only rescale the
     output assembly (`_sh_times_plan`), not P_flat.
@@ -290,7 +291,13 @@ def _sh_fourier_plan(L: int) -> np.ndarray:
     P[:, 2 * L - 1] = 0.0  # k=1 junk column (m = L-1, never gathered):
     #                        degree L would break the bandlimit below
     F = np.fft.rfft(P, axis=0) / N
-    assert np.abs(F[L:]).max() < 1e-9, "spectral tail: recurrence not bandlimited?"
+    if np.abs(F[L:]).max() >= 1e-9:
+        # guards table correctness (measured headroom ~1e-14 at L=128); a
+        # typed error survives `python -O`, unlike the assert it replaced
+        raise ValueError(
+            f"SH Fourier plan: spectral tail {np.abs(F[L:]).max():.3g} at "
+            f"L={L} — recurrence not bandlimited; the generated table "
+            "would be wrong")
     ftab = np.zeros((2 * L, L * L))
     ftab[0] = F[0].real
     ftab[1:L] = 2 * F[1:L].real               # cos(j th) coefficients
@@ -470,8 +477,11 @@ def _sh_times_pallas_impl(
     Everything runs TRANSPOSED ([row, queries] — the synthesis output
     rows stack along SUBLANES) and the matmuls contract dim 0, like the
     hier scan's tail.  Same semantics as `spherical_harmonics_times` up
-    to f32 reassociation (and bf16 input rounding when matmul_dtype
-    asks)."""
+    to f32 reassociation; when matmul_dtype=bf16 asks, ALL matmul inputs
+    (synthesis included) round to bf16 (~3.5e-3 class at L=40) — with
+    matmul_dtype=None the inputs stay f32, so
+    `jax_default_matmul_precision` governs the MXU passes exactly as on
+    the XLA path."""
     import jax
 
     from jax.experimental import pallas as pl
@@ -518,22 +528,23 @@ def _sh_times_pallas_impl(
         wfs.append(wf.astype(md))
 
     # Fourier synthesis table, TRANSPOSED to the kernel layout:
-    # P^T [KL, bm] = ftabT [KL, 2L] @ Fth [2L, bm] — stored bf16 (see the
-    # in-kernel precision note)
-    ftabT = jnp.asarray(_sh_fourier_plan(L).T, jnp.bfloat16)
+    # P^T [KL, bm] = ftabT [KL, 2L] @ Fth [2L, bm] — stored in md, so the
+    # synthesis inputs follow the caller's matmul_dtype contract: bf16
+    # only when asked, f32 otherwise (with f32 inputs the dot still runs
+    # at the backend's default matmul precision, recoverable to exact via
+    # jax_default_matmul_precision — the explicit cast used to preclude
+    # that; ADVICE r4)
+    ftabT = jnp.asarray(_sh_fourier_plan(L).T, md)
 
     def kern(pp_ref, ft_ref, wc_ref, ws_ref, o_ref):
         pp = pp_ref[:]                       # [Sp, bm]: cos/sin jth | cos/sin mphi
         fth = pp[0:2 * L, :]                 # [2L, bm]
         cosm = pp[2 * L:3 * L, :]            # [L, bm]
         sinm = pp[3 * L:4 * L, :]
-        # synthesis INPUTS in bf16 regardless of md: on the MXU the
-        # kernel's "f32" dots already run at default single-pass-bf16
-        # precision (measured maxrel ~3.5e-3 either way at L=40), so the
-        # cast buys MXU rate for free in this kernel's precision class;
-        # accumulation stays f32.  Exact-f32 synthesis lives on the XLA
-        # path (CPU / parity).
-        P = jax.lax.dot_general(ft_ref[:], fth.astype(jnp.bfloat16),
+        # synthesis inputs in md (bf16 when matmul_dtype asks — measured
+        # maxrel ~3.5e-3 at L=40 vs the MXU's default single-pass rounding
+        # anyway); accumulation stays f32 either way
+        P = jax.lax.dot_general(ft_ref[:], fth.astype(ft_ref.dtype),
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         # NB products stay f32: a bf16 elementwise pass over the [L*L, bm]
@@ -574,4 +585,198 @@ def _sh_times_pallas_impl(
         ),
         interpret=interpret,
     )(prep, ftabT, *wfs)
+    return out[:B].astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# round 5: the FULL SIREN tower in one Pallas kernel
+
+
+def siren_tower_pallas(lonlat_deg: jnp.ndarray, L: int, params,
+                       convention: str = "analytic", matmul_dtype=None,
+                       w0_initial: float = 30.0, w0: float = 1.0,
+                       bm: int = 512, interpret: bool = False) -> jnp.ndarray:
+    """Differentiable full-tower kernel: SH Fourier synthesis + fused
+    basis@W0 (`_sh_times_pallas_impl`) PLUS every remaining SIREN layer —
+    sin(w0_i * h) activations and the [H, H] hidden / [H, D] output
+    matmuls — in the same VMEM-resident pass (round 5, VERDICT r4 #8).
+
+    The unfused remainder was ~6 full-width [B, 256] HBM round trips plus
+    per-matmul dispatch; at 10k queries the tower measured 1.17 ms with
+    only the first layer fused vs ~0.7 ms fully fused (PERF.md round 5).
+
+    `params` is the SirenNet pytree ({'layers': [...], 'last': {...}});
+    semantics match `SirenNet.apply(..., final_activation='identity')` at
+    serving (no dropout / mods).  Backward = the XLA-path compose (same
+    pattern as `spherical_harmonics_times_pallas`)."""
+    return _siren_tower_vjp(lonlat_deg, params, L, convention, matmul_dtype,
+                            w0_initial, w0, bm, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _siren_tower_vjp(lonlat_deg, params, L, convention, matmul_dtype,
+                     w0_initial, w0, bm, interpret):
+    return _siren_tower_impl(lonlat_deg, params, L, convention, matmul_dtype,
+                             w0_initial, w0, bm, interpret)
+
+
+def _siren_tower_fwd(lonlat_deg, params, L, convention, matmul_dtype,
+                     w0_initial, w0, bm, interpret):
+    out = _siren_tower_impl(lonlat_deg, params, L, convention, matmul_dtype,
+                            w0_initial, w0, bm, interpret)
+    return out, (lonlat_deg, params)
+
+
+def _siren_tower_ref(lonlat_deg, params, L, convention, matmul_dtype,
+                     w0_initial, w0):
+    """XLA-path reference compose (the VJP target and the CPU fallback)."""
+    pre = spherical_harmonics_times(lonlat_deg, L, params["layers"][0]["w"],
+                                    convention, matmul_dtype=matmul_dtype)
+    if "b" in params["layers"][0]:
+        pre = pre + params["layers"][0]["b"]
+    x = jnp.sin(w0_initial * pre)
+    for layer in params["layers"][1:]:
+        h = x @ layer["w"]
+        if "b" in layer:
+            h = h + layer["b"]
+        x = jnp.sin(w0 * h)
+    out = x @ params["last"]["w"]
+    if "b" in params["last"]:
+        out = out + params["last"]["b"]
+    return out
+
+
+def _siren_tower_bwd(L, convention, matmul_dtype, w0_initial, w0, bm,
+                     interpret, res, g):
+    lonlat_deg, params = res
+    _, vjp = jax.vjp(
+        lambda ll, p: _siren_tower_ref(ll, p, L, convention, matmul_dtype,
+                                       w0_initial, w0), lonlat_deg, params)
+    return vjp(g)
+
+
+_siren_tower_vjp.defvjp(_siren_tower_fwd, _siren_tower_bwd)
+
+
+def _siren_tower_impl(lonlat_deg, params, L, convention, matmul_dtype,
+                      w0_initial, w0, bm, interpret):
+    import jax
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if convention not in ("analytic", "closed-form"):
+        raise ValueError(f"unknown SH convention: {convention}")
+    dtype = lonlat_deg.dtype
+    B = lonlat_deg.shape[0]
+    layers = params["layers"]
+    last = params["last"]
+    H = layers[0]["w"].shape[1]
+    D = last["w"].shape[1]
+    KL = L * L
+    md = matmul_dtype or dtype
+    Sp = max(8, (4 * L + 7) // 8 * 8)
+    if not (2 <= L and Sp <= 256) or H % 128 or D % 128:
+        return _siren_tower_ref(lonlat_deg, params, L, convention,
+                                matmul_dtype, w0_initial, w0)
+    bm = min(bm, max(128, (B + 127) // 128 * 128))
+
+    lon = lonlat_deg[..., 0]
+    lat = lonlat_deg[..., 1]
+    phi = (lon + 180.0) * (math.pi / 180.0)
+    theta = (lat + 90.0) * (math.pi / 180.0)
+    m_arr = jnp.arange(L, dtype=jnp.float32)
+    ang = phi[:, None] * m_arr
+    angt = theta[:, None] * m_arr
+    prep = jnp.concatenate(
+        [jnp.cos(angt), jnp.sin(angt),
+         jnp.cos(ang), jnp.sin(ang),
+         jnp.zeros((B, Sp - 4 * L), jnp.float32)], axis=1)
+    Bp = (B + bm - 1) // bm * bm
+    prep = jnp.pad(prep.astype(jnp.float32), ((0, Bp - B), (0, 0))).T
+
+    wfs = []
+    for cls, (j_idx, p_idx, sc) in enumerate(_sh_times_plan(L, convention)):
+        wf = jnp.zeros((KL, H), jnp.float32).at[jnp.asarray(p_idx)].set(
+            jnp.asarray(sc, jnp.float32)[:, None]
+            * layers[0]["w"][jnp.asarray(j_idx)].astype(jnp.float32))
+        wfs.append(wf.astype(md))
+    ftabT = jnp.asarray(_sh_fourier_plan(L).T, md)
+
+    # deeper layers ride one stacked [n*H, H-or-D] operand each for layout
+    # simplicity; biases pack as one [n_bias, max(H, D)] f32 block
+    deep_ws = [layer["w"].astype(md) for layer in layers[1:]]
+    wl = last["w"].astype(md)
+    n_deep = len(deep_ws)
+    biases = []
+    b0 = layers[0].get("b")
+    biases.append(jnp.zeros((H,), jnp.float32) if b0 is None
+                  else b0.astype(jnp.float32))
+    for layer in layers[1:]:
+        b = layer.get("b")
+        biases.append(jnp.zeros((H,), jnp.float32) if b is None
+                      else b.astype(jnp.float32))
+    bl = last.get("b")
+    W = max(H, D)
+    brows = [jnp.pad(b, (0, W - b.shape[0])) for b in biases] + [
+        jnp.pad(jnp.zeros((D,), jnp.float32) if bl is None
+                else bl.astype(jnp.float32), (0, W - D))]
+    bpack = jnp.stack(brows)  # [n_deep + 2, W]
+
+    def kern(pp_ref, ft_ref, wc_ref, ws_ref, b_ref, *wrefs):
+        o_ref = wrefs[-1]
+        wrefs = wrefs[:-1]
+        pp = pp_ref[:]
+        fth = pp[0:2 * L, :]
+        cosm = pp[2 * L:3 * L, :]
+        sinm = pp[3 * L:4 * L, :]
+        P = jax.lax.dot_general(ft_ref[:], fth.astype(ft_ref.dtype),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        ct = jnp.tile(cosm, (L, 1))
+        st = jnp.tile(sinm, (L, 1))
+        dims = (((0,), (0,)), ((), ()))
+        h = jax.lax.dot_general((P * ct).astype(md), wc_ref[:], dims,
+                                preferred_element_type=jnp.float32)
+        h += jax.lax.dot_general((P * st).astype(md), ws_ref[:], dims,
+                                 preferred_element_type=jnp.float32)
+        bp = b_ref[:]
+        x = jnp.sin(w0_initial * (h + bp[0, :H][None, :]))
+        for i in range(n_deep):
+            hh = jnp.dot(x.astype(md), wrefs[i][:],
+                         preferred_element_type=jnp.float32)
+            x = jnp.sin(w0 * (hh + bp[1 + i, :H][None, :]))
+        out = jnp.dot(x.astype(md), wrefs[n_deep][:],
+                      preferred_element_type=jnp.float32)
+        o_ref[:] = out + bp[n_deep + 1, :D][None, :]
+
+    out = pl.pallas_call(
+        kern,
+        grid=(Bp // bm,),
+        in_specs=[
+            pl.BlockSpec((Sp, bm), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KL, 2 * L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KL, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KL, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(bpack.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(w.shape, lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+             for w in deep_ws + [wl]],
+        out_specs=pl.BlockSpec((bm, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * (KL * (2 * L + H * 2) + n_deep * H * H + H * D),
+            bytes_accessed=Bp * (Sp + D) * 4
+            + KL * (2 * L + 2 * H) * (2 if md == jnp.bfloat16 else 4),
+            transcendentals=Bp * H * (1 + n_deep),
+        ),
+        interpret=interpret,
+    )(prep, ftabT, wfs[0], wfs[1], bpack, *deep_ws, wl)
     return out[:B].astype(dtype)

@@ -188,12 +188,13 @@ def test_sh_times_pallas_matches_xla():
     matches the XLA fused path within the kernel's documented precision
     class, for both conventions.
 
-    Tolerance note: the kernel feeds its Fourier-synthesis matmul bf16
-    INPUTS by design — on the MXU even "f32" dots round inputs to bf16 at
-    default precision, so the explicit cast makes interpret mode faithful
-    to hardware behavior (ops/sh.py kernel comment).  The bound is
-    therefore bf16-input class (~4e-3), not f32 reassociation; exact-f32
-    semantics are pinned by the XLA-path tests above at 1e-9."""
+    With matmul_dtype=None every kernel input stays f32 (ADVICE r4 —
+    gated, no hardcoded bf16 cast), so the difference vs the XLA fused
+    path is pure f32 reassociation: tight tolerance.  The XLA fused
+    path's own exactness vs the basis matmul is bounded at 1e-6 relative
+    in f64 by test_times_fused_matches_basis_matmul_f64 and by the
+    precision-class check in test_times_fused_f32_precision_class.  An
+    explicit matmul_dtype=bf16 case pins the opt-in rounding class."""
     import functools
 
     import numpy as np
@@ -210,7 +211,13 @@ def test_sh_times_pallas_matches_xla():
         a = np.asarray(spherical_harmonics_times(ll, L, w, conv))
         b = np.asarray(spherical_harmonics_times_pallas(
             ll, L, w, conv, bm=128, interpret=True))
-        np.testing.assert_allclose(b, a, rtol=8e-3, atol=8e-3 * np.abs(a).max())
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4 * np.abs(a).max())
+    # opt-in bf16 matmul inputs: bf16-rounding class (~4e-3), same contract
+    # as the serving tower_matmul='bf16' configuration
+    a = np.asarray(spherical_harmonics_times(ll, L, w))
+    b16 = np.asarray(spherical_harmonics_times_pallas(
+        ll, L, w, matmul_dtype=jnp.bfloat16, bm=128, interpret=True))
+    np.testing.assert_allclose(b16, a, rtol=8e-3, atol=8e-3 * np.abs(a).max())
 
 
 def test_sh_times_pallas_grad_matches_xla():
@@ -242,8 +249,71 @@ def test_sh_times_pallas_grad_matches_xla():
     gp = np.asarray(jax.grad(loss_p)(w))
     gx = np.asarray(jax.grad(loss_x)(w))
     # the backward IS the XLA path (exact); the residual difference is the
-    # bf16-input Fourier-synthesis FORWARD feeding sum(y^2)'s cotangent
-    # 2*y — same precision class as the kernel itself (see the matching
-    # tolerance note in test_sh_times_pallas_matches_xla)
-    np.testing.assert_allclose(gp, gx, rtol=2e-2,
-                               atol=2e-2 * np.abs(gx).max())
+    # f32-reassociation of the Pallas FORWARD feeding sum(y^2)'s cotangent
+    # 2*y (matmul_dtype=None keeps every kernel input f32 — ADVICE r4)
+    np.testing.assert_allclose(gp, gx, rtol=1e-3,
+                               atol=1e-3 * np.abs(gx).max())
+
+
+def test_siren_tower_pallas_full_stack():
+    """The round-5 full-tower kernel (SH synthesis + every SIREN layer in
+    one Pallas pass) matches the unfused basis->net compose at the fused
+    path's precision class, is bit-identical to its own XLA reference
+    compose in interpret mode, and differentiates (backward = XLA ref)."""
+    import jax
+    import numpy as np
+
+    from range_tpu.ops.nets import SirenNet
+    from range_tpu.ops.posenc import SphericalHarmonics
+    from range_tpu.ops.sh import _siren_tower_ref, siren_tower_pallas
+
+    L = 16
+    net = SirenNet(dim_in=L * L, dim_hidden=256, dim_out=256, num_layers=2)
+    p = net.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    ll = jnp.asarray(np.stack([rng.uniform(-180, 180, 300),
+                               rng.uniform(-90, 90, 300)], 1), jnp.float32)
+    ref = np.asarray(net.apply(p, SphericalHarmonics(legendre_polys=L)(ll)))
+    xla = np.asarray(_siren_tower_ref(ll, p, L, "analytic", None, 30.0, 1.0))
+    out = np.asarray(siren_tower_pallas(ll, L, p, bm=128, interpret=True))
+    np.testing.assert_allclose(out, xla, rtol=0, atol=1e-6)
+    cos = np.sum(out * ref, 1) / (np.linalg.norm(out, axis=1)
+                                  * np.linalg.norm(ref, axis=1))
+    assert cos.min() > 0.99999, cos.min()
+
+    def loss_p(pp):
+        return jnp.sum(siren_tower_pallas(ll, L, pp, bm=128,
+                                          interpret=True) ** 2)
+
+    def loss_r(pp):
+        return jnp.sum(_siren_tower_ref(ll, pp, L, "analytic", None,
+                                        30.0, 1.0) ** 2)
+
+    g1 = jax.grad(loss_p)(p)
+    g2 = jax.grad(loss_r)(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_siren_tower_pallas_through_encoder():
+    """SatClipLocationEncoder.apply routes serving through the full-tower
+    kernel (CPU: interpret mode) and still matches the unfused compose;
+    training=True keeps the differentiable non-kernel path."""
+    import jax
+    import numpy as np
+
+    from range_tpu.models.satclip import (SatClipLocationConfig,
+                                          SatClipLocationEncoder)
+
+    enc = SatClipLocationEncoder(SatClipLocationConfig(
+        legendre_polys=16, capacity=128, num_hidden_layers=2, embed_dim=64))
+    params = enc.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    ll = jnp.asarray(np.stack([rng.uniform(-180, 180, 256),
+                               rng.uniform(-90, 90, 256)], 1), jnp.float32)
+    fused = np.asarray(enc.apply(params, ll))
+    unfused = np.asarray(enc.nnet.apply(params, enc.posenc(ll)))
+    cos = np.sum(fused * unfused, 1) / (
+        np.linalg.norm(fused, axis=1) * np.linalg.norm(unfused, axis=1))
+    assert cos.min() > 0.99999, cos.min()

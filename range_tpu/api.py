@@ -15,6 +15,7 @@ machines without the HF artifacts); pass a real checkpoint for parity.
 
 from __future__ import annotations
 
+import inspect
 from typing import Any, Callable, Dict, Optional, Union
 
 import jax
@@ -135,11 +136,19 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                  lr_geo: Optional[int] = None,
                  res_rank: Optional[int] = None,
                  topk_gsz: int = 0, tail_super: int = 0, m_corr: int = 0,
+                 dedup: int = 0, k_union: Optional[int] = None,
                  tower_matmul: Optional[str] = None,
                  mesh=None, bank_axis: Optional[str] = None,
                  data_axis: Optional[str] = None, shard_bm: int = 512,
                  shard_bn: int = 1024,
                  **kw) -> GeoEncoder:
+    hier_cache = kw.pop("hier_cache", None)
+    if kw:
+        # a typo'd knob (k_tile=32, lr_geO=...) would otherwise silently
+        # serve a degraded configuration (VERDICT r4 #6)
+        raise TypeError(
+            f"load_model({name!r}): unknown keyword argument(s) "
+            f"{sorted(kw)}; valid knobs: {sorted(_RANGE_KWARGS)}")
     tower, params = _satclip_tower(pretrained_path, dtype, seed,
                                    tower_matmul=tower_matmul)
     bank = _as_bank(db_path, chunk)
@@ -176,7 +185,7 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                                  topk_gsz=topk_gsz, tail_super=tail_super,
                                  tier=tier, seed=seed,
                                  shards=n_shards,
-                                 cache_path=kw.pop("hier_cache", None))
+                                 cache_path=hier_cache)
         if mesh is not None:
             from .parallel.sharded import shard_hier_bank
 
@@ -203,7 +212,8 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                       j_sem=j_sem, j_geo=j_geo,
                       hier_bm=hier_bm, hier_scan_bm=hier_scan_bm,
                       adaptive_frac=adaptive_frac,
-                      adaptive_mult=adaptive_mult, m_corr=m_corr, mesh=mesh,
+                      adaptive_mult=adaptive_mult, m_corr=m_corr,
+                      dedup=dedup, k_union=k_union, mesh=mesh,
                       bank_axis=bank_axis or "bank", data_axis=data_axis,
                       shard_bm=shard_bm, shard_bn=shard_bn)
     enc = RangeEncoder(tower, bank, cfg)
@@ -213,6 +223,13 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
 
     return GeoEncoder(name, apply_fn, params, enc.embedding_dim, model=enc,
                       extra=bank)
+
+
+# the validated knob set for RANGE/RANGE+: _build_range's named kwargs plus
+# the entries handled before/around it
+_RANGE_KWARGS = sorted(
+    [p.name for p in inspect.signature(_build_range).parameters.values()
+     if p.kind == p.KEYWORD_ONLY] + ["db_path", "beta", "hier_cache"])
 
 
 @register("RANGE")
@@ -225,9 +242,22 @@ def _range_plus(pretrained_path=None, db_path=None, beta=0.5, **kw):
     return _build_range("RANGE+", "range+", pretrained_path, db_path, beta, **kw)
 
 
+def _reject_unknown(model_name: str, kw: dict, valid=()):
+    """Raise on typo'd load_model kwargs instead of silently ignoring them
+    (VERDICT r4 #6).  `valid` lists this builder's accepted knobs for the
+    error message (its explicit signature params are always accepted —
+    they never reach the **kw catch-all)."""
+    if kw:
+        raise TypeError(
+            f"load_model({model_name!r}): unknown keyword argument(s) "
+            f"{sorted(kw)}; this model accepts: "
+            f"{sorted(set(valid) | {'pretrained_path'})}")
+
+
 @register("SatCLIP")
 def _satclip(pretrained_path=None, dtype=jnp.float32, seed: int = 0,
              tower_matmul=None, **kw):
+    _reject_unknown("SatCLIP", kw, ("dtype", "seed", "tower_matmul"))
     tower, params = _satclip_tower(pretrained_path, dtype, seed,
                                    tower_matmul=tower_matmul)
     return GeoEncoder("SatCLIP", lambda p, c, e: tower.apply(p, c), params,
@@ -235,28 +265,32 @@ def _satclip(pretrained_path=None, dtype=jnp.float32, seed: int = 0,
 
 
 @register("Direct")
-def _direct(**kw):
+def _direct(pretrained_path=None, **kw):
     # range.py:262-264: deg -> rad, identity net (NOT the PE direct.py which
     # also subtracts pi).
+    _reject_unknown("Direct", kw)
     return GeoEncoder("Direct", lambda p, c, e: deg2rad(c), None, 2)
 
 
 @register("Cartesian_3D")
-def _cartesian(**kw):
+def _cartesian(pretrained_path=None, **kw):
     # range.py:265-268
+    _reject_unknown("Cartesian_3D", kw)
     return GeoEncoder("Cartesian_3D", lambda p, c, e: lonlat_deg_to_xyz(c), None, 3)
 
 
 @register("Theory")
-def _theory(**kw):
+def _theory(pretrained_path=None, **kw):
     # range.py:165-168: Theory(frequency_num=32, min_radius=1) on raw degrees.
+    _reject_unknown("Theory", kw)
     pe = Theory(frequency_num=32, min_radius=1.0)
     return GeoEncoder("Theory", lambda p, c, e: pe(c), None, pe.embedding_dim)
 
 
 @register("Wrap")
-def _wrap(**kw):
+def _wrap(pretrained_path=None, **kw):
     # range.py:171-174
+    _reject_unknown("Wrap", kw)
     pe = Wrap()
     return GeoEncoder("Wrap", lambda p, c, e: pe(c), None, pe.embedding_dim)
 
@@ -264,6 +298,7 @@ def _wrap(**kw):
 @register("GeoCLIP")
 def _geoclip(pretrained_path=None, dtype=jnp.float32, seed: int = 0, **kw):
     # input flipped to (lat, lon) before the model, as range.py:248
+    _reject_unknown("GeoCLIP", kw, ("dtype", "seed"))
     from .models.geoclip import GeoClipLocationEncoder, geoclip_params_from_state_dict
 
     enc = GeoClipLocationEncoder()
@@ -289,6 +324,7 @@ def _taxabind(pretrained_path=None, dtype=jnp.float32, seed: int = 1, **kw):
 
 
 def _csp(name: str, pretrained_path, dtype, seed, **kw):
+    _reject_unknown(name, kw, ("dtype", "seed"))
     from .models.csp import CspConfig, CspLocationEncoder, load_csp
 
     if pretrained_path:
@@ -313,6 +349,7 @@ def _csp_inat(pretrained_path=None, dtype=jnp.float32, seed: int = 3, **kw):
 
 @register("SINR")
 def _sinr(pretrained_path=None, dtype=jnp.float32, seed: int = 4, **kw):
+    _reject_unknown("SINR", kw, ("dtype", "seed"))
     from .models.sinr import SinrLocationEncoder, sinr_params_from_state_dict
 
     enc = SinrLocationEncoder()
@@ -375,7 +412,8 @@ def sphere2vec_hparams(dataset: str = "inat2018", encoder: str = "spherec",
 
 def _make_s2vec(variant: str):
     @register(f"s2vec_{variant}")
-    def _s2vec(**kw):
+    def _s2vec(pretrained_path=None, **kw):
+        _reject_unknown(f"s2vec_{variant}", kw)
         pe = GridAndSphere(name=variant, **_S2VEC_PRESETS[variant])
         return GeoEncoder(f"s2vec_{variant}", lambda p, c, e: pe(c), None,
                           pe.embedding_dim)

@@ -92,6 +92,15 @@ class RangeConfig:
     # m_corr — fine-tail restoration beyond the K exact tiles at ~gpt/bn
     # of an exact tile's cost each; ignored on non-tail_super banks)
     m_corr: int = 0
+    # hier: query-block tile-list dedup (round 5).  dedup=f merges every f
+    # adjacent bm-query blocks' selected-tile lists into ONE parts dispatch
+    # with the deduplicated union (k_union slots; None = auto).  Selection
+    # granularity/fidelity is untouched — each block keeps its own K tiles
+    # and its queries get the neighbors' tiles as a free exact-coverage
+    # bonus; the parts work drops by ~f*K/k_union (the adjacent lists
+    # overlap heavily after the geographic sort — measured in PERF.md r5)
+    dedup: int = 0
+    k_union: Any = None
     # Multi-chip serving: a jax.sharding.Mesh whose `bank_axis` shards the
     # bank rows (parallel/sharded.py).  The API layer shards the bank at
     # load; apply() routes to the sharded kernels (psum partial combine —
@@ -168,7 +177,10 @@ class RangeEncoder:
                 from ..parallel.sharded import sharded_retrieve_hier
 
                 n = cfg.mesh.shape[cfg.bank_axis]
-                retrieved = sharded_retrieve_hier(
+                # full single-chip kwarg parity (VERDICT r4 #5): scan_bm,
+                # adaptive rescue, m_corr, dedup, and the fused
+                # combine+concat epilogue all ride the mesh path
+                return sharded_retrieve_hier(
                     q_sem, q_xyz, bank, cfg.mesh,
                     sem_temp=cfg.resolved_sem_temp(), geo_temp=cfg.geo_temp,
                     beta=cfg.beta, mode=cfg.mode,
@@ -177,6 +189,13 @@ class RangeEncoder:
                              if cfg.m_tiles else None),
                     k_geo=max(1, k_geo // n) if k_geo else 0,
                     j_sem=j_sem, j_geo=cfg.j_geo,
+                    scan_bm=cfg.hier_scan_bm or None,
+                    concat_query=q_sem,
+                    adaptive_frac=cfg.adaptive_frac,
+                    adaptive_mult=cfg.adaptive_mult,
+                    m_corr=cfg.m_corr,
+                    dedup=cfg.dedup if B >= 8192 else 0,
+                    k_union=cfg.k_union,
                     bank_axis=cfg.bank_axis,
                     interpret=jax.default_backend() != "tpu")
             else:
@@ -196,9 +215,12 @@ class RangeEncoder:
                     adaptive_frac=cfg.adaptive_frac,
                     adaptive_mult=cfg.adaptive_mult,
                     m_corr=cfg.m_corr,
+                    # small widened batches already dispatch few blocks;
+                    # dedup would merge across unrelated regions there
+                    dedup=cfg.dedup if B >= 8192 else 0,
+                    k_union=cfg.k_union,
                     interpret=jax.default_backend() != "tpu",
                 )
-            return jnp.concatenate([retrieved, q_sem], axis=-1)
         use_pallas = cfg.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"

@@ -188,6 +188,16 @@ class HierBank:
     # stats-only operand at gsz 8 restores the fine signal for ~7 MB at
     # 100k rows and no feature-path cost
     g_topk_cat: Optional[jnp.ndarray] = None
+    # low-rank SELECTION operand (build_hier_bank(topk_lr=k), round 5 —
+    # the "cheaper selection signal" lever): the top-k path's stats scan
+    # only needs RANKING quality, not accurate logits, so the fine topk
+    # centroids factor through a rank-k PCA basis — g_topk_lr [G, k] are
+    # the centroid coefficients, p_topk [k, sem_d] the basis; serving
+    # projects the packed queries once ([B, sem_d] @ p_topk^T, ~free) and
+    # the stats matmul contracts k instead of sem_d (2-4x less selection
+    # scan work at k=128/64; recall impact measured in PERF.md round 5)
+    g_topk_lr: Optional[jnp.ndarray] = None
+    p_topk: Optional[jnp.ndarray] = None
     tier: str = "fast"
     bn: int = 512
     gsz_sem: int = 8
@@ -197,6 +207,7 @@ class HierBank:
     lr_geo: int = 0
     res_rank: int = 0
     topk_gsz: int = 0
+    topk_lr: int = 0
     tail_super: int = 0
     sem_d: int = 256
     cat_d: int = 384
@@ -220,10 +231,11 @@ jax.tree_util.register_dataclass(
                  "g_sup_cat", "g_sup_vw", "g_sem_vw_lr", "u_sem",
                  "g_geo_vw_lr", "u_geo",
                  "z_sem", "w_sem", "z_geo", "w_geo",
-                 "g_sem_ts_vw", "g_sem_ts_dvw", "g_topk_cat"],
+                 "g_sem_ts_vw", "g_sem_ts_dvw", "g_topk_cat", "g_topk_lr",
+                 "p_topk"],
     meta_fields=["tier", "bn", "gsz_sem", "gsz_geo", "gsz_super", "lr_rank",
-                 "lr_geo", "res_rank", "topk_gsz", "tail_super", "sem_d",
-                 "cat_d", "t_real", "t_pad"],
+                 "lr_geo", "res_rank", "topk_gsz", "topk_lr", "tail_super",
+                 "sem_d", "cat_d", "t_real", "t_pad"],
 )
 
 
@@ -303,7 +315,8 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                     lr_rank: Optional[int] = None,
                     lr_geo: Optional[int] = None,
                     res_rank: Optional[int] = None,
-                    topk_gsz: int = 0, tail_super: int = 0,
+                    topk_gsz: int = 0, topk_lr: int = 0,
+                    tail_super: int = 0,
                     n_clusters: Optional[int] = None, iters: int = 8,
                     seed: int = 0, value_dtype=None,
                     shards: int = 1,
@@ -329,6 +342,10 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
     if gsz_super:
         assert (bn % gsz_super == 0 and gsz_super % gsz_sem == 0
                 and bn // gsz_super >= 8), (bn, gsz_super, gsz_sem)
+    if topk_lr:
+        assert topk_gsz, "topk_lr factors the topk_gsz stats operand — " \
+            "build with topk_gsz set"
+        topk_lr = min(topk_lr, int(bank.keys_sem.shape[1]))
     if topk_gsz:
         # topk groups must nest inside the key-coherent gsz_sem windows
         # the within-tile reorder produced, or the fine selection signal
@@ -379,7 +396,7 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
             gsz_super=gsz_super, tier=tier, group_by=group_by,
             group_value_weight=group_value_weight, lr_rank=lr_rank,
             lr_geo=lr_geo, res_rank=res_rank, topk_gsz=topk_gsz,
-            tail_super=tail_super,
+            topk_lr=topk_lr, tail_super=tail_super,
             n_clusters=n_clusters, iters=iters, seed=seed,
             value_dtype=value_dtype, shards=shards)
     cbank, _ = cluster_bank(bank, bn=bn, n_clusters=n_clusters, iters=iters,
@@ -700,15 +717,26 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         g_tk = (group_ops(cbank.keys_sem, None, mask, topk_gsz,
                           geo=False, stats_only=True)[0]
                 if topk_gsz else None)
+        g_tklr = (None, None)
+        if topk_lr and g_tk is not None:
+            # rank-k PCA of the packed fine centroids: the selection scan
+            # contracts k instead of sem_d (round 5 — selection needs
+            # ranking, not accurate logits; recall measured in PERF.md r5)
+            C = g_tk.astype(jnp.float32)
+            _, vecs = jnp.linalg.eigh(C.T @ C)
+            p_tk = vecs[:, -topk_lr:].T            # [k, sem_d]
+            g_tklr = ((C @ p_tk.T).astype(g_tk.dtype),
+                      p_tk.astype(jnp.float32))
         kh, kl = _split_hilo(cbank.keys_sem.astype(jnp.float32))
         khl = jnp.concatenate([kh, kl], axis=1)  # [N, 2*Dk] bf16
         return (k_cat, mask_neg, g_s, g_g, g_sup, g_lr, g_lrg, g_ts, g_res,
-                g_tk, khl)
+                g_tk, g_tklr, khl)
 
     (k_cat, mask_neg, (g_sem_cat, g_sem_vw), (g_geo_cat, g_geo_vw),
      (g_sup_cat, g_sup_vw), (g_sem_vw_lr, u_sem), (g_geo_vw_lr, u_geo),
      (g_sem_ts_vw, g_sem_ts_dvw),
-     (z_sem, w_sem, z_geo, w_geo), g_topk_cat, khl_sem) = prep(cbank)
+     (z_sem, w_sem, z_geo, w_geo), g_topk_cat, (g_topk_lr, p_topk),
+     khl_sem) = prep(cbank)
     if cbank.value_scale is not None:
         values, scale = cbank.values, cbank.value_scale.astype(jnp.float32)
     elif value_dtype is not None:
@@ -730,43 +758,29 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         g_geo_vw_lr=g_geo_vw_lr, u_geo=u_geo,
         z_sem=z_sem, w_sem=w_sem, z_geo=z_geo, w_geo=w_geo,
         g_sem_ts_vw=g_sem_ts_vw, g_sem_ts_dvw=g_sem_ts_dvw,
-        g_topk_cat=g_topk_cat,
+        g_topk_cat=g_topk_cat, g_topk_lr=g_topk_lr, p_topk=p_topk,
         tier=tier, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
         gsz_super=gsz_super, lr_rank=lr_rank or 0,
         lr_geo=lr_geo or 0,
-        res_rank=res_rank or 0, topk_gsz=topk_gsz,
+        res_rank=res_rank or 0, topk_gsz=topk_gsz, topk_lr=topk_lr or 0,
         tail_super=tail_super,
         sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
     )
 
 
-def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
-                            gsz_geo: int, gsz_super: int, tier: str,
-                            group_by: str, group_value_weight: float,
-                            lr_rank: Optional[int],
-                            lr_geo: Optional[int],
-                            res_rank: Optional[int],
-                            topk_gsz: int, tail_super: int,
-                            n_clusters: Optional[int],
-                            iters: int, seed: int, value_dtype,
-                            shards: int) -> HierBank:
-    """Host-staged `build_hier_bank`: the 1M+-row path (VERDICT r3 #5).
+def _host_order_layout(bank: GeoBank, *, bn: int, gsz_sem: int,
+                       gsz_super: int, group_by: str,
+                       group_value_weight: float,
+                       n_clusters: Optional[int], iters: int, seed: int,
+                       shards: int):
+    """Host-side ordering + layout shared by the host-staged and the
+    mesh-distributed builds: geographic pack order, within-tile
+    key(+value)-space reorder, shard padding + round-robin tile interleave.
+    Returns host numpy arrays in the FINAL row layout plus (N, T, t_pad, RC).
 
-    The device-resident build transiently holds ~3 copies of the bank
-    (source + reordered + prep intermediates) — ~9.4 GB at 1M rows of
-    1024-d values, OOM on a 16 GB chip even though the SERVING set fits.
-    This variant keeps the bank and every intermediate in host RAM,
-    performs permutations/padding with numpy, and streams bn-aligned row
-    chunks through the device for the compute-heavy pieces (dequantize,
-    group sums, Gram accumulation, packing).  Only the final serving
-    operands are placed on device, once.
-
-    Numerical notes vs the device build: identical math and chunk-stable
-    k-means; the clustering features are bf16 (the device build also goes
-    bf16 above 256k rows — the only regime this path serves); Gram
-    accumulation order differs (chunked adds vs one matmul), so eigenbases
-    can differ by fp noise.  Parity is asserted in
-    tests/test_hier.py::test_hosted_build_matches_device."""
+    Bit-identical to the device build's ordering at the same seed (the
+    per-tile k-means is chunk-stable; clustering features are bf16, the
+    regime the big-bank builds always run in)."""
     import math
 
     assert group_by in ("key", "key_value"), group_by
@@ -778,7 +792,7 @@ def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
               if bank.value_scale is not None else None)
     valid = np.asarray(bank.row_mask(), np.float32)
 
-    from ..bank.clustered import _tile_stats_impl, geo_pack_order
+    from ..bank.clustered import geo_pack_order
 
     # 1. geographic clustering ([N, 3] is small on device at any scale);
     #    packing order + gather on HOST
@@ -853,7 +867,45 @@ def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
                                         keys[row_perm], vals[row_perm],
                                         valid[row_perm])
         vscale = vscale[:, row_perm] if vscale is not None else None
+    return locs, xyz, keys, vals, vscale, valid, N, T, t_pad, RC
 
+
+def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
+                            gsz_geo: int, gsz_super: int, tier: str,
+                            group_by: str, group_value_weight: float,
+                            lr_rank: Optional[int],
+                            lr_geo: Optional[int],
+                            res_rank: Optional[int],
+                            topk_gsz: int, tail_super: int,
+                            topk_lr: int = 0,
+                            n_clusters: Optional[int],
+                            iters: int, seed: int, value_dtype,
+                            shards: int) -> HierBank:
+    """Host-staged `build_hier_bank`: the 1M+-row path (VERDICT r3 #5).
+
+    The device-resident build transiently holds ~3 copies of the bank
+    (source + reordered + prep intermediates) — ~9.4 GB at 1M rows of
+    1024-d values, OOM on a 16 GB chip even though the SERVING set fits.
+    This variant keeps the bank and every intermediate in host RAM,
+    performs permutations/padding with numpy, and streams bn-aligned row
+    chunks through the device for the compute-heavy pieces (dequantize,
+    group sums, Gram accumulation, packing).  Only the final serving
+    operands are placed on device, once.
+
+    Numerical notes vs the device build: identical math and chunk-stable
+    k-means; the clustering features are bf16 (the device build also goes
+    bf16 above 256k rows — the only regime this path serves); Gram
+    accumulation order differs (chunked adds vs one matmul), so eigenbases
+    can differ by fp noise.  Parity is asserted in
+    tests/test_hier.py::test_hosted_build_matches_device."""
+    from ..bank.clustered import _tile_stats_impl
+
+    locs, xyz, keys, vals, vscale, valid, N, T, t_pad, RC = \
+        _host_order_layout(bank, bn=bn, gsz_sem=gsz_sem,
+                           gsz_super=gsz_super, group_by=group_by,
+                           group_value_weight=group_value_weight,
+                           n_clusters=n_clusters, iters=iters, seed=seed,
+                           shards=shards)
     stats = _tile_stats_impl(jnp.asarray(keys), jnp.asarray(xyz),
                              jnp.asarray(valid), bn=bn)
     sem_d, cat_d = packed_dims(keys.shape[1], tier)
@@ -937,6 +989,14 @@ def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
                            if gsz_super else (None, None))
     g_topk_cat = (pack_family("topk", topk_gsz, False)[0]
                   if topk_gsz else None)
+    g_topk_lr = p_topk = None
+    if topk_lr and g_topk_cat is not None:
+        topk_lr = min(topk_lr, keys.shape[1])
+        C = g_topk_cat.astype(jnp.float32)
+        _, vecs = jnp.linalg.eigh(C.T @ C)
+        p_tk = vecs[:, -topk_lr:].T
+        g_topk_lr = (C @ p_tk.T).astype(g_topk_cat.dtype)
+        p_topk = p_tk.astype(jnp.float32)
 
     # 6. low-rank sem tail (G x Dv fits on device even at 1M rows/gsz 16)
     g_sem_vw_lr = u_sem = None
@@ -1081,14 +1141,252 @@ def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
         g_geo_vw_lr=g_geo_vw_lr, u_geo=u_geo,
         z_sem=z_sem, w_sem=w_sem, z_geo=z_geo, w_geo=w_geo,
         g_sem_ts_vw=g_sem_ts_vw, g_sem_ts_dvw=g_sem_ts_dvw,
-        g_topk_cat=g_topk_cat,
+        g_topk_cat=g_topk_cat, g_topk_lr=g_topk_lr, p_topk=p_topk,
         tier=tier, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
         gsz_super=gsz_super, lr_rank=lr_rank or 0,
         lr_geo=lr_geo or 0,
-        res_rank=res_rank or 0, topk_gsz=topk_gsz,
+        res_rank=res_rank or 0, topk_gsz=topk_gsz, topk_lr=topk_lr or 0,
         tail_super=tail_super,
         sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
     )
+
+
+def build_hier_bank_mesh(bank: GeoBank, mesh, *, bank_axis: Optional[str] = None,
+                         bn: int = 512, gsz_sem: int = 8, gsz_geo: int = 64,
+                         gsz_super: int = 0, tier: str = "fast",
+                         group_by: str = "key_value",
+                         group_value_weight: float = 1.0,
+                         lr_rank: Optional[int] = None,
+                         lr_geo: Optional[int] = None,
+                         res_rank: Optional[int] = None,
+                         topk_gsz: int = 0, topk_lr: int = 0,
+                         tail_super: int = 0,
+                         n_clusters: Optional[int] = None, iters: int = 8,
+                         seed: int = 0, value_dtype=None) -> HierBank:
+    """MESH-distributed bank build for 10M+-row banks (round 5, VERDICT r4
+    #7): returns a HierBank already sharded for `sharded_retrieve_hier`.
+
+    The host-staged build (`_build_hier_bank_hosted`) bounds the single
+    device's HBM by streaming row chunks, but every chunk still flows
+    through ONE chip.  Here the ordering/layout stages run identically on
+    the host (`_host_order_layout` — geo k-means on [N, 3] is cheap at any
+    scale; the per-tile key k-means is chunk-bounded), and the
+    memory/compute-heavy operand passes (packing, hi/lo split, group
+    centroid/value-sum einsums, the lr/res Gram accumulations and residual
+    projections) run as ONE SPMD program with the rows sharded over the
+    mesh's `bank_axis` — per-device residency is N/n_shards rows, and the
+    only cross-shard traffic is the two [Dv, Dv] Gram all-reduces.
+
+    Operand parity vs the host-staged single-device build is exact for the
+    row layout (same host ordering code) and fp-reassociation-class for
+    the einsums/Grams (tests/test_hier.py::test_mesh_build_matches_hosted;
+    4M-row run recorded in PERF.md round 5)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..bank.clustered import _tile_stats_impl
+    from .retrieval_pallas import _split_hilo
+
+    bank_axis = bank_axis or mesh.axis_names[-1]
+    shards = mesh.shape[bank_axis]
+    if shards <= 1:
+        return build_hier_bank(
+            bank, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
+            gsz_super=gsz_super, tier=tier, group_by=group_by,
+            group_value_weight=group_value_weight, lr_rank=lr_rank,
+            lr_geo=lr_geo, res_rank=res_rank, topk_gsz=topk_gsz,
+            tail_super=tail_super, n_clusters=n_clusters, iters=iters,
+            seed=seed, value_dtype=value_dtype, shards=1)
+    assert bn % gsz_sem == 0 and bn % gsz_geo == 0, (bn, gsz_sem, gsz_geo)
+    assert bn // gsz_sem >= 8 and bn // gsz_geo >= 8, (bn, gsz_sem, gsz_geo)
+    Dv = int(bank.values.shape[1])
+    if lr_rank:
+        lr_rank = min(lr_rank, Dv)
+    if lr_geo:
+        lr_geo = min(lr_geo, Dv)
+    if res_rank:
+        res_rank = min(res_rank, Dv)
+
+    locs, xyz, keys, vals, vscale, valid, N, T, t_pad, _ = \
+        _host_order_layout(bank, bn=bn, gsz_sem=gsz_sem,
+                           gsz_super=gsz_super, group_by=group_by,
+                           group_value_weight=group_value_weight,
+                           n_clusters=n_clusters, iters=iters, seed=seed,
+                           shards=shards)
+    # the shards>1 layout pads rows to whole equal slabs, so every group
+    # family's G == G_pad and the SPMD reshapes below tile evenly per shard
+    assert N == t_pad * bn, (N, t_pad, bn)
+
+    rows = NamedSharding(mesh, P(bank_axis, None))
+    rows1 = NamedSharding(mesh, P(bank_axis))
+    cols = NamedSharding(mesh, P(None, bank_axis))
+    rep = NamedSharding(mesh, P())
+    keys_d = jax.device_put(keys, rows)
+    xyz_d = jax.device_put(xyz, rows)
+    locs_d = jax.device_put(locs, rows)
+    valid_d = jax.device_put(valid, rows1)
+    vals_d = jax.device_put(vals, rows)
+    vscale_d = (jax.device_put(vscale.astype(np.float32), cols)
+                if vscale is not None else None)
+    del locs, xyz, keys, vals, valid
+    stats = _tile_stats_impl(keys_d, xyz_d, valid_d, bn=bn)
+
+    gszs = [("sem", gsz_sem, False), ("geo", gsz_geo, True)]
+    if gsz_super:
+        gszs.append(("sup", gsz_super, False))
+    if topk_gsz:
+        gszs.append(("topk", topk_gsz, False))
+    sem_d, cat_d = packed_dims(keys_d.shape[1], tier)
+    Dvp = _round_up(Dv + 1, 128)
+    vw_dtype = jnp.float32 if tier == "exact" else jnp.bfloat16
+    Dk = keys_d.shape[1]
+
+    @jax.jit
+    def prep_mesh(keys_, xyz_, vals_, scale_, mask_):
+        vf = vals_.astype(jnp.float32)
+        if scale_ is not None:
+            vf = vf * scale_[0][:, None]
+        vf = vf * mask_[:, None]
+        out = {"k_cat": pack_bank(keys_, xyz_, tier=tier),
+               "khl": jnp.concatenate(_split_hilo(keys_), axis=1),
+               "mask_neg": (NEG * (1.0 - mask_))[None, :]}
+        fam = {}
+        for name, gsz, geo in gszs:
+            G = N // gsz
+            feats = xyz_ if geo else keys_
+            mg = mask_.reshape(G, gsz)
+            cnt = mg.sum(axis=1)
+            w = mg / jnp.maximum(cnt, 1.0)[:, None]
+            cg = jnp.einsum("gi,gid->gd", w,
+                            feats.astype(jnp.float32).reshape(G, gsz, -1))
+            if geo:
+                cat = pack_bank(jnp.zeros((G, Dk), jnp.float32), cg,
+                                tier=tier)[:, sem_d:]
+            else:
+                cat = pack_bank(cg, jnp.zeros((G, 3), jnp.float32),
+                                tier=tier)[:, :sem_d]
+            out[f"cat_{name}"] = cat
+            if name == "topk":
+                if topk_lr:
+                    # sharded-G Gram -> replicated basis; coefficients
+                    # stay row-sharded like the full operand
+                    C = cat.astype(jnp.float32)
+                    _, vecs = jnp.linalg.eigh(C.T @ C)
+                    p_tk = vecs[:, -min(topk_lr, sem_d):].T
+                    out["g_topk_lr"] = (C @ p_tk.T).astype(cat.dtype)
+                    out["p_topk"] = p_tk.astype(jnp.float32)
+                continue
+            vsum = jnp.einsum("gi,gid->gd", mg, vf.reshape(G, gsz, -1),
+                              preferred_element_type=jnp.float32)
+            out[f"vw_{name}"] = jnp.concatenate(
+                [vsum, cnt[:, None],
+                 jnp.zeros((G, Dvp - Dv - 1), jnp.float32)],
+                axis=1).astype(vw_dtype)
+            fam[name] = (vsum, cnt, mg)
+
+        lr_out = {}
+        mean_lr = {}
+        for name, r in (("sem", lr_rank), ("geo", lr_geo)):
+            if not r:
+                continue
+            vsum, cnt, _ = fam[name]
+            # sharded-G contraction -> replicated [Dv, Dv] Gram (the one
+            # all-reduce of the build), replicated eigh
+            gram = vsum.T @ vsum
+            _, vecs = jnp.linalg.eigh(gram)
+            u = vecs[:, -r:].T
+            coef = vsum @ u.T
+            mean_lr[name] = (coef, cnt, u)
+            rp = _round_up(r + 1, 128)
+            lr_out[f"lrw_{name}"] = jnp.concatenate(
+                [coef, cnt[:, None], jnp.zeros((N // (gsz_sem if name ==
+                 "sem" else gsz_geo), rp - r - 1), jnp.float32)],
+                axis=1).astype(vw_dtype)
+            lr_out[f"u_{name}"] = u.astype(jnp.float32)
+        out.update(lr_out)
+
+        if res_rank:
+            rrp = _round_up(res_rank, 128)
+            for name, gsz in (("sem", gsz_sem), ("geo", gsz_geo)):
+                vsum, cnt, mg = fam[name]
+                if name in mean_lr:
+                    coef, cnt_lr, u = mean_lr[name]
+                    vbar = (coef / jnp.maximum(cnt_lr, 1.0)[:, None]) @ u
+                else:
+                    vbar = vsum / jnp.maximum(cnt, 1.0)[:, None]
+                R = ((vf.reshape(N // gsz, gsz, Dv) - vbar[:, None, :])
+                     * mg[..., None]).reshape(N, Dv)
+                gram = R.T @ R
+                _, vecs = jnp.linalg.eigh(gram)
+                w = vecs[:, -res_rank:].T
+                out[f"z_{name}"] = jnp.pad(
+                    R @ w.T, ((0, 0), (0, rrp - res_rank))).astype(vw_dtype)
+                out[f"w_{name}"] = jnp.pad(
+                    w, ((0, rrp - res_rank), (0, 0))).astype(jnp.float32)
+
+        if tail_super:
+            src = (lr_out["lrw_sem"] if lr_rank
+                   else out["vw_sem"]).astype(jnp.float32)
+            ratio = tail_super // gsz_sem
+            Gp, Wt = src.shape
+            ts_vw = src.reshape(Gp // ratio, ratio, Wt).mean(axis=1)
+            out["ts_vw"] = ts_vw.astype(vw_dtype)
+            out["ts_dvw"] = (src - jnp.repeat(ts_vw, ratio, axis=0)
+                             ).astype(vw_dtype)
+        return out
+
+    got = prep_mesh(keys_d, xyz_d, vals_d, vscale_d, valid_d)
+    if vscale is not None:
+        values, scale = vals_d, vscale_d
+    else:
+        sv = value_dtype if value_dtype is not None else jnp.bfloat16
+        values = jax.jit(lambda v: v.astype(sv),
+                         out_shardings=rows)(vals_d)
+        scale = None
+    cbank = GeoBank(
+        locs_lonlat=locs_d, xyz=xyz_d, keys_sem=keys_d, values=values,
+        n_valid=jax.device_put(bank.n_valid, rep), valid_mask=valid_d,
+        value_scale=scale,
+    )
+
+    def putr(x):
+        return jax.device_put(x, rows) if x is not None else None
+
+    hb = HierBank(
+        bank=cbank, k_cat=putr(got["k_cat"]), values=values,
+        value_scale=scale,
+        mask_neg=jax.device_put(got["mask_neg"], cols),
+        sem_centroid=jax.device_put(
+            stats.sem_centroid.astype(jnp.float32), rep),
+        geo_centroid=jax.device_put(
+            stats.geo_centroid.astype(jnp.float32), rep),
+        sem_radius=jax.device_put(stats.sem_radius.astype(jnp.float32), rep),
+        geo_radius=jax.device_put(stats.geo_radius.astype(jnp.float32), rep),
+        g_sem_cat=putr(got["cat_sem"]), g_geo_cat=putr(got["cat_geo"]),
+        g_sem_vw=putr(got["vw_sem"]), g_geo_vw=putr(got["vw_geo"]),
+        khl_sem=putr(got["khl"]),
+        g_sup_cat=putr(got.get("cat_sup")), g_sup_vw=putr(got.get("vw_sup")),
+        g_sem_vw_lr=putr(got.get("lrw_sem")),
+        u_sem=(jax.device_put(got["u_sem"], rep) if lr_rank else None),
+        g_geo_vw_lr=putr(got.get("lrw_geo")),
+        u_geo=(jax.device_put(got["u_geo"], rep) if lr_geo else None),
+        z_sem=putr(got.get("z_sem")),
+        w_sem=(jax.device_put(got["w_sem"], rep) if res_rank else None),
+        z_geo=putr(got.get("z_geo")),
+        w_geo=(jax.device_put(got["w_geo"], rep) if res_rank else None),
+        g_sem_ts_vw=putr(got.get("ts_vw")),
+        g_sem_ts_dvw=putr(got.get("ts_dvw")),
+        g_topk_cat=putr(got.get("cat_topk")),
+        g_topk_lr=putr(got.get("g_topk_lr")),
+        p_topk=(jax.device_put(got["p_topk"], rep)
+                if "p_topk" in got else None),
+        tier=tier, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
+        gsz_super=gsz_super, lr_rank=lr_rank or 0, lr_geo=lr_geo or 0,
+        res_rank=res_rank or 0, topk_gsz=topk_gsz,
+        topk_lr=(min(topk_lr, sem_d) if topk_lr else 0),
+        tail_super=tail_super,
+        sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
+    )
+    return hb
 
 
 # ---------------------------------------------------------------------------
@@ -1555,6 +1853,19 @@ def hier_topk(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray], hb: HierBank,
         m_s, s_s, m_g, s_g = _hier_scan_stats_call(
             q_cat, hb.g_sup_cat, hb.g_geo_cat, bm=bm, tc=tc,
             gpt_s=hb.bn // hb.gsz_super, gpt_g=gpt_g, interpret=interpret)
+    elif hb.g_topk_lr is not None and hb.topk_lr:
+        # low-rank selection signal (round 5): project the packed queries
+        # onto the fine centroids' PCA basis once (~free) and contract k
+        # instead of sem_d in the stats matmul — selection needs ranking
+        # quality, not accurate logits; recall measured in PERF.md r5
+        q_sel = jnp.dot(q_cat[:, :hb.sem_d].astype(jnp.float32),
+                        hb.p_topk.T,
+                        preferred_element_type=jnp.float32)
+        q_tk = jnp.concatenate([q_sel.astype(q_cat.dtype),
+                                q_cat[:, hb.sem_d:]], axis=1)
+        m_s, s_s, m_g, s_g = _hier_scan_stats_call(
+            q_tk, hb.g_topk_lr, hb.g_geo_cat, bm=bm, tc=tc,
+            gpt_s=hb.bn // hb.topk_gsz, gpt_g=gpt_g, interpret=interpret)
     elif hb.g_topk_cat is not None and hb.topk_gsz:
         # fine stats-only centroids: restores the selection signal a
         # coarse feature-tail gsz_sem costs (gsz16 needs K=64 for the
@@ -1662,6 +1973,52 @@ def select_tiles(m_s, s_s, m_g, s_g, *, t_real: int, k_tiles: int, bm: int,
     sel = jnp.zeros((nB, t_pad), jnp.float32)
     sel = sel.at[jnp.arange(nB)[:, None], idx].set(1.0)
     return idx, sel
+
+
+def _dedup_union(idx: jnp.ndarray, f: int, k_union: int) -> jnp.ndarray:
+    """Merge each f adjacent query blocks' rank-ordered tile lists into one
+    deduplicated union list [nB/f, k_union] (round 5 — the tile-dedup lever).
+
+    After the geographic sort, adjacent bm-query blocks select heavily
+    overlapping tile lists; the parts kernels' work is #dispatches = #blocks
+    x K, so merging f blocks into one f*bm-query dispatch with the union
+    list costs #blocks/f x k_union — a f*K/k_union work cut (measured ~1.9x
+    at the flagship point, tools/r5_overlap.py).  Fidelity can only improve:
+    every query keeps at least its own block's tiles (an exact tile replaces
+    the tail approximation — strictly better), unless k_union truncates, in
+    which case the RANK-MAJOR interleave below guarantees every block keeps
+    its ~k_union/f highest-ranked tiles.
+
+    Unused slots REPEAT the previous entry; the parts kernels skip a grid
+    step whose scalar-prefetched tile equals the previous one (consecutive
+    duplicates occur only as this padding — select_tiles emits distinct
+    lists), so padding costs the block fetch but no compute."""
+    nB, K = idx.shape
+    nS = nB // f
+    assert nS * f == nB, (nB, f)
+    k_union = min(k_union, f * K)
+    # rank-major interleave: column order = (rank0 of block 0..f-1, rank1 of
+    # block 0..f-1, ...) so truncation drops globally-low ranks first
+    m = idx.reshape(nS, f, K).transpose(0, 2, 1).reshape(nS, f * K)
+    # mark duplicates: stable sort by tile id keeps the highest-priority
+    # (earliest) copy unmarked
+    pos = jnp.argsort(m, axis=1, stable=True)
+    srt = jnp.take_along_axis(m, pos, axis=1)
+    dup_srt = jnp.concatenate(
+        [jnp.zeros((nS, 1), bool), srt[:, 1:] == srt[:, :-1]], axis=1)
+    dup = jnp.zeros_like(dup_srt).at[
+        jnp.arange(nS)[:, None], pos].set(dup_srt)
+    # distinct entries keep their column priority; dups sort last
+    cols = jnp.arange(f * K)[None, :]
+    prio = jnp.where(dup, f * K + cols, cols)
+    order = jnp.argsort(prio, axis=1)[:, :k_union]
+    out = jnp.take_along_axis(m, order, axis=1)
+    n_distinct = jnp.sum(~dup, axis=1, keepdims=True)
+    # pad slots repeat the last distinct tile (kernel-side dup skip)
+    last = jnp.take_along_axis(
+        out, jnp.minimum(n_distinct - 1, k_union - 1), axis=1)
+    out = jnp.where(cols[:, :k_union] < n_distinct, out, last)
+    return out.astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -1876,8 +2233,8 @@ def _hier_corr_call(q_cat, idx, g_cat, dvw, *, bm: int, gpt: int,
 
 
 def _hier_parts_family_kernel(sem_d, has_scale, lr, geo, rr, lrr, dv,
-                              idx_ref, q_ref, k_ref, v_ref, gs_ref, vs_ref,
-                              *rest):
+                              dedup_pad, idx_ref, q_ref, k_ref, v_ref,
+                              gs_ref, vs_ref, *rest):
     """Single-family variant of `_hier_parts_kernel`: exact one-family
     softmax partials minus that family's group approximation over the
     scalar-prefetched tile list.  Splitting families lets the sem exact
@@ -1901,6 +2258,7 @@ def _hier_parts_family_kernel(sem_d, has_scale, lr, geo, rr, lrr, dv,
         s_ref, mask_ref, out_ref, acc_ref, d_ref, *xtr = rest
     else:
         mask_ref, out_ref, acc_ref, d_ref, *xtr = rest
+    i0 = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -1911,75 +2269,89 @@ def _hier_parts_family_kernel(sem_d, has_scale, lr, geo, rr, lrr, dv,
         for x in xtr:
             x[:] = jnp.zeros_like(x)
 
-    q = q_ref[:]
-    k = k_ref[:]
-    mask = mask_ref[:]
-    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
-    if geo:
-        logits = jnp.dot(q[:, sem_d:], k[:, sem_d:].T,
-                         preferred_element_type=jnp.float32,
-                         precision=prec) + mask
-    else:
-        logits = jnp.dot(q[:, :sem_d], k[:, :sem_d].T,
-                         preferred_element_type=jnp.float32,
-                         precision=prec) + mask
-    p = jnp.exp2(jnp.minimum(logits, CLAMP2))
-
-    gw = gs_ref.shape[1]
-    qg = q[:, q.shape[1] - gw:] if geo else q[:, :gw]
-    e = jnp.exp2(jnp.minimum(
-        jnp.dot(qg, gs_ref[:].T, preferred_element_type=jnp.float32),
-        CLAMP2))
-    vs = vs_ref[:]
-
-    if rr:
-        z = v_ref[:]
-        bn, gpt = k.shape[0], gs_ref.shape[0]
-        gsz = bn // gpt
-        # static 0/1 segment matrix (rows -> fine groups), built in
-        # registers: ps = segment-sums of p as ONE bf16 MXU matmul
-        sgm = (jax.lax.broadcasted_iota(jnp.int32, (bn, gpt), 0) // gsz
-               == jax.lax.broadcasted_iota(jnp.int32, (bn, gpt), 1))
-        ps = jnp.dot(p.astype(z.dtype), sgm.astype(z.dtype),
-                     preferred_element_type=jnp.float32)
-        cnt = vs[:, lrr if lr else dv].astype(jnp.float32)
-        psn = ps / jnp.maximum(cnt, 1.0)[None, :]
-        if lr:
-            # alr accumulates (approx - mean) in lr coords; its cnt column
-            # then carries e@cnt - sum(p), so corr = tails - alr restores
-            # the exact denominator downstream (no in-kernel sum(p))
-            xtr[0][:] += jnp.dot((e - psn).astype(vs.dtype), vs,
-                                 preferred_element_type=jnp.float32)
+    # dedup-padding skip (static: only when a dedup-merged list can carry
+    # repeat-padding): _dedup_union pads its merged tile lists by REPEATING
+    # the previous entry (select_tiles lists are always distinct, so a
+    # consecutive duplicate can only be padding) — skip the step's compute;
+    # processing a tile twice would double its (exact - approx) telescope
+    # term
+    def _body():
+        q = q_ref[:]
+        k = k_ref[:]
+        mask = mask_ref[:]
+        prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+        if geo:
+            logits = jnp.dot(q[:, sem_d:], k[:, sem_d:].T,
+                             preferred_element_type=jnp.float32,
+                             precision=prec) + mask
         else:
-            dvv = jnp.dot((psn - e).astype(vs.dtype), vs,
-                          preferred_element_type=jnp.float32)
-            acc_ref[:] += dvv[:, :dv]
-            d_ref[:] += dvv[:, dv:dv + 1]
-        az = acc_ref if (rr and lr) else xtr[-1]
-        az[:] += jnp.dot(p.astype(z.dtype), z,
+            logits = jnp.dot(q[:, :sem_d], k[:, :sem_d].T,
+                             preferred_element_type=jnp.float32,
+                             precision=prec) + mask
+        p = jnp.exp2(jnp.minimum(logits, CLAMP2))
+
+        gw = gs_ref.shape[1]
+        qg = q[:, q.shape[1] - gw:] if geo else q[:, :gw]
+        e = jnp.exp2(jnp.minimum(
+            jnp.dot(qg, gs_ref[:].T, preferred_element_type=jnp.float32),
+            CLAMP2))
+        vs = vs_ref[:]
+
+        if rr:
+            z = v_ref[:]
+            bn, gpt = k.shape[0], gs_ref.shape[0]
+            gsz = bn // gpt
+            # static 0/1 segment matrix (rows -> fine groups), built in
+            # registers: ps = segment-sums of p as ONE bf16 MXU matmul
+            sgm = (jax.lax.broadcasted_iota(jnp.int32, (bn, gpt), 0) // gsz
+                   == jax.lax.broadcasted_iota(jnp.int32, (bn, gpt), 1))
+            ps = jnp.dot(p.astype(z.dtype), sgm.astype(z.dtype),
                          preferred_element_type=jnp.float32)
+            cnt = vs[:, lrr if lr else dv].astype(jnp.float32)
+            psn = ps / jnp.maximum(cnt, 1.0)[None, :]
+            if lr:
+                # alr accumulates (approx - mean) in lr coords; its cnt
+                # column then carries e@cnt - sum(p), so corr = tails - alr
+                # restores the exact denominator downstream (no in-kernel
+                # sum(p))
+                xtr[0][:] += jnp.dot((e - psn).astype(vs.dtype), vs,
+                                     preferred_element_type=jnp.float32)
+            else:
+                dvv = jnp.dot((psn - e).astype(vs.dtype), vs,
+                              preferred_element_type=jnp.float32)
+                acc_ref[:] += dvv[:, :dv]
+                d_ref[:] += dvv[:, dv:dv + 1]
+            az = acc_ref if (rr and lr) else xtr[-1]
+            az[:] += jnp.dot(p.astype(z.dtype), z,
+                             preferred_element_type=jnp.float32)
+        else:
+            d_ref[:] += jnp.sum(p, axis=-1, keepdims=True)
+            Dv = v_ref.shape[1]
+            if has_scale:
+                s = s_ref[:]
+                v = v_ref[:].astype(jnp.bfloat16)
+                acc_ref[:] += jnp.dot((p * s).astype(jnp.bfloat16), v,
+                                      preferred_element_type=jnp.float32)
+            else:
+                v = v_ref[:]
+                vprec = (jax.lax.Precision.HIGHEST if v.dtype == jnp.float32
+                         else None)
+                acc_ref[:] += jnp.dot(p.astype(v.dtype), v,
+                                      preferred_element_type=jnp.float32,
+                                      precision=vprec)
+            appr = jnp.dot(e.astype(vs.dtype), vs,
+                           preferred_element_type=jnp.float32)
+            if lr:
+                xtr[0][:] += appr
+            else:
+                acc_ref[:] -= appr[:, :Dv]
+                d_ref[:] -= appr[:, Dv:Dv + 1]
+
+    if dedup_pad:
+        dup = (j > 0) & (idx_ref[i0, j] == idx_ref[i0, jnp.maximum(j - 1, 0)])
+        pl.when(jnp.logical_not(dup))(_body)
     else:
-        d_ref[:] += jnp.sum(p, axis=-1, keepdims=True)
-        Dv = v_ref.shape[1]
-        if has_scale:
-            s = s_ref[:]
-            v = v_ref[:].astype(jnp.bfloat16)
-            acc_ref[:] += jnp.dot((p * s).astype(jnp.bfloat16), v,
-                                  preferred_element_type=jnp.float32)
-        else:
-            v = v_ref[:]
-            vprec = (jax.lax.Precision.HIGHEST if v.dtype == jnp.float32
-                     else None)
-            acc_ref[:] += jnp.dot(p.astype(v.dtype), v,
-                                  preferred_element_type=jnp.float32,
-                                  precision=vprec)
-        appr = jnp.dot(e.astype(vs.dtype), vs,
-                       preferred_element_type=jnp.float32)
-        if lr:
-            xtr[0][:] += appr
-        else:
-            acc_ref[:] -= appr[:, :Dv]
-            d_ref[:] -= appr[:, Dv:Dv + 1]
+        _body()
 
     @pl.when(j == nj - 1)
     def _():
@@ -1996,11 +2368,12 @@ def _hier_parts_family_kernel(sem_d, has_scale, lr, geo, rr, lrr, dv,
 
 @functools.partial(jax.jit, static_argnames=("sem_d", "bm", "bn", "gpt",
                                              "geo", "lr", "rr", "lrr",
-                                             "interpret"))
+                                             "dedup_pad", "interpret"))
 def _hier_parts_family_call(q_cat, k_cat, values, scale, mask_neg, idx,
                             g_cat, g_vw, z=None, *, sem_d: int, bm: int,
                             bn: int, gpt: int, geo: bool = False,
                             lr: bool = False, rr: int = 0, lrr: int = 0,
+                            dedup_pad: bool = False,
                             interpret: bool = False) -> jnp.ndarray:
     Bp, cat_d = q_cat.shape
     N, Dv = values.shape
@@ -2065,7 +2438,7 @@ def _hier_parts_family_call(q_cat, k_cat, values, scale, mask_neg, idx,
     vw_cols = (rrp + gpt) if rr else Dv
     out = pl.pallas_call(
         functools.partial(_hier_parts_family_kernel, sem_d, has_scale, lr,
-                          geo, rr, lrr, Dv),
+                          geo, rr, lrr, Dv, dedup_pad),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, out_w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -2328,7 +2701,8 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
                    scan_bm: Optional[int] = None,
                    raw: bool = False,
                    adaptive_frac: float = 0.0, adaptive_mult: int = 3,
-                   m_corr: int = 0,
+                   m_corr: int = 0, dedup: int = 0,
+                   k_union: Optional[int] = None,
                    interpret: bool = False):
     """The hier pipeline body on (already sorted) packed queries:
     fused scan (stats + all-tiles tail) -> tile selection -> parts kernel
@@ -2401,16 +2775,29 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
                                     k_tiles=k_geo, bm=bm, n_valid=n_valid,
                                     j_sem=j_geo, j_geo=j_sem, mode="range")
         use_rr = bool(hb.res_rank) and hb.z_sem is not None
+        # round-5 tile dedup: merge f adjacent blocks' lists into one union
+        # dispatch (selection granularity/fidelity untouched — every block
+        # keeps its own K tiles; the parts kernels do strictly MORE exact
+        # tiles per query at k_union/(f*K) of the dispatch work)
+        idx_ps, idx_pg, bm_p = idx_s, idx_g, bm
+        if dedup > 1 and not use_ts and q_cat.shape[0] % (dedup * bm) == 0:
+            ku_s = min(k_union or (k_tiles + (dedup - 1) * k_tiles // 2),
+                       dedup * idx_s.shape[1])
+            ku_g = min(max(1, ku_s * max(k_geo, 1) // max(k_tiles, 1)),
+                       dedup * max(idx_g.shape[1], 1))
+            idx_ps = _dedup_union(idx_s, dedup, ku_s)
+            idx_pg = _dedup_union(idx_g, dedup, ku_g)
+            bm_p = bm * dedup
         parts_s = _hier_parts_family_call(
-            q_cat, hb.k_cat, hb.values, hb.value_scale, hb.mask_neg, idx_s,
-            hb.g_sem_cat, sem_vw, hb.z_sem, sem_d=hb.sem_d, bm=bm, bn=hb.bn,
-            gpt=gpt_s, geo=False, lr=use_lr, rr=int(use_rr),
-            lrr=hb.lr_rank, interpret=interpret)
+            q_cat, hb.k_cat, hb.values, hb.value_scale, hb.mask_neg, idx_ps,
+            hb.g_sem_cat, sem_vw, hb.z_sem, sem_d=hb.sem_d, bm=bm_p,
+            bn=hb.bn, gpt=gpt_s, geo=False, lr=use_lr, rr=int(use_rr),
+            lrr=hb.lr_rank, dedup_pad=bm_p != bm, interpret=interpret)
         parts_g = _hier_parts_family_call(
-            q_cat, hb.k_cat, hb.values, hb.value_scale, hb.mask_neg, idx_g,
-            hb.g_geo_cat, geo_vw, hb.z_geo, sem_d=hb.sem_d, bm=bm,
+            q_cat, hb.k_cat, hb.values, hb.value_scale, hb.mask_neg, idx_pg,
+            hb.g_geo_cat, geo_vw, hb.z_geo, sem_d=hb.sem_d, bm=bm_p,
             bn=hb.bn, gpt=gpt_g, geo=True, lr=use_lrg, rr=int(use_rr),
-            lrr=hb.lr_geo, interpret=interpret)
+            lrr=hb.lr_geo, dedup_pad=bm_p != bm, interpret=interpret)
         corr_ts = (_hier_corr_call(q_cat, idx_sm, hb.g_sem_cat,
                                    hb.g_sem_ts_dvw, bm=bm, gpt=gpt_s,
                                    interpret=interpret)
@@ -2702,7 +3089,8 @@ def _combine_cat_call(ps, pg, tails, q_srt, w_sem, u_sem, w_geo, u_geo=None,
 @functools.partial(jax.jit, static_argnames=(
     "sem_temp", "geo_temp", "beta", "mode", "k_tiles", "m_tiles", "k_geo",
     "bm", "tc", "j_sem", "j_geo", "scan_bm", "sort_queries", "sort",
-    "adaptive_frac", "adaptive_mult", "m_corr", "interpret"))
+    "adaptive_frac", "adaptive_mult", "m_corr", "dedup", "k_union",
+    "interpret"))
 def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
                   hb: HierBank, *, sem_temp: float = 12.0,
                   geo_temp: float = 40.0, beta: float = 0.5,
@@ -2714,7 +3102,8 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
                   sort_queries: bool = True, sort: str = "geo",
                   concat_query: Optional[jnp.ndarray] = None,
                   adaptive_frac: float = 0.0, adaptive_mult: int = 3,
-                  m_corr: int = 0,
+                  m_corr: int = 0, dedup: int = 0,
+                  k_union: Optional[int] = None,
                   interpret: bool = False) -> jnp.ndarray:
     """Two-stage retrieval over a prepared HierBank (see module docstring).
 
@@ -2758,7 +3147,9 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
             "on v5e; PERF.md round 3b).  Verify outputs against tc=16 "
             "before trusting this configuration.", tc)
     B = q_sem.shape[0]
-    q_s, q_x = _pad_queries(q_sem, q_xyz, hb, bm)
+    # dedup merges f adjacent bm-blocks per parts dispatch — pad the batch
+    # to whole superblocks so the merged grid tiles evenly
+    q_s, q_x = _pad_queries(q_sem, q_xyz, hb, bm * max(dedup, 1))
     q_cat = pack_queries(q_s, q_x, sem_temp, geo_temp, tier=hb.tier)
     gpt_s, gpt_g = hb.bn // hb.gsz_sem, hb.bn // hb.gsz_geo
 
@@ -2820,7 +3211,8 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
             q_cat, hb, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
             j_geo=j_geo, mode=mode, n_valid=B, k_geo=k_geo,
             scan_bm=scan_bm, raw=True, adaptive_frac=adaptive_frac,
-            adaptive_mult=adaptive_mult, m_corr=m_corr, interpret=interpret)
+            adaptive_mult=adaptive_mult, m_corr=m_corr, dedup=dedup,
+            k_union=k_union, interpret=interpret)
         q_pad = jnp.pad(concat_query.astype(jnp.float32),
                         ((0, q_cat.shape[0] - B), (0, 0)))
         q_srt = q_pad[order] if order is not None else q_pad
@@ -2844,7 +3236,8 @@ def retrieve_hier(q_sem: jnp.ndarray, q_xyz: Optional[jnp.ndarray],
             q_cat, hb, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
             j_geo=j_geo, mode=mode, n_valid=B, k_geo=k_geo,
             scan_bm=scan_bm, adaptive_frac=adaptive_frac,
-            adaptive_mult=adaptive_mult, m_corr=m_corr, interpret=interpret)
+            adaptive_mult=adaptive_mult, m_corr=m_corr, dedup=dedup,
+            k_union=k_union, interpret=interpret)
     sem = acc_s / jnp.maximum(d_s, 1e-30)
     if mode == "range":
         out = sem
@@ -2941,7 +3334,8 @@ def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
                          group_value_weight: float = 1.0,
                          lr_rank: int = 0, lr_geo: int = 0,
                          res_rank: int = 0,
-                         topk_gsz: int = 0, tail_super: int = 0) -> dict:
+                         topk_gsz: int = 0, topk_lr: int = 0,
+                         tail_super: int = 0) -> dict:
     """The identity of a `build_hier_bank` run: source bank + every build
     parameter.  Stored in the disk cache and validated on load so a stale
     cache (different bank or params) is rebuilt, never silently served."""
@@ -2960,6 +3354,9 @@ def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
            "seed": seed, "shards": shards, "group_by": group_by,
            "gvw": group_value_weight, "lr_rank": lr_rank,
            "res_rank": res_rank, "topk_gsz": topk_gsz, "fmt": 2}
+    if topk_lr:
+        # keyed only when active so pre-round-5 caches stay signature-valid
+        sig["topk_lr"] = topk_lr
     if lr_geo:
         # keyed only when active so pre-round-4 caches stay signature-valid
         sig["lr_geo"] = lr_geo
@@ -3001,7 +3398,7 @@ def save_hier_bank(hb: HierBank, path: str, build: Optional[dict] = None
                   "u_sem", "g_geo_vw_lr", "u_geo",
                   "z_sem", "w_sem", "z_geo", "w_geo",
                   "g_sem_ts_vw", "g_sem_ts_dvw",
-                  "g_topk_cat"):
+                  "g_topk_cat", "g_topk_lr", "p_topk"):
         v = getattr(hb, field)
         if v is None:
             continue
@@ -3017,8 +3414,8 @@ def save_hier_bank(hb: HierBank, path: str, build: Optional[dict] = None
             hb.bank.value_scale)
     arrays["bank_n_valid"] = np.asarray(hb.bank.n_valid)
     for field in ("tier", "bn", "gsz_sem", "gsz_geo", "gsz_super",
-                  "lr_rank", "lr_geo", "res_rank", "topk_gsz", "tail_super",
-                  "sem_d", "cat_d", "t_real", "t_pad"):
+                  "lr_rank", "lr_geo", "res_rank", "topk_gsz", "topk_lr",
+                  "tail_super", "sem_d", "cat_d", "t_real", "t_pad"):
         meta[field] = getattr(hb, field)
     if build is not None:
         meta["build"] = build
@@ -3067,12 +3464,14 @@ def load_hier_bank(path: str) -> HierBank:
         z_geo=dec("z_geo"), w_geo=dec("w_geo"),
         g_sem_ts_vw=dec("g_sem_ts_vw"), g_sem_ts_dvw=dec("g_sem_ts_dvw"),
         g_topk_cat=dec("g_topk_cat"),
+        g_topk_lr=dec("g_topk_lr"), p_topk=dec("p_topk"),
         tier=meta["tier"], bn=meta["bn"], gsz_sem=meta["gsz_sem"],
         gsz_geo=meta["gsz_geo"], gsz_super=meta.get("gsz_super", 0),
         lr_rank=meta.get("lr_rank", 0),
         lr_geo=meta.get("lr_geo", 0),
         res_rank=meta.get("res_rank", 0),
         topk_gsz=meta.get("topk_gsz", 0),
+        topk_lr=meta.get("topk_lr", 0),
         tail_super=meta.get("tail_super", 0),
         sem_d=meta["sem_d"], cat_d=meta["cat_d"],
         t_real=meta["t_real"], t_pad=meta["t_pad"],
@@ -3085,7 +3484,8 @@ def prepare_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                       lr_rank: Optional[int] = None,
                       lr_geo: Optional[int] = None,
                       res_rank: Optional[int] = None,
-                      topk_gsz: int = 0, tail_super: int = 0,
+                      topk_gsz: int = 0, topk_lr: int = 0,
+                      tail_super: int = 0,
                       seed: int = 0, shards: int = 1,
                       cache_path: Optional[str] = None,
                       force: bool = False,
@@ -3108,7 +3508,8 @@ def prepare_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                                group_value_weight=group_value_weight,
                                lr_rank=lr_rank or 0, lr_geo=lr_geo or 0,
                                res_rank=res_rank or 0,
-                               topk_gsz=topk_gsz, tail_super=tail_super)
+                               topk_gsz=topk_gsz, topk_lr=topk_lr,
+                               tail_super=tail_super)
     if cache_path and os.path.exists(cache_path) and not force:
         got = peek_hier_build(cache_path)
         if got == sig:
@@ -3120,7 +3521,8 @@ def prepare_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                          gsz_super=gsz_super, group_by=group_by,
                          group_value_weight=group_value_weight,
                          lr_rank=lr_rank, lr_geo=lr_geo, res_rank=res_rank,
-                         topk_gsz=topk_gsz, tail_super=tail_super,
+                         topk_gsz=topk_gsz, topk_lr=topk_lr,
+                         tail_super=tail_super,
                          tier=tier, seed=seed,
                          shards=shards, host_stage=host_stage)
     if cache_path:

@@ -288,6 +288,8 @@ def shard_hier_bank(hb, mesh: Mesh, axis: str = "bank"):
         g_sem_ts_vw=put(hb.g_sem_ts_vw, rows),
         g_sem_ts_dvw=put(hb.g_sem_ts_dvw, rows),
         g_topk_cat=put(hb.g_topk_cat, rows),
+        g_topk_lr=put(hb.g_topk_lr, rows),
+        p_topk=put(hb.p_topk, rep),
     )
 
 
@@ -309,6 +311,12 @@ def sharded_retrieve_hier(
     j_sem: int = 2,
     j_geo: int = 2,
     m_corr: int = 0,
+    scan_bm: Optional[int] = None,
+    concat_query: Optional[jnp.ndarray] = None,
+    adaptive_frac: float = 0.0,
+    adaptive_mult: int = 3,
+    dedup: int = 0,
+    k_union: Optional[int] = None,
     bank_axis: str = "bank",
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -324,12 +332,21 @@ def sharded_retrieve_hier(
     per-chip cost — per-chip work is ~1/n of single-chip at equal total
     K.  With k_tiles = t_pad//n (every tile
     selected) the result equals the exact dense computation (tests assert
-    this)."""
+    this).
+
+    Round 5 (mesh/single-chip feature parity, VERDICT r4 #5): the full
+    flagship kwarg surface now rides the mesh path too — `scan_bm`,
+    mass-bound-adaptive rescue (`adaptive_frac`/`adaptive_mult`, per shard
+    over its own selection), tile dedup (`dedup`/`k_union`), and the fused
+    combine+concat epilogue: with `concat_query` on a flagship-shaped bank
+    the per-shard RAW partials psum first (still one psum — they are
+    linear) and the combine kernel runs replicated, writing [B, Dv+Dq]
+    exactly like single-chip `retrieve_hier(concat_query=...)`."""
     import dataclasses as _dc
     import functools as _ft
 
-    from ..ops.retrieval_hier import (HierBank, _hier_partials,
-                                      _hier_partials2,
+    from ..ops.retrieval_hier import (HierBank, _combine_cat_call,
+                                      _hier_partials, _hier_partials2,
                                       _hybrid_order, _pad_queries)
     from ..ops.retrieval_pallas import pack_queries
 
@@ -346,9 +363,10 @@ def sharded_retrieve_hier(
         beta = 1.0
         q_xyz = None
     B = q_sem.shape[0]
-    q_s, q_x = _pad_queries(q_sem, q_xyz, hb, bm)
+    q_s, q_x = _pad_queries(q_sem, q_xyz, hb, bm * max(dedup, 1))
     q_cat = pack_queries(q_s, q_x, sem_temp, geo_temp, tier=hb.tier)
     inv = None
+    order = None
     if q_x is not None:
         order = _hybrid_order(q_x, jnp.zeros(q_cat.shape[0], jnp.int32), B,
                               hb.t_pad, sort="geo")
@@ -356,20 +374,56 @@ def sharded_retrieve_hier(
         q_cat = q_cat[order]
 
     hb_spec = _hier_bank_spec(hb, bank_axis)
+    use2 = bool(hb.gsz_super) and hb.g_sup_cat is not None
+    use_lr = hb.g_sem_vw_lr is not None and hb.lr_rank > 0
+    use_rr = bool(hb.res_rank) and hb.z_sem is not None
+    use_lrg = hb.g_geo_vw_lr is not None and hb.lr_geo > 0
+    # identical gating to retrieve_hier's fused combine+concat epilogue
+    fused_cat = (concat_query is not None and not use2
+                 and mode == "range+" and use_lr and use_rr and k_geo > 0
+                 and hb.value_dim % 128 == 0 and hb.lr_rank % 128 == 0
+                 and (not use_lrg or hb.lr_geo % 128 == 0)
+                 and concat_query.shape[1] % 128 == 0)
+    q_srt = None
+    if fused_cat:
+        q_pad = jnp.pad(concat_query.astype(jnp.float32),
+                        ((0, q_cat.shape[0] - B), (0, 0)))
+        q_srt = q_pad[order] if order is not None else q_pad
 
-    def local(q_cat_l, hb_l):
+    def local(q_cat_l, q_srt_l, hb_l):
         hb_loc = _dc.replace(hb_l, t_real=t_local, t_pad=t_local)
-        if hb.gsz_super and hb.g_sup_cat is not None:
+        if use2:
             acc_s, acc_g, d_s, d_g = _hier_partials2(
                 q_cat_l, hb_loc, k_tiles=k_tiles,
                 m_tiles=min(m_tiles or max(8, 3 * k_tiles), t_local),
                 bm=bm, tc=tc, j_sem=j_sem, j_geo=j_geo, mode=mode,
                 n_valid=B, interpret=interpret)
+        elif fused_cat:
+            ps, pg, tails = _hier_partials(
+                q_cat_l, hb_loc, k_tiles=k_tiles, bm=bm, tc=tc,
+                j_sem=j_sem, j_geo=j_geo, mode=mode, n_valid=B,
+                k_geo=k_geo, m_corr=m_corr, scan_bm=scan_bm, raw=True,
+                adaptive_frac=adaptive_frac, adaptive_mult=adaptive_mult,
+                dedup=dedup, k_union=k_union, interpret=interpret)
+            # raw partials and tails are linear in bank rows: ONE fused
+            # psum combines the shards, then the combine+concat kernel
+            # runs on the total (replicated — trivial vs the psum bytes)
+            ps, pg, tails = jax.lax.psum((ps, pg, tails), bank_axis)
+            return _combine_cat_call(
+                ps, pg, tails, q_srt_l, hb_l.w_sem, hb_l.u_sem, hb_l.w_geo,
+                hb_l.u_geo if use_lrg else None,
+                Ws=hb.g_sem_vw_lr.shape[1], r=hb.lr_rank,
+                rrp=hb.z_sem.shape[1], Dv=hb.value_dim, beta=beta, bm=bm,
+                rg=hb.lr_geo if use_lrg else 0,
+                Wg=hb.g_geo_vw_lr.shape[1] if use_lrg else 0,
+                interpret=interpret)
         else:
             acc_s, acc_g, d_s, d_g = _hier_partials(
                 q_cat_l, hb_loc, k_tiles=k_tiles, bm=bm, tc=tc, j_sem=j_sem,
                 j_geo=j_geo, mode=mode, n_valid=B, k_geo=k_geo,
-                m_corr=m_corr, interpret=interpret)
+                m_corr=m_corr, scan_bm=scan_bm,
+                adaptive_frac=adaptive_frac, adaptive_mult=adaptive_mult,
+                dedup=dedup, k_union=k_union, interpret=interpret)
         acc_s = jax.lax.psum(acc_s, bank_axis)
         d_s = jax.lax.psum(d_s, bank_axis)
         sem = acc_s / jnp.maximum(d_s, 1e-30)
@@ -380,10 +434,17 @@ def sharded_retrieve_hier(
         geo = acc_g / jnp.maximum(d_g, 1e-30)
         return beta * sem + (1.0 - beta) * geo
 
-    fn = shard_map(_ft.partial(local), mesh=mesh, in_specs=(P(), hb_spec),
-                   out_specs=P(), check_vma=False)
-    out = fn(q_cat, hb)
-    return out[inv[:B]] if inv is not None else out[:B]
+    fn = shard_map(_ft.partial(local), mesh=mesh,
+                   in_specs=(P(), P(), hb_spec), out_specs=P(),
+                   check_vma=False)
+    out = fn(q_cat, q_srt if q_srt is not None
+             else jnp.zeros((q_cat.shape[0], 1), jnp.float32), hb)
+    out = out[inv[:B]] if inv is not None else out[:B]
+    if concat_query is not None and not fused_cat:
+        # non-fused shapes still honor the concat contract ([B, Dv+Dq])
+        out = jnp.concatenate([out, concat_query.astype(jnp.float32)],
+                              axis=1)
+    return out
 
 
 def _hier_bank_spec(hb, bank_axis: str):
@@ -410,6 +471,7 @@ def _hier_bank_spec(hb, bank_axis: str):
         w_sem=P() if hb.w_sem is not None else None,
         w_geo=P() if hb.w_geo is not None else None,
         u_geo=P() if hb.u_geo is not None else None,
+        p_topk=P() if hb.p_topk is not None else None,
     )
 
 
@@ -509,6 +571,19 @@ def sharded_hier_topk(
                                       n_valid=B, j_sem=j_sem, j_geo=j_geo,
                                       mode="range")
             idx = jnp.take_along_axis(idx_m, idx_loc, axis=1)
+        elif hb.g_topk_lr is not None and hb.topk_lr:
+            # low-rank selection operand (round 5, see hier_topk): the
+            # query projection is replicated, the coefficient operand is
+            # row-sharded like the full centroids
+            q_sel = jnp.dot(q_cat_l[:, :hb.sem_d].astype(jnp.float32),
+                            hb_l.p_topk.T,
+                            preferred_element_type=jnp.float32)
+            q_tk = jnp.concatenate([q_sel.astype(q_cat_l.dtype),
+                                    q_cat_l[:, hb.sem_d:]], axis=1)
+            m_s, s_s, m_g, s_g = _hier_scan_stats_call(
+                q_tk, hb_l.g_topk_lr, hb_l.g_geo_cat, bm=bm, tc=tc,
+                gpt_s=hb.bn // hb.topk_gsz, gpt_g=gpt_g,
+                interpret=interpret)
         elif hb.g_topk_cat is not None and hb.topk_gsz:
             # fine stats-only centroids (see hier_topk): per-shard slab of
             # the row-sharded operand, same t_local tile count

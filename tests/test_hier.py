@@ -861,3 +861,195 @@ def test_tail_super_save_load(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(retrieve_hier(q, q_xyz, hb2, **skw)),
         np.asarray(retrieve_hier(q, q_xyz, hb, **skw)))
+
+
+# ---------------------------------------------------------------------------
+# round 5: query-block tile-list dedup (merged parts dispatches)
+
+
+def test_dedup_union_unit():
+    """_dedup_union invariants: rank-major priority, dedup, repeat-padding,
+    and per-block top-rank survival under truncation."""
+    from range_tpu.ops.retrieval_hier import _dedup_union
+
+    idx = jnp.asarray([[0, 1, 2, 3], [2, 3, 4, 5],
+                       [10, 11, 12, 13], [12, 1, 0, 9]], jnp.int32)
+    u = np.asarray(_dedup_union(idx, 2, 8))
+    # superblock 0: union {0..5}, 6 distinct; pad repeats the last entry
+    assert set(u[0][:6].tolist()) == {0, 1, 2, 3, 4, 5}
+    assert u[0][6] == u[0][5] and u[0][7] == u[0][5]
+    # rank-major: both blocks' rank-0 tiles lead
+    assert u[0][0] == 0 and u[0][1] == 2
+    assert set(u[1][:7].tolist()) == {10, 11, 12, 13, 1, 0, 9}
+    assert u[1][7] == u[1][6]
+    # truncation to 4 keeps each block's two highest ranks
+    t = np.asarray(_dedup_union(idx, 2, 4))
+    assert t[0].tolist() == [0, 2, 1, 3]
+    assert t[1].tolist() == [10, 12, 11, 1]
+    # every emitted row stays within the input id set (no pad sentinel)
+    assert set(np.unique(u)).issubset(set(np.unique(np.asarray(idx))))
+
+
+def test_hier_dedup_not_worse(bank, hb, queries):
+    """dedup merges adjacent blocks' tile lists into one dispatch: with an
+    untruncated union every query sees a SUPERSET of its own block's exact
+    tiles, so feature error must not degrade (it usually improves)."""
+    q, qx = queries
+    ref = retrieve(q, qx, bank, sem_temp=12.0, geo_temp=40.0, beta=0.5,
+                   chunk=PAD)
+    kw = dict(k_tiles=12, k_geo=6, bm=128, interpret=True)
+    base = _relerr(retrieve_hier(q, qx, hb, **kw), ref).mean()
+    ded = _relerr(retrieve_hier(q, qx, hb, dedup=2, k_union=24, **kw),
+                  ref).mean()
+    assert ded <= base * 1.02 + 1e-6, (ded, base)
+
+
+def test_hier_dedup_all_tiles_exact(bank, hb, queries):
+    """Exactness survives dedup (incl. the kernel's repeat-padding skip):
+    all tiles selected -> the union is all tiles + pad repeats -> exact."""
+    q, qx = queries
+    ref = retrieve(q, qx, bank, sem_temp=12.0, geo_temp=40.0, beta=0.5,
+                   chunk=PAD)
+    out = retrieve_hier(q, qx, hb, k_tiles=hb.n_tiles, k_geo=hb.n_tiles,
+                        bm=128, dedup=2, interpret=True)
+    assert _relerr(out, ref).max() < 5e-3
+
+
+def test_hier_dedup_with_lr_rr(bank, queries):
+    """dedup on the flagship kernel shape (family-split + lr + res_rank):
+    close to the non-dedup result and not worse vs exact."""
+    Dv = bank.value_dim
+    hbf = build_hier_bank(bank, bn=BN, gsz_sem=8, gsz_geo=16, tier="exact",
+                          value_dtype=jnp.float32, lr_rank=Dv, res_rank=Dv)
+    q, qx = queries
+    ref = retrieve(q, qx, bank, sem_temp=12.0, geo_temp=40.0, beta=0.5,
+                   chunk=PAD)
+    kw = dict(k_tiles=12, k_geo=6, bm=128, interpret=True)
+    base = _relerr(retrieve_hier(q, qx, hbf, **kw), ref).mean()
+    ded = _relerr(retrieve_hier(q, qx, hbf, dedup=2, k_union=24, **kw),
+                  ref).mean()
+    assert ded <= base * 1.02 + 1e-6, (ded, base)
+
+
+# ---------------------------------------------------------------------------
+# round 5: mesh-distributed bank build (VERDICT r4 #7)
+
+
+def test_mesh_build_matches_hosted():
+    """build_hier_bank_mesh (SPMD over the 8-way virtual mesh) produces the
+    same serving operands as the host-staged single-device build: identical
+    row layout (shared host ordering code), fp-class-equal packed/group
+    operands, and — at complete rank, where eigenbasis sign/rotation
+    ambiguity cancels in reconstruction — equal lr/res factors' action.
+    The built bank serves EXACTLY (all tiles selected == dense) through
+    sharded_retrieve_hier."""
+    import jax
+    from jax.sharding import Mesh
+
+    from range_tpu.geometry import lonlat_deg_to_xyz
+    from range_tpu.ops.retrieval import retrieve
+    from range_tpu.ops.retrieval_hier import (_build_hier_bank_hosted,
+                                              build_hier_bank_mesh)
+    from range_tpu.parallel.sharded import sharded_retrieve_hier
+
+    bank = GeoBank.synthetic_informative(0, 20000, pad_to=512, value_dim=64)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("bank",))
+    kw = dict(bn=128, gsz_sem=8, gsz_geo=16, lr_rank=64, lr_geo=64,
+              res_rank=64, topk_gsz=8, seed=0)
+    hbm = build_hier_bank_mesh(bank, mesh, tier="exact",
+                               value_dtype=jnp.float32, **kw)
+    hbh = _build_hier_bank_hosted(bank, gsz_super=0, tier="exact",
+                                  group_by="key_value",
+                                  group_value_weight=1.0, tail_super=0,
+                                  n_clusters=None, iters=8,
+                                  value_dtype=jnp.float32, shards=8, **kw)
+    assert (hbm.t_real, hbm.t_pad) == (hbh.t_real, hbh.t_pad)
+    # row layout identical -> packed row operands bit-comparable
+    np.testing.assert_array_equal(np.asarray(hbm.k_cat),
+                                  np.asarray(hbh.k_cat))
+    np.testing.assert_array_equal(np.asarray(hbm.khl_sem),
+                                  np.asarray(hbh.khl_sem))
+    np.testing.assert_array_equal(np.asarray(hbm.mask_neg),
+                                  np.asarray(hbh.mask_neg))
+    # group centroids / value sums: same math, different partition order
+    for a, b in ((hbm.g_sem_cat, hbh.g_sem_cat),
+                 (hbm.g_geo_cat, hbh.g_geo_cat),
+                 (hbm.g_topk_cat, hbh.g_topk_cat)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-5, atol=1e-5)
+    for a, b in ((hbm.g_sem_vw, hbh.g_sem_vw),
+                 (hbm.g_geo_vw, hbh.g_geo_vw)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-4, atol=1e-3)
+    # complete-rank factors: reconstruction (coef @ u, z @ w) is invariant
+    # to the eigh's basis ambiguity
+    Dv = 64
+    rec_m = np.asarray(hbm.g_sem_vw_lr, np.float32)[:, :Dv] @ np.asarray(hbm.u_sem)
+    rec_h = np.asarray(hbh.g_sem_vw_lr, np.float32)[:, :Dv] @ np.asarray(hbh.u_sem)
+    np.testing.assert_allclose(rec_m, rec_h, rtol=1e-3, atol=2e-2)
+    zr_m = np.asarray(hbm.z_sem, np.float32)[:, :Dv] @ np.asarray(hbm.w_sem)[:Dv]
+    zr_h = np.asarray(hbh.z_sem, np.float32)[:, :Dv] @ np.asarray(hbh.w_sem)[:Dv]
+    np.testing.assert_allclose(zr_m, zr_h, rtol=1e-3, atol=2e-2)
+
+    # serve: all local tiles selected == exact dense
+    rng = np.random.default_rng(4)
+    B = 256
+    locs = np.stack([rng.uniform(-180, 180, B),
+                     rng.uniform(-80, 80, B)], 1).astype(np.float32)
+    q = rng.standard_normal((B, 256)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q = jnp.asarray(q)
+    q_xyz = lonlat_deg_to_xyz(jnp.asarray(locs))
+    ref = np.asarray(retrieve(q, q_xyz, hbm.bank, sem_temp=12.0,
+                              geo_temp=40.0, beta=0.5, chunk=512))
+    t_local = hbm.t_pad // 8
+    out = np.asarray(sharded_retrieve_hier(
+        q, q_xyz, hbm, mesh, k_tiles=t_local, k_geo=t_local,
+        tc=min(8, t_local), bm=128, interpret=True))
+    rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-1)
+    assert rel.max() < 5e-3, rel.max()
+
+
+def test_topk_lr_selection(bank, hb):
+    """Low-rank selection operand (round 5): at COMPLETE rank the projected
+    stats logits equal the full ones (PCA basis spans the centroids), so
+    hier_topk's result matches the full-operand bank's exactly; at partial
+    rank recall vs exact NN stays in the full operand's class.  Survives a
+    save/load roundtrip."""
+    import tempfile
+
+    from range_tpu.ops.retrieval_hier import (load_hier_bank,
+                                              save_hier_bank)
+
+    q, qx = _make_queries(bank, regional=True, B=512, seed=9)
+    hb_tk = build_hier_bank(bank, bn=BN, gsz_sem=16, gsz_geo=16,
+                            tier="exact", value_dtype=jnp.float32,
+                            topk_gsz=8)
+    hb_full = build_hier_bank(bank, bn=BN, gsz_sem=16, gsz_geo=16,
+                              tier="exact", value_dtype=jnp.float32,
+                              topk_gsz=8, topk_lr=256)  # complete rank
+    assert hb_full.g_topk_lr is not None and hb_full.topk_lr == 256
+    got_f = np.asarray(hier_topk(q, qx, hb_tk, k_tiles=12, interpret=True))
+    got_c = np.asarray(hier_topk(q, qx, hb_full, k_tiles=12, interpret=True))
+    assert (got_f == got_c).mean() > 0.995, (got_f != got_c).sum()
+
+    hb_lr = build_hier_bank(bank, bn=BN, gsz_sem=16, gsz_geo=16,
+                            tier="exact", value_dtype=jnp.float32,
+                            topk_gsz=8, topk_lr=64)
+    true = np.asarray(exact_nn(q, bank, chunk=PAD))
+    rec_full = (np.asarray(hier_topk(q, qx, hb_tk, k_tiles=12,
+                                     interpret=True)) == true).mean()
+    rec_lr = (np.asarray(hier_topk(q, qx, hb_lr, k_tiles=12,
+                                   interpret=True)) == true).mean()
+    assert rec_lr >= rec_full - 0.02, (rec_lr, rec_full)
+
+    with tempfile.TemporaryDirectory() as d:
+        save_hier_bank(hb_lr, d + "/hb.npz")
+        hb2 = load_hier_bank(d + "/hb.npz")
+        assert hb2.topk_lr == 64 and hb2.p_topk is not None
+        got2 = np.asarray(hier_topk(q, qx, hb2, k_tiles=12, interpret=True))
+        got1 = np.asarray(hier_topk(q, qx, hb_lr, k_tiles=12,
+                                    interpret=True))
+        np.testing.assert_array_equal(got1, got2)

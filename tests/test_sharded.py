@@ -481,3 +481,94 @@ def test_sharded_hier_lr_geo_and_tail_super():
     # the same per-shard K
     assert relerr(out) <= relerr(single) + 1e-6
     assert relerr(out) < 0.08, relerr(out)
+
+
+def test_sharded_hier_full_flagship_kwarg_surface():
+    """Mesh/single-chip FEATURE parity over the FULL flagship kwarg surface
+    (VERDICT r4 #5): lr_rank + lr_geo + res_rank family-split partials,
+    scan_bm, adaptive rescue, tile dedup, and the fused combine+concat
+    epilogue (raw partials psum + replicated combine kernel).  With every
+    local tile selected both paths must equal the exact dense computation;
+    output carries the [retrieved | query] concat contract."""
+    from range_tpu.geometry import lonlat_deg_to_xyz
+    from range_tpu.ops.retrieval import retrieve
+    from range_tpu.ops.retrieval_hier import build_hier_bank, retrieve_hier
+    from range_tpu.parallel.sharded import (shard_hier_bank,
+                                            sharded_retrieve_hier)
+    from range_tpu.bank.bank import GeoBank
+
+    bank = GeoBank.synthetic_informative(0, 6000, pad_to=512, value_dim=128)
+    hb = build_hier_bank(bank, bn=128, gsz_sem=8, gsz_geo=16, tier="exact",
+                         value_dtype=jnp.float32, lr_rank=128, lr_geo=128,
+                         res_rank=128, shards=8)
+    mesh = make_mesh((8,), ("bank",))
+    shb = shard_hier_bank(hb, mesh)
+
+    rng = np.random.default_rng(4)
+    B = 512
+    locs = np.stack([rng.uniform(-180, 180, B),
+                     rng.uniform(-80, 80, B)], 1).astype(np.float32)
+    q = rng.standard_normal((B, 256)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q = jnp.asarray(q)
+    q_xyz = lonlat_deg_to_xyz(jnp.asarray(locs))
+
+    ref = np.asarray(retrieve(q, q_xyz, hb.bank, sem_temp=12.0,
+                              geo_temp=40.0, beta=0.5, chunk=512))
+    t_local = hb.t_pad // 8
+    kw = dict(bm=128, scan_bm=256, concat_query=q, adaptive_frac=0.1,
+              adaptive_mult=2, dedup=2, k_union=None, interpret=True)
+    out_m = np.asarray(sharded_retrieve_hier(
+        q, q_xyz, shb, mesh, k_tiles=t_local, k_geo=t_local,
+        tc=min(8, t_local), **kw))
+    out_1 = np.asarray(retrieve_hier(
+        q, q_xyz, hb, k_tiles=hb.t_real, k_geo=hb.t_real, **kw))
+    assert out_m.shape == (B, 128 + 256)
+    # both concat the query verbatim
+    np.testing.assert_allclose(out_m[:, 128:], np.asarray(q), atol=1e-6)
+    np.testing.assert_allclose(out_1[:, 128:], np.asarray(q), atol=1e-6)
+    for out in (out_m, out_1):
+        rel = np.abs(out[:, :128] - ref) / np.maximum(np.abs(ref), 1e-1)
+        assert rel.max() < 5e-3, rel.max()
+    # mesh vs single-chip agree to fp-combine tolerance at exactness config
+    rel_ms = (np.abs(out_m - out_1) / np.maximum(np.abs(out_1), 1e-1)).max()
+    assert rel_ms < 5e-3, rel_ms
+
+
+def test_sharded_hier_flagship_partial_close_to_single():
+    """Partial selection with the full kwarg surface: the mesh path's
+    feature error vs exact stays in the single-chip path's error class
+    (the per-shard union selection is finer at equal total K)."""
+    from range_tpu.ops.retrieval import retrieve
+    from range_tpu.ops.retrieval_hier import build_hier_bank, retrieve_hier
+    from range_tpu.parallel.sharded import (shard_hier_bank,
+                                            sharded_retrieve_hier)
+    from range_tpu.bank.bank import GeoBank
+    import sys
+    sys.path.insert(0, "tests")
+    from test_hier import _make_queries
+
+    bank = GeoBank.synthetic_informative(0, 6000, pad_to=512, value_dim=128)
+    hb = build_hier_bank(bank, bn=128, gsz_sem=8, gsz_geo=16, tier="exact",
+                         value_dtype=jnp.float32, lr_rank=128, lr_geo=128,
+                         res_rank=128, shards=8)
+    mesh = make_mesh((8,), ("bank",))
+    shb = shard_hier_bank(hb, mesh)
+    q, q_xyz = _make_queries(bank, regional=True, B=512, seed=6)
+    ref = np.asarray(retrieve(q, q_xyz, hb.bank, sem_temp=12.0,
+                              geo_temp=40.0, beta=0.5, chunk=512))
+    kw = dict(bm=128, scan_bm=256, concat_query=q, adaptive_frac=0.05,
+              adaptive_mult=2, dedup=2, interpret=True)
+    # per-shard budgets: t_local is only 8 tiles here (6000 rows / bn=128 /
+    # 8 shards), so k_tiles=4 per shard = half of each shard's slab — the
+    # mesh analogue of the single-chip K=16 of 48 real tiles
+    t_local = hb.t_pad // 8
+    out_m = np.asarray(sharded_retrieve_hier(
+        q, q_xyz, shb, mesh, k_tiles=4, k_geo=2,
+        j_sem=3, tc=min(8, t_local), **kw))[:, :128]
+    out_1 = np.asarray(retrieve_hier(
+        q, q_xyz, hb, k_tiles=16, k_geo=8, j_sem=3, **kw))[:, :128]
+    den = np.maximum(np.abs(ref), 1e-1)
+    rel_m = (np.abs(out_m - ref) / den).mean()
+    rel_1 = (np.abs(out_1 - ref) / den).mean()
+    assert rel_m < max(2 * rel_1, 0.05), (rel_m, rel_1)

@@ -60,19 +60,55 @@ def kmeans(key, points: jnp.ndarray, n_clusters: int, iters: int = 10,
         (_, _), rest = jax.lax.scan(pp_step, (init_d2, c0), keys)
         centroids = jnp.concatenate([c0[None], rest], axis=0)
 
-    def step(centroids, _):
-        # assign by min distance == max (p.c - |c|^2/2)
-        scores = points @ centroids.T - 0.5 * jnp.sum(centroids ** 2, axis=1)[None, :]
-        assign = jnp.argmax(scores, axis=1)
-        onehot = jax.nn.one_hot(assign, n_clusters, dtype=jnp.float32) * valid[:, None]
-        counts = jnp.sum(onehot, axis=0)  # [C]
-        sums = onehot.T @ points  # [C, D]
-        new = sums / jnp.maximum(counts, 1.0)[:, None]
-        # keep empty clusters where they were
-        centroids = jnp.where((counts > 0)[:, None], new, centroids)
-        return centroids, None
+    if N * n_clusters <= (1 << 28):
+        def step(centroids, _):
+            # assign by min distance == max (p.c - |c|^2/2)
+            scores = points @ centroids.T - 0.5 * jnp.sum(centroids ** 2, axis=1)[None, :]
+            assign = jnp.argmax(scores, axis=1)
+            onehot = jax.nn.one_hot(assign, n_clusters, dtype=jnp.float32) * valid[:, None]
+            counts = jnp.sum(onehot, axis=0)  # [C]
+            sums = onehot.T @ points  # [C, D]
+            new = sums / jnp.maximum(counts, 1.0)[:, None]
+            # keep empty clusters where they were
+            centroids = jnp.where((counts > 0)[:, None], new, centroids)
+            return centroids, None
 
-    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
-    scores = points @ centroids.T - 0.5 * jnp.sum(centroids ** 2, axis=1)[None, :]
-    assign = jnp.argmax(scores, axis=1).astype(jnp.int32)
-    return centroids, assign
+        centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+        scores = points @ centroids.T - 0.5 * jnp.sum(centroids ** 2, axis=1)[None, :]
+        assign = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        return centroids, assign
+
+    # LARGE N x C (multi-million-row geographic clustering): the one-shot
+    # [N, C] score/one-hot matrices are O(N*C) — 137 GB at 4M rows x 8k
+    # clusters.  Row-chunked Lloyd: same assignments (argmax is pointwise),
+    # centroid sums accumulate per chunk (fp reassociation only; this
+    # branch only engages beyond the recorded small-bank operating points,
+    # which keep the bit-stable one-shot path above).
+    D_ = points.shape[1]
+    CH = max(128, min(N, (1 << 27) // n_clusters) // 128 * 128)
+    Np = (N + CH - 1) // CH * CH
+    pts_c = jnp.pad(points, ((0, Np - N), (0, 0))).reshape(-1, CH, D_)
+    val_c = jnp.pad(valid, (0, Np - N)).reshape(-1, CH)
+
+    def step_big(centroids, _):
+        cn = -0.5 * jnp.sum(centroids ** 2, axis=1)[None, :]
+
+        def body(carry, xs):
+            sums, counts = carry
+            p, v = xs
+            a = jnp.argmax(p @ centroids.T + cn, axis=1)
+            oh = jax.nn.one_hot(a, n_clusters, dtype=jnp.float32) * v[:, None]
+            return (sums + oh.T @ p, counts + jnp.sum(oh, axis=0)), None
+
+        (sums, counts), _ = jax.lax.scan(
+            body, (jnp.zeros((n_clusters, D_), jnp.float32),
+                   jnp.zeros((n_clusters,), jnp.float32)), (pts_c, val_c))
+        new = sums / jnp.maximum(counts, 1.0)[:, None]
+        return jnp.where((counts > 0)[:, None], new, centroids), None
+
+    centroids, _ = jax.lax.scan(step_big, centroids, None, length=iters)
+    cn = -0.5 * jnp.sum(centroids ** 2, axis=1)[None, :]
+    _, assign = jax.lax.scan(
+        lambda c, p: (c, jnp.argmax(p @ centroids.T + cn, axis=1)
+                      .astype(jnp.int32)), 0.0, pts_c)
+    return centroids, assign.reshape(-1)[:N]

@@ -60,8 +60,65 @@ def embedding_rgb_map(encoder, extent=(-180, 180, -90, 90), step: float = 1.0,
     return rgb
 
 
-def save_map(rgb: np.ndarray, path: str, extent=(-180, 180, -90, 90)) -> None:
-    """Save the RGB map with matplotlib (gated import)."""
+def load_coastlines(path: str) -> np.ndarray:
+    """Coastline polylines as one [M, 2] (lon, lat) array with NaN-row
+    segment separators — the format `overlay_coastlines` draws.
+
+    The reference gets its coastline quality from cartopy/Basemap
+    (`visualize_embeddings.py:131-167`, `checkerboarddataset.py:109-173`),
+    whose bundled Natural Earth data needs network access this environment
+    doesn't have; here the DATA is an input.  Accepted files:
+      * .npz/.npy with a `segments` (or sole) [M, 2] float array,
+        NaN rows separating segments;
+      * GeoJSON (.json/.geojson): LineString / MultiLineString / Polygon /
+        MultiPolygon features (e.g. Natural Earth ne_110m_coastline) —
+        parsed with the stdlib, no geo stack required."""
+    if path.endswith((".npz", ".npy")):
+        d = np.load(path)
+        if hasattr(d, "files"):
+            d = d[d.files[0] if "segments" not in d.files else "segments"]
+        return np.asarray(d, np.float64)
+    import json
+
+    with open(path) as f:
+        gj = json.load(f)
+    feats = gj.get("features", [gj])
+    segs = []
+
+    def add_lines(geom):
+        t, cs = geom["type"], geom["coordinates"]
+        if t == "LineString":
+            segs.append(np.asarray(cs, np.float64))
+        elif t in ("MultiLineString", "Polygon"):
+            segs.extend(np.asarray(c, np.float64) for c in cs)
+        elif t == "MultiPolygon":
+            for poly in cs:
+                segs.extend(np.asarray(c, np.float64) for c in poly)
+        elif t == "GeometryCollection":
+            for g in geom["geometries"]:
+                add_lines(g)
+
+    for ft in feats:
+        add_lines(ft.get("geometry", ft))
+    nan = np.full((1, 2), np.nan)
+    return np.concatenate(
+        [x for s in segs for x in (s[:, :2], nan)], axis=0)
+
+
+def overlay_coastlines(ax, coastlines, color="black", lw: float = 0.5
+                       ) -> None:
+    """Draw NaN-separated (lon, lat) polylines over a map axes (the
+    cartopy `ax.coastlines()` analogue for `load_coastlines` data)."""
+    c = np.asarray(coastlines, np.float64)
+    ax.plot(c[:, 0], c[:, 1], color=color, linewidth=lw)
+
+
+def save_map(rgb: np.ndarray, path: str, extent=(-180, 180, -90, 90),
+             coastlines=None) -> None:
+    """Save the RGB map with matplotlib (gated import).  `coastlines`
+    optionally overlays `load_coastlines` polylines — the reference's
+    cartopy coastline look (visualize_embeddings.py:131-167) with the
+    data supplied by the caller."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -69,6 +126,10 @@ def save_map(rgb: np.ndarray, path: str, extent=(-180, 180, -90, 90)) -> None:
 
     fig, ax = plt.subplots(figsize=(12, 6))
     ax.imshow(rgb, extent=extent, origin="upper")
+    if coastlines is not None:
+        overlay_coastlines(ax, coastlines)
+        ax.set_xlim(extent[0], extent[1])
+        ax.set_ylim(extent[2], extent[3])
     ax.set_xlabel("longitude")
     ax.set_ylabel("latitude")
     fig.tight_layout()
@@ -120,9 +181,10 @@ def save_prediction_map(grid_pred: np.ndarray, path: str) -> None:
 
 
 def save_cluster_map(cluster_map: np.ndarray, path: str,
-                     extent=(-180, 180, -90, 90)) -> None:
+                     extent=(-180, 180, -90, 90), coastlines=None) -> None:
     """Render an embedding-space cluster-id map (analysis.py:386-501's
-    embedding clustering figures) as a categorical-colormap image."""
+    embedding clustering figures) as a categorical-colormap image; optional
+    `load_coastlines` overlay."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -131,6 +193,10 @@ def save_cluster_map(cluster_map: np.ndarray, path: str,
     fig, ax = plt.subplots(figsize=(12, 6))
     ax.imshow(cluster_map, extent=extent, origin="upper", cmap="tab20",
               interpolation="nearest")
+    if coastlines is not None:
+        overlay_coastlines(ax, coastlines)
+        ax.set_xlim(extent[0], extent[1])
+        ax.set_ylim(extent[2], extent[3])
     ax.set_xlabel("longitude")
     ax.set_ylabel("latitude")
     fig.tight_layout()

@@ -142,3 +142,34 @@ def test_probe_separates_checkerboard():
                               encode_task(direct, ev, 2048), ev.labels, "checker_16")
     assert acc_sh > acc_dir
     assert acc_sh > 0.5, acc_sh
+
+
+def test_coastline_overlay_roundtrip(tmp_path):
+    """load_coastlines parses GeoJSON (stdlib-only) and npz polylines into
+    the NaN-separated segment format; save_map accepts the overlay."""
+    import json
+
+    import numpy as np
+
+    from range_tpu.eval.visualize import load_coastlines, save_map
+
+    gj = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "geometry": {
+            "type": "LineString", "coordinates": [[0, 0], [10, 5], [20, 0]]}},
+        {"type": "Feature", "geometry": {
+            "type": "MultiPolygon", "coordinates": [
+                [[[30, 30], [40, 30], [40, 40], [30, 30]]]]}},
+    ]}
+    p = tmp_path / "coast.geojson"
+    p.write_text(json.dumps(gj))
+    c = load_coastlines(str(p))
+    assert c.shape[1] == 2 and np.isnan(c[:, 0]).sum() == 2
+    assert (c[0] == [0, 0]).all()
+    pn = tmp_path / "coast.npz"
+    np.savez(pn, segments=c)
+    c2 = load_coastlines(str(pn))
+    np.testing.assert_array_equal(
+        np.nan_to_num(c), np.nan_to_num(c2))
+    rgb = np.zeros((18, 36, 3))
+    save_map(rgb, str(tmp_path / "m.png"), coastlines=c)
+    assert (tmp_path / "m.png").exists()

@@ -136,7 +136,7 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                  lr_geo: Optional[int] = None,
                  res_rank: Optional[int] = None,
                  topk_gsz: int = 0, topk_lr: int = 0, tail_super: int = 0,
-                 m_corr: int = 0,
+                 sel_lr: int = 0, m_corr: int = 0,
                  dedup: int = 0, k_union: Optional[int] = None,
                  tower_matmul: Optional[str] = None,
                  mesh=None, bank_axis: Optional[str] = None,
@@ -184,7 +184,7 @@ def _build_range(name: str, mode: str, pretrained_path, db_path, beta, *,
                                  lr_rank=lr_rank, lr_geo=lr_geo,
                                  res_rank=res_rank,
                                  topk_gsz=topk_gsz, topk_lr=topk_lr,
-                                 tail_super=tail_super,
+                                 tail_super=tail_super, sel_lr=sel_lr,
                                  tier=tier, seed=seed,
                                  shards=n_shards,
                                  cache_path=hier_cache)

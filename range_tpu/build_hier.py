@@ -29,7 +29,7 @@ _PROFILE_BUILD_KEYS = {
     "gsz_super": "gsz_super", "tier": "tier", "group_by": "group_by",
     "group_value_weight": "group_value_weight", "lr_rank": "lr_rank",
     "lr_geo": "lr_geo", "res_rank": "res_rank", "topk_gsz": "topk_gsz",
-    "topk_lr": "topk_lr", "tail_super": "tail_super",
+    "topk_lr": "topk_lr", "tail_super": "tail_super", "sel_lr": "sel_lr",
 }
 
 
@@ -95,6 +95,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     ap.add_argument("--topk-gsz", type=int, default=None)
     ap.add_argument("--topk-lr", type=int, default=None)
     ap.add_argument("--tail-super", type=int, default=None)
+    ap.add_argument("--sel-lr", type=int, default=None)
     args = ap.parse_args(argv)
 
     from .api import _as_bank
@@ -108,7 +109,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                       ("lr_rank", "lr_rank"), ("lr_geo", "lr_geo"),
                       ("res_rank", "res_rank"),
                       ("topk_gsz", "topk_gsz"), ("topk_lr", "topk_lr"),
-                      ("tail_super", "tail_super")):
+                      ("tail_super", "tail_super"), ("sel_lr", "sel_lr")):
         v = getattr(args, flag)
         if v is not None:
             kw[key] = v
@@ -133,7 +134,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         lr_rank=kw.get("lr_rank") or 0, lr_geo=kw.get("lr_geo") or 0,
         res_rank=kw.get("res_rank") or 0,
         topk_gsz=kw.get("topk_gsz", 0), topk_lr=kw.get("topk_lr", 0),
-        tail_super=kw.get("tail_super", 0))
+        tail_super=kw.get("tail_super", 0), sel_lr=kw.get("sel_lr", 0))
     import os
 
     if os.path.exists(args.out) and not args.force:

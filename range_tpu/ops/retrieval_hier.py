@@ -198,6 +198,19 @@ class HierBank:
     # scan work at k=128/64; recall impact measured in PERF.md round 5)
     g_topk_lr: Optional[jnp.ndarray] = None
     p_topk: Optional[jnp.ndarray] = None
+    # low-rank selection+tail operand for the FEATURE path
+    # (build_hier_bank(sel_lr=k), round 5 — the feature-path counterpart
+    # of topk_lr, VERDICT r4 #1 design (b)): the fused scan's sem group
+    # logits AND the parts kernels' group-approximation logits both
+    # contract a rank-k PCA sketch of the gsz_sem centroids instead of
+    # sem_d — the two sides use the SAME sketched logits, so the
+    # exact-minus-approx telescoping stays exact; the only approximation
+    # introduced is (a) sketched exp-masses on UNSELECTED groups' tail
+    # and (b) selection-ranking noise.  g_sem_sel [G_s, k] are the
+    # centroid coefficients, p_sel [k, sem_d] the basis; serving projects
+    # the packed queries once (~free).  Adoption measured in PERF.md r5.
+    g_sem_sel: Optional[jnp.ndarray] = None
+    p_sel: Optional[jnp.ndarray] = None
     tier: str = "fast"
     bn: int = 512
     gsz_sem: int = 8
@@ -209,6 +222,7 @@ class HierBank:
     topk_gsz: int = 0
     topk_lr: int = 0
     tail_super: int = 0
+    sel_lr: int = 0
     sem_d: int = 256
     cat_d: int = 384
     t_real: int = 0
@@ -232,10 +246,10 @@ jax.tree_util.register_dataclass(
                  "g_geo_vw_lr", "u_geo",
                  "z_sem", "w_sem", "z_geo", "w_geo",
                  "g_sem_ts_vw", "g_sem_ts_dvw", "g_topk_cat", "g_topk_lr",
-                 "p_topk"],
+                 "p_topk", "g_sem_sel", "p_sel"],
     meta_fields=["tier", "bn", "gsz_sem", "gsz_geo", "gsz_super", "lr_rank",
                  "lr_geo", "res_rank", "topk_gsz", "topk_lr", "tail_super",
-                 "sem_d", "cat_d", "t_real", "t_pad"],
+                 "sel_lr", "sem_d", "cat_d", "t_real", "t_pad"],
 )
 
 
@@ -308,6 +322,18 @@ def _order_rows_within_tiles(keys: jnp.ndarray, valid: jnp.ndarray, bn: int,
     return (order + (np.arange(T) * bn)[:, None]).reshape(-1)
 
 
+def _lowrank_centroid_factor(g_cat: jnp.ndarray, k: int):
+    """Rank-k PCA factorization of a packed centroid operand: returns
+    (coefficients [G, k] in the operand dtype, basis [k, d] f32) such that
+    coefficients @ basis ~= g_cat.  Shared by the topk_lr (top-k selection)
+    and sel_lr (feature-path selection+tail) build paths; zero pad rows
+    project to zero coefficients."""
+    C = g_cat.astype(jnp.float32)
+    _, vecs = jnp.linalg.eigh(C.T @ C)
+    p = vecs[:, -k:].T
+    return (C @ p.T).astype(g_cat.dtype), p.astype(jnp.float32)
+
+
 def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                     gsz_geo: int = 64, gsz_super: int = 0,
                     tier: str = "fast", group_by: str = "key_value",
@@ -316,7 +342,7 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                     lr_geo: Optional[int] = None,
                     res_rank: Optional[int] = None,
                     topk_gsz: int = 0, topk_lr: int = 0,
-                    tail_super: int = 0,
+                    tail_super: int = 0, sel_lr: int = 0,
                     n_clusters: Optional[int] = None, iters: int = 8,
                     seed: int = 0, value_dtype=None,
                     shards: int = 1,
@@ -366,6 +392,15 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         # value-coherent too
         assert (bn % tail_super == 0 and tail_super % gsz_sem == 0
                 and tail_super > gsz_sem), (bn, tail_super, gsz_sem)
+    if sel_lr:
+        sel_lr = min(sel_lr, int(bank.keys_sem.shape[1]))
+        if tail_super:
+            # tail_super's fine-tail correction kernel computes its group
+            # logits from the FULL centroids — it would not telescope
+            # against a sketched scan tail
+            raise ValueError("sel_lr and tail_super are mutually exclusive:"
+                             " the supergroup correction kernel needs "
+                             "full-width group logits")
     if tier == "exact" and bank.values.shape[0] > 262_144:
         import warnings
         warnings.warn(
@@ -396,7 +431,7 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
             gsz_super=gsz_super, tier=tier, group_by=group_by,
             group_value_weight=group_value_weight, lr_rank=lr_rank,
             lr_geo=lr_geo, res_rank=res_rank, topk_gsz=topk_gsz,
-            topk_lr=topk_lr, tail_super=tail_super,
+            topk_lr=topk_lr, tail_super=tail_super, sel_lr=sel_lr,
             n_clusters=n_clusters, iters=iters, seed=seed,
             value_dtype=value_dtype, shards=shards)
     cbank, _ = cluster_bank(bank, bn=bn, n_clusters=n_clusters, iters=iters,
@@ -722,11 +757,7 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
             # rank-k PCA of the packed fine centroids: the selection scan
             # contracts k instead of sem_d (round 5 — selection needs
             # ranking, not accurate logits; recall measured in PERF.md r5)
-            C = g_tk.astype(jnp.float32)
-            _, vecs = jnp.linalg.eigh(C.T @ C)
-            p_tk = vecs[:, -topk_lr:].T            # [k, sem_d]
-            g_tklr = ((C @ p_tk.T).astype(g_tk.dtype),
-                      p_tk.astype(jnp.float32))
+            g_tklr = _lowrank_centroid_factor(g_tk, topk_lr)
         kh, kl = _split_hilo(cbank.keys_sem.astype(jnp.float32))
         khl = jnp.concatenate([kh, kl], axis=1)  # [N, 2*Dk] bf16
         return (k_cat, mask_neg, g_s, g_g, g_sup, g_lr, g_lrg, g_ts, g_res,
@@ -737,6 +768,10 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
      (g_sem_ts_vw, g_sem_ts_dvw),
      (z_sem, w_sem, z_geo, w_geo), g_topk_cat, (g_topk_lr, p_topk),
      khl_sem) = prep(cbank)
+    g_sem_sel = p_sel = None
+    if sel_lr:
+        sel_lr = min(sel_lr, g_sem_cat.shape[1])
+        g_sem_sel, p_sel = _lowrank_centroid_factor(g_sem_cat, sel_lr)
     if cbank.value_scale is not None:
         values, scale = cbank.values, cbank.value_scale.astype(jnp.float32)
     elif value_dtype is not None:
@@ -759,11 +794,12 @@ def build_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
         z_sem=z_sem, w_sem=w_sem, z_geo=z_geo, w_geo=w_geo,
         g_sem_ts_vw=g_sem_ts_vw, g_sem_ts_dvw=g_sem_ts_dvw,
         g_topk_cat=g_topk_cat, g_topk_lr=g_topk_lr, p_topk=p_topk,
+        g_sem_sel=g_sem_sel, p_sel=p_sel,
         tier=tier, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
         gsz_super=gsz_super, lr_rank=lr_rank or 0,
         lr_geo=lr_geo or 0,
         res_rank=res_rank or 0, topk_gsz=topk_gsz, topk_lr=topk_lr or 0,
-        tail_super=tail_super,
+        tail_super=tail_super, sel_lr=sel_lr or 0,
         sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
     )
 
@@ -877,7 +913,7 @@ def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
                             lr_geo: Optional[int],
                             res_rank: Optional[int],
                             topk_gsz: int, tail_super: int,
-                            topk_lr: int = 0,
+                            topk_lr: int = 0, sel_lr: int = 0,
                             n_clusters: Optional[int],
                             iters: int, seed: int, value_dtype,
                             shards: int) -> HierBank:
@@ -992,11 +1028,11 @@ def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
     g_topk_lr = p_topk = None
     if topk_lr and g_topk_cat is not None:
         topk_lr = min(topk_lr, keys.shape[1])
-        C = g_topk_cat.astype(jnp.float32)
-        _, vecs = jnp.linalg.eigh(C.T @ C)
-        p_tk = vecs[:, -topk_lr:].T
-        g_topk_lr = (C @ p_tk.T).astype(g_topk_cat.dtype)
-        p_topk = p_tk.astype(jnp.float32)
+        g_topk_lr, p_topk = _lowrank_centroid_factor(g_topk_cat, topk_lr)
+    g_sem_sel = p_sel = None
+    if sel_lr:
+        sel_lr = min(sel_lr, g_sem_cat.shape[1])
+        g_sem_sel, p_sel = _lowrank_centroid_factor(g_sem_cat, sel_lr)
 
     # 6. low-rank sem tail (G x Dv fits on device even at 1M rows/gsz 16)
     g_sem_vw_lr = u_sem = None
@@ -1142,11 +1178,12 @@ def _build_hier_bank_hosted(bank: GeoBank, *, bn: int, gsz_sem: int,
         z_sem=z_sem, w_sem=w_sem, z_geo=z_geo, w_geo=w_geo,
         g_sem_ts_vw=g_sem_ts_vw, g_sem_ts_dvw=g_sem_ts_dvw,
         g_topk_cat=g_topk_cat, g_topk_lr=g_topk_lr, p_topk=p_topk,
+        g_sem_sel=g_sem_sel, p_sel=p_sel,
         tier=tier, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
         gsz_super=gsz_super, lr_rank=lr_rank or 0,
         lr_geo=lr_geo or 0,
         res_rank=res_rank or 0, topk_gsz=topk_gsz, topk_lr=topk_lr or 0,
-        tail_super=tail_super,
+        tail_super=tail_super, sel_lr=sel_lr or 0,
         sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
     )
 
@@ -1160,7 +1197,7 @@ def build_hier_bank_mesh(bank: GeoBank, mesh, *, bank_axis: Optional[str] = None
                          lr_geo: Optional[int] = None,
                          res_rank: Optional[int] = None,
                          topk_gsz: int = 0, topk_lr: int = 0,
-                         tail_super: int = 0,
+                         tail_super: int = 0, sel_lr: int = 0,
                          n_clusters: Optional[int] = None, iters: int = 8,
                          seed: int = 0, value_dtype=None) -> HierBank:
     """MESH-distributed bank build for 10M+-row banks (round 5, VERDICT r4
@@ -1181,6 +1218,9 @@ def build_hier_bank_mesh(bank: GeoBank, mesh, *, bank_axis: Optional[str] = None
     row layout (same host ordering code) and fp-reassociation-class for
     the einsums/Grams (tests/test_hier.py::test_mesh_build_matches_hosted;
     4M-row run recorded in PERF.md round 5)."""
+    if sel_lr and tail_super:
+        raise ValueError("sel_lr and tail_super are mutually exclusive "
+                         "(see build_hier_bank)")
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..bank.clustered import _tile_stats_impl
@@ -1265,15 +1305,18 @@ def build_hier_bank_mesh(bank: GeoBank, mesh, *, bank_axis: Optional[str] = None
                 cat = pack_bank(cg, jnp.zeros((G, 3), jnp.float32),
                                 tier=tier)[:, :sem_d]
             out[f"cat_{name}"] = cat
+            if name == "sem" and sel_lr:
+                # sharded-G Gram -> replicated basis; coefficients stay
+                # row-sharded like the full operand (feature-path
+                # selection+tail sketch, mirrors topk_lr below)
+                out["g_sem_sel"], out["p_sel"] = _lowrank_centroid_factor(
+                    cat, min(sel_lr, sem_d))
             if name == "topk":
                 if topk_lr:
                     # sharded-G Gram -> replicated basis; coefficients
                     # stay row-sharded like the full operand
-                    C = cat.astype(jnp.float32)
-                    _, vecs = jnp.linalg.eigh(C.T @ C)
-                    p_tk = vecs[:, -min(topk_lr, sem_d):].T
-                    out["g_topk_lr"] = (C @ p_tk.T).astype(cat.dtype)
-                    out["p_topk"] = p_tk.astype(jnp.float32)
+                    out["g_topk_lr"], out["p_topk"] = (
+                        _lowrank_centroid_factor(cat, min(topk_lr, sem_d)))
                 continue
             vsum = jnp.einsum("gi,gid->gd", mg, vf.reshape(G, gsz, -1),
                               preferred_element_type=jnp.float32)
@@ -1379,11 +1422,15 @@ def build_hier_bank_mesh(bank: GeoBank, mesh, *, bank_axis: Optional[str] = None
         g_topk_lr=putr(got.get("g_topk_lr")),
         p_topk=(jax.device_put(got["p_topk"], rep)
                 if "p_topk" in got else None),
+        g_sem_sel=putr(got.get("g_sem_sel")),
+        p_sel=(jax.device_put(got["p_sel"], rep)
+               if "p_sel" in got else None),
         tier=tier, bn=bn, gsz_sem=gsz_sem, gsz_geo=gsz_geo,
         gsz_super=gsz_super, lr_rank=lr_rank or 0, lr_geo=lr_geo or 0,
         res_rank=res_rank or 0, topk_gsz=topk_gsz,
         topk_lr=(min(topk_lr, sem_d) if topk_lr else 0),
         tail_super=tail_super,
+        sel_lr=(min(sel_lr, sem_d) if sel_lr else 0),
         sem_d=sem_d, cat_d=cat_d, t_real=T, t_pad=t_pad,
     )
     return hb
@@ -2233,7 +2280,7 @@ def _hier_corr_call(q_cat, idx, g_cat, dvw, *, bm: int, gpt: int,
 
 
 def _hier_parts_family_kernel(sem_d, has_scale, lr, geo, rr, lrr, dv,
-                              dedup_pad, idx_ref, q_ref, k_ref, v_ref,
+                              dedup_pad, sel, idx_ref, q_ref, k_ref, v_ref,
                               gs_ref, vs_ref, *rest):
     """Single-family variant of `_hier_parts_kernel`: exact one-family
     softmax partials minus that family's group approximation over the
@@ -2291,7 +2338,12 @@ def _hier_parts_family_kernel(sem_d, has_scale, lr, geo, rr, lrr, dv,
         p = jnp.exp2(jnp.minimum(logits, CLAMP2))
 
         gw = gs_ref.shape[1]
-        qg = q[:, q.shape[1] - gw:] if geo else q[:, :gw]
+        # `sel` (round 5, sel_lr): the sem group operand is the rank-k
+        # selection sketch and the projected queries ride APPENDED to
+        # q_cat (the first sem_d columns must stay exact for the row
+        # logits above) — the group logits here then match the scan's
+        # sketched logits EXACTLY, preserving the telescoping identity
+        qg = (q[:, q.shape[1] - gw:] if (geo or sel) else q[:, :gw])
         e = jnp.exp2(jnp.minimum(
             jnp.dot(qg, gs_ref[:].T, preferred_element_type=jnp.float32),
             CLAMP2))
@@ -2368,12 +2420,13 @@ def _hier_parts_family_kernel(sem_d, has_scale, lr, geo, rr, lrr, dv,
 
 @functools.partial(jax.jit, static_argnames=("sem_d", "bm", "bn", "gpt",
                                              "geo", "lr", "rr", "lrr",
-                                             "dedup_pad", "interpret"))
+                                             "dedup_pad", "sel",
+                                             "interpret"))
 def _hier_parts_family_call(q_cat, k_cat, values, scale, mask_neg, idx,
                             g_cat, g_vw, z=None, *, sem_d: int, bm: int,
                             bn: int, gpt: int, geo: bool = False,
                             lr: bool = False, rr: int = 0, lrr: int = 0,
-                            dedup_pad: bool = False,
+                            dedup_pad: bool = False, sel: bool = False,
                             interpret: bool = False) -> jnp.ndarray:
     Bp, cat_d = q_cat.shape
     N, Dv = values.shape
@@ -2438,7 +2491,7 @@ def _hier_parts_family_call(q_cat, k_cat, values, scale, mask_neg, idx,
     vw_cols = (rrp + gpt) if rr else Dv
     out = pl.pallas_call(
         functools.partial(_hier_parts_family_kernel, sem_d, has_scale, lr,
-                          geo, rr, lrr, Dv, dedup_pad),
+                          geo, rr, lrr, Dv, dedup_pad, sel),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, out_w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -2737,6 +2790,36 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
             "supergroup-tail correction)")
     scan_sem_vw = hb.g_sem_ts_vw if use_ts else sem_vw
     sup_r = hb.tail_super // hb.gsz_sem if use_ts else 0
+    # rank-k selection+tail sketch (round 5, build_hier_bank(sel_lr=)):
+    # the scan's sem group logits AND the parts kernels' group-approx
+    # logits both contract the k-dim sketch instead of sem_d — identical
+    # sketched logits on both sides keep the exact-minus-approx telescope
+    # exact on selected tiles; only the UNSELECTED tail mass and the
+    # selection ranking see the sketch.  Queries project once ([Bp, k],
+    # ~free); the sketch rides APPENDED to q_cat for the parts kernels
+    # (their first sem_d columns must stay exact for the row logits) and
+    # REPLACES the sem slice for the scan.
+    use_sel = bool(hb.sel_lr) and hb.g_sem_sel is not None
+    if use_sel and not (k_geo and mode == "range+"):
+        raise ValueError(
+            "sel_lr banks serve via the family-split path only: pass "
+            "k_geo > 0 with mode='range+' (the merged parts kernel has no "
+            "sketched-group slice)")
+    if use_sel:
+        # project in f32, then round to the packed dtype (bf16 on the fast
+        # tier): Mosaic rejects mixed-dtype matmuls, and a concat with f32
+        # columns would silently upcast the whole operand
+        q_sel = jnp.dot(q_cat[:, :hb.sem_d].astype(jnp.float32), hb.p_sel.T,
+                        preferred_element_type=jnp.float32
+                        ).astype(q_cat.dtype)
+        q_scan = jnp.concatenate([q_sel, q_cat[:, hb.sem_d:]], axis=1)
+        q_sem_parts = jnp.concatenate([q_cat, q_sel], axis=1)
+        scan_sem_cat = hb.g_sem_sel
+        sem_gcat = hb.g_sem_sel
+    else:
+        q_scan = q_sem_parts = q_cat
+        scan_sem_cat = hb.g_sem_cat
+        sem_gcat = hb.g_sem_cat
     # the scan emits PER-QUERY stats/tails, so its query-block size is a
     # pure perf knob, independent of the bm that defines selection tiles —
     # a larger scan block streams the group operands Bp/scan_bm times
@@ -2745,7 +2828,7 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
     if q_cat.shape[0] % sb:
         sb = bm
     m_s, s_s, m_g, s_g, tails = _hier_scan_call(
-        q_cat, hb.g_sem_cat, hb.g_geo_cat, scan_sem_vw, geo_vw,
+        q_scan, scan_sem_cat, hb.g_geo_cat, scan_sem_vw, geo_vw,
         bm=sb, tc=tc, gpt_s=gpt_s, gpt_g=gpt_g,
         has_geo=mode == "range+", sup_r_s=sup_r, interpret=interpret)
     Dv = hb.value_dim
@@ -2789,10 +2872,11 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
             idx_pg = _dedup_union(idx_g, dedup, ku_g)
             bm_p = bm * dedup
         parts_s = _hier_parts_family_call(
-            q_cat, hb.k_cat, hb.values, hb.value_scale, hb.mask_neg, idx_ps,
-            hb.g_sem_cat, sem_vw, hb.z_sem, sem_d=hb.sem_d, bm=bm_p,
+            q_sem_parts, hb.k_cat, hb.values, hb.value_scale, hb.mask_neg,
+            idx_ps, sem_gcat, sem_vw, hb.z_sem, sem_d=hb.sem_d, bm=bm_p,
             bn=hb.bn, gpt=gpt_s, geo=False, lr=use_lr, rr=int(use_rr),
-            lrr=hb.lr_rank, dedup_pad=bm_p != bm, interpret=interpret)
+            lrr=hb.lr_rank, dedup_pad=bm_p != bm, sel=use_sel,
+            interpret=interpret)
         parts_g = _hier_parts_family_call(
             q_cat, hb.k_cat, hb.values, hb.value_scale, hb.mask_neg, idx_pg,
             hb.g_geo_cat, geo_vw, hb.z_geo, sem_d=hb.sem_d, bm=bm_p,
@@ -2850,10 +2934,11 @@ def _hier_partials(q_cat: jnp.ndarray, hb: HierBank, *, k_tiles: int,
                 t_real=hb.t_real, k_tiles=kg2, bm=bm_r, n_valid=R,
                 j_sem=j_geo + 4, j_geo=j_sem, mode="range")
             ps2 = _hier_parts_family_call(
-                q_r, hb.k_cat, hb.values, hb.value_scale, hb.mask_neg,
-                idx_s2, hb.g_sem_cat, sem_vw, hb.z_sem, sem_d=hb.sem_d,
-                bm=bm_r, bn=hb.bn, gpt=gpt_s, geo=False, lr=use_lr,
-                rr=int(use_rr), lrr=hb.lr_rank, interpret=interpret)
+                q_sem_parts[worst], hb.k_cat, hb.values, hb.value_scale,
+                hb.mask_neg, idx_s2, sem_gcat, sem_vw, hb.z_sem,
+                sem_d=hb.sem_d, bm=bm_r, bn=hb.bn, gpt=gpt_s, geo=False,
+                lr=use_lr, rr=int(use_rr), lrr=hb.lr_rank, sel=use_sel,
+                interpret=interpret)
             pg2 = _hier_parts_family_call(
                 q_r, hb.k_cat, hb.values, hb.value_scale, hb.mask_neg,
                 idx_g2, hb.g_geo_cat, geo_vw, hb.z_geo, sem_d=hb.sem_d,
@@ -3335,7 +3420,7 @@ def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
                          lr_rank: int = 0, lr_geo: int = 0,
                          res_rank: int = 0,
                          topk_gsz: int = 0, topk_lr: int = 0,
-                         tail_super: int = 0) -> dict:
+                         tail_super: int = 0, sel_lr: int = 0) -> dict:
     """The identity of a `build_hier_bank` run: source bank + every build
     parameter.  Stored in the disk cache and validated on load so a stale
     cache (different bank or params) is rebuilt, never silently served."""
@@ -3349,6 +3434,8 @@ def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
         lr_geo = min(lr_geo, int(bank.values.shape[1]))
     if res_rank:
         res_rank = min(res_rank, int(bank.values.shape[1]))
+    if sel_lr:
+        sel_lr = min(sel_lr, int(bank.keys_sem.shape[1]))
     sig = {"fp": bank_fingerprint(bank), "bn": bn, "gsz_sem": gsz_sem,
            "gsz_geo": gsz_geo, "gsz_super": gsz_super, "tier": tier,
            "seed": seed, "shards": shards, "group_by": group_by,
@@ -3362,6 +3449,9 @@ def hier_build_signature(bank: GeoBank, *, bn: int, gsz_sem: int,
         sig["lr_geo"] = lr_geo
     if tail_super:
         sig["tail_super"] = tail_super
+    if sel_lr:
+        # keyed only when active so pre-round-5 caches stay signature-valid
+        sig["sel_lr"] = sel_lr
     return sig
 
 
@@ -3398,7 +3488,8 @@ def save_hier_bank(hb: HierBank, path: str, build: Optional[dict] = None
                   "u_sem", "g_geo_vw_lr", "u_geo",
                   "z_sem", "w_sem", "z_geo", "w_geo",
                   "g_sem_ts_vw", "g_sem_ts_dvw",
-                  "g_topk_cat", "g_topk_lr", "p_topk"):
+                  "g_topk_cat", "g_topk_lr", "p_topk",
+                  "g_sem_sel", "p_sel"):
         v = getattr(hb, field)
         if v is None:
             continue
@@ -3415,7 +3506,8 @@ def save_hier_bank(hb: HierBank, path: str, build: Optional[dict] = None
     arrays["bank_n_valid"] = np.asarray(hb.bank.n_valid)
     for field in ("tier", "bn", "gsz_sem", "gsz_geo", "gsz_super",
                   "lr_rank", "lr_geo", "res_rank", "topk_gsz", "topk_lr",
-                  "tail_super", "sem_d", "cat_d", "t_real", "t_pad"):
+                  "tail_super", "sel_lr", "sem_d", "cat_d", "t_real",
+                  "t_pad"):
         meta[field] = getattr(hb, field)
     if build is not None:
         meta["build"] = build
@@ -3465,6 +3557,7 @@ def load_hier_bank(path: str) -> HierBank:
         g_sem_ts_vw=dec("g_sem_ts_vw"), g_sem_ts_dvw=dec("g_sem_ts_dvw"),
         g_topk_cat=dec("g_topk_cat"),
         g_topk_lr=dec("g_topk_lr"), p_topk=dec("p_topk"),
+        g_sem_sel=dec("g_sem_sel"), p_sel=dec("p_sel"),
         tier=meta["tier"], bn=meta["bn"], gsz_sem=meta["gsz_sem"],
         gsz_geo=meta["gsz_geo"], gsz_super=meta.get("gsz_super", 0),
         lr_rank=meta.get("lr_rank", 0),
@@ -3473,6 +3566,7 @@ def load_hier_bank(path: str) -> HierBank:
         topk_gsz=meta.get("topk_gsz", 0),
         topk_lr=meta.get("topk_lr", 0),
         tail_super=meta.get("tail_super", 0),
+        sel_lr=meta.get("sel_lr", 0),
         sem_d=meta["sem_d"], cat_d=meta["cat_d"],
         t_real=meta["t_real"], t_pad=meta["t_pad"],
     )
@@ -3485,7 +3579,7 @@ def prepare_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                       lr_geo: Optional[int] = None,
                       res_rank: Optional[int] = None,
                       topk_gsz: int = 0, topk_lr: int = 0,
-                      tail_super: int = 0,
+                      tail_super: int = 0, sel_lr: int = 0,
                       seed: int = 0, shards: int = 1,
                       cache_path: Optional[str] = None,
                       force: bool = False,
@@ -3509,7 +3603,7 @@ def prepare_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                                lr_rank=lr_rank or 0, lr_geo=lr_geo or 0,
                                res_rank=res_rank or 0,
                                topk_gsz=topk_gsz, topk_lr=topk_lr,
-                               tail_super=tail_super)
+                               tail_super=tail_super, sel_lr=sel_lr)
     if cache_path and os.path.exists(cache_path) and not force:
         got = peek_hier_build(cache_path)
         if got == sig:
@@ -3522,7 +3616,7 @@ def prepare_hier_bank(bank: GeoBank, *, bn: int = 512, gsz_sem: int = 8,
                          group_value_weight=group_value_weight,
                          lr_rank=lr_rank, lr_geo=lr_geo, res_rank=res_rank,
                          topk_gsz=topk_gsz, topk_lr=topk_lr,
-                         tail_super=tail_super,
+                         tail_super=tail_super, sel_lr=sel_lr,
                          tier=tier, seed=seed,
                          shards=shards, host_stage=host_stage)
     if cache_path:

@@ -290,6 +290,8 @@ def shard_hier_bank(hb, mesh: Mesh, axis: str = "bank"):
         g_topk_cat=put(hb.g_topk_cat, rows),
         g_topk_lr=put(hb.g_topk_lr, rows),
         p_topk=put(hb.p_topk, rep),
+        g_sem_sel=put(hb.g_sem_sel, rows),
+        p_sel=put(hb.p_sel, rep),
     )
 
 
@@ -472,6 +474,7 @@ def _hier_bank_spec(hb, bank_axis: str):
         w_geo=P() if hb.w_geo is not None else None,
         u_geo=P() if hb.u_geo is not None else None,
         p_topk=P() if hb.p_topk is not None else None,
+        p_sel=P() if hb.p_sel is not None else None,
     )
 
 

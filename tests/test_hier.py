@@ -955,7 +955,7 @@ def test_mesh_build_matches_hosted():
     bank = GeoBank.synthetic_informative(0, 20000, pad_to=512, value_dim=64)
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("bank",))
     kw = dict(bn=128, gsz_sem=8, gsz_geo=16, lr_rank=64, lr_geo=64,
-              res_rank=64, topk_gsz=8, seed=0)
+              res_rank=64, topk_gsz=8, sel_lr=256, seed=0)
     hbm = build_hier_bank_mesh(bank, mesh, tier="exact",
                                value_dtype=jnp.float32, **kw)
     hbh = _build_hier_bank_hosted(bank, gsz_super=0, tier="exact",
@@ -992,6 +992,11 @@ def test_mesh_build_matches_hosted():
     zr_m = np.asarray(hbm.z_sem, np.float32)[:, :Dv] @ np.asarray(hbm.w_sem)[:Dv]
     zr_h = np.asarray(hbh.z_sem, np.float32)[:, :Dv] @ np.asarray(hbh.w_sem)[:Dv]
     np.testing.assert_allclose(zr_m, zr_h, rtol=1e-3, atol=2e-2)
+    # sel_lr sketch at complete rank: reconstruction invariant to basis
+    assert hbm.sel_lr == hbh.sel_lr == 256 and hbm.p_sel is not None
+    sel_m = np.asarray(hbm.g_sem_sel, np.float32) @ np.asarray(hbm.p_sel)
+    sel_h = np.asarray(hbh.g_sem_sel, np.float32) @ np.asarray(hbh.p_sel)
+    np.testing.assert_allclose(sel_m, sel_h, rtol=1e-4, atol=1e-4)
 
     # serve: all local tiles selected == exact dense
     rng = np.random.default_rng(4)
@@ -1053,3 +1058,48 @@ def test_topk_lr_selection(bank, hb):
         got1 = np.asarray(hier_topk(q, qx, hb_lr, k_tiles=12,
                                     interpret=True))
         np.testing.assert_array_equal(got1, got2)
+
+
+def test_sel_lr_feature_path(bank, hb, queries):
+    """Feature-path selection+tail sketch (round 5, sel_lr): at COMPLETE
+    rank the sketched group logits equal the full ones (the PCA basis spans
+    the centroids), so retrieve_hier matches the full-operand bank; at
+    partial rank the output error vs the exact dense path stays in the full
+    operand's class (only unselected-tail mass + selection ranking see the
+    sketch).  Family-split only; survives save/load."""
+    import tempfile
+
+    from range_tpu.ops.retrieval_hier import (load_hier_bank,
+                                              save_hier_bank)
+
+    q, qx = queries
+    kw = dict(bn=BN, gsz_sem=8, gsz_geo=16, tier="exact",
+              value_dtype=jnp.float32)
+    hb_c = build_hier_bank(bank, sel_lr=256, **kw)  # complete rank
+    assert hb_c.g_sem_sel is not None and hb_c.sel_lr == 256
+    serve = dict(k_tiles=16, k_geo=8, bm=128, interpret=True)
+    out_f = np.asarray(retrieve_hier(q, qx, hb, **serve))
+    out_c = np.asarray(retrieve_hier(q, qx, hb_c, **serve))
+    assert _relerr(out_c, out_f).max() < 5e-3
+
+    ref = np.asarray(retrieve(q, qx, bank, sem_temp=12.0, geo_temp=40.0,
+                              beta=0.5, chunk=PAD))
+    hb_64 = build_hier_bank(bank, sel_lr=64, **kw)
+    out_64 = np.asarray(retrieve_hier(q, qx, hb_64, **serve))
+    e_full = _relerr(out_f, ref).mean()
+    e_64 = _relerr(out_64, ref).mean()
+    assert e_64 <= e_full + 0.02, (e_64, e_full)
+
+    # sel_lr banks serve via the family-split path only
+    with pytest.raises(ValueError, match="family-split"):
+        retrieve_hier(q, qx, hb_64, k_tiles=16, bm=128, interpret=True)
+    # tail_super is mutually exclusive at build time
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build_hier_bank(bank, sel_lr=64, tail_super=32, **kw)
+
+    with tempfile.TemporaryDirectory() as d:
+        save_hier_bank(hb_64, d + "/hb.npz")
+        hb2 = load_hier_bank(d + "/hb.npz")
+        assert hb2.sel_lr == 64 and hb2.p_sel is not None
+        out2 = np.asarray(retrieve_hier(q, qx, hb2, **serve))
+        np.testing.assert_array_equal(out_64, out2)

@@ -2440,10 +2440,12 @@ def _hier_parts_family_call(q_cat, k_cat, values, scale, mask_neg, idx,
         return (idx_[i, g], 0)
 
     rrp = z.shape[1] if rr else 0
+    # q and k widths may differ: with `sel`, q carries the rank-k query
+    # sketch appended past cat_d (the k operand stays cat_d wide)
     in_specs = [
         pl.BlockSpec((bm, cat_d), lambda i, g, idx_: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bn, cat_d), kidx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, k_cat.shape[1]), kidx, memory_space=pltpu.VMEM),
         # the residual path replaces the [bn, Dv] value stream with the
         # [bn, rrp] residual coefficients in the same operand slot
         pl.BlockSpec((bn, rrp if rr else Dv), kidx,
